@@ -1,0 +1,17 @@
+from lightsaber_spark.operators.window_agg import windowed_agg, window_spine
+from lightsaber_spark.operators.row_window import row_window_agg, with_global_row_index
+from lightsaber_spark.operators.joins import static_hash_join, theta_join, asof_join, range_join
+from lightsaber_spark.operators.topk import post_window_argmax, window_topk
+
+__all__ = [
+    "windowed_agg",
+    "window_spine",
+    "row_window_agg",
+    "with_global_row_index",
+    "static_hash_join",
+    "theta_join",
+    "asof_join",
+    "range_join",
+    "post_window_argmax",
+    "window_topk",
+]

@@ -1,0 +1,114 @@
+"""Count-based (ROW_BASED) windows.
+
+Reference: ``src/utils/WindowDefinition.h:13`` — ROW_BASED measure;
+used by LRB2/LRB3 stage 2 (row window 1024/1024,
+``test/.../LRB2.cpp:22-111``). The reference gets a total row order for
+free (single-node in-order stream, ``README.md:16``); on a cluster a
+global row index is the expensive primitive, so we implement it with the
+standard two-pass bucket-offset technique instead of a single-partition
+``Window.orderBy`` (which would serialize 100 TB through one task).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from lightsaber_spark.operators.window_agg import AggSpec, _agg_exprs, _check_aggs
+
+
+def with_global_row_index(
+    df: DataFrame,
+    order_by: Sequence[str],
+    bucket_expr: Column | None = None,
+    index_col: str = "_row_index",
+) -> DataFrame:
+    """Add a 0-based global row index under a total order, scalably.
+
+    Two-pass bucket-offset scheme:
+      1. rows get a per-bucket rank (``row_number`` partitioned by a
+         coarse bucket derived from the leading order column — each
+         bucket sorts independently, no global sort);
+      2. bucket counts (tiny: one row per bucket) are cumulated into
+         offsets and broadcast-joined back.
+
+    ``bucket_expr`` must be a monotone non-decreasing function of the
+    order prefix (default: day-truncation of the first order column,
+    which must be a timestamp). Skewed buckets degrade to the skew
+    handling of AQE; choose finer buckets for hot time ranges.
+    """
+    order_cols = [F.col(c) for c in order_by]
+    if bucket_expr is None:
+        bucket_expr = F.floor(F.col(order_by[0]).cast("double") / F.lit(86400)).cast("bigint")
+    b = df.withColumn("_bucket", bucket_expr)
+    rank_in = F.row_number().over(
+        Window.partitionBy("_bucket").orderBy(*order_cols)
+    )
+    b = b.withColumn("_rank_in", rank_in)
+
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_offset")
+
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .withColumn(index_col, (F.col("_offset") + F.col("_rank_in") - 1).cast("bigint"))
+        .drop("_bucket", "_rank_in", "_offset")
+    )
+
+
+def row_window_agg(
+    df: DataFrame,
+    order_by: Sequence[str],
+    size: int,
+    slide: int | None,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = (),
+    bucket_expr: Column | None = None,
+) -> DataFrame:
+    """Count-based windowed aggregation over a total order.
+
+    Tumbling (slide==size): window id = floor(index / size).
+    Sliding: each row joins its size/slide containing windows via the
+    same pane/explode scheme as range windows (window w covers rows
+    [w*slide, w*slide + size)).
+
+    Output: ``window_id`` (bigint, = start row index / slide), keys,
+    aggregates. Matches the reference's semantics of cutting the stream
+    every `slide` rows (``WindowDefinition.h:44-53``).
+    """
+    _check_aggs(aggs)
+    slide = slide or size
+    keys = list(keys)
+    idx = with_global_row_index(df, order_by, bucket_expr)
+
+    if slide == size:
+        win = (F.floor(F.col("_row_index") / size)).cast("bigint").alias("window_id")
+        return (
+            idx.groupBy(win, *keys)
+            .agg(*_agg_exprs(aggs))
+            .select("window_id", *keys, *[F.col(a) for _, _, a in aggs])
+        )
+
+    # sliding: row i belongs to windows w with w*slide <= i < w*slide+size
+    i = F.col("_row_index")
+    w_max = F.floor(i / slide).cast("bigint")
+    w_min = F.greatest(
+        F.lit(0).cast("bigint"), (-F.floor((-(i - size + 1)) / slide)).cast("bigint")
+    )
+    exploded = idx.withColumn(
+        "window_id", F.explode(F.sequence(w_min, w_max, F.lit(1).cast("bigint")))
+    )
+    return (
+        exploded.groupBy("window_id", *keys)
+        .agg(*_agg_exprs(aggs))
+        .select("window_id", *keys, *[F.col(a) for _, _, a in aggs])
+    )

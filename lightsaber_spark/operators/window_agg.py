@@ -1,0 +1,281 @@
+"""Windowed aggregation — the reference engine's core operator.
+
+Reference: ``src/cql/operators/Aggregation.h:17-199`` — MIN/MAX/CNT/SUM/AVG
+over tumbling/sliding row/range windows with optional multi-attribute
+GROUP BY; window algebra in ``src/utils/WindowDefinition.h:27-103``.
+
+Spark-first design
+------------------
+* All window-bucket arithmetic is **exact integer microseconds**
+  (``unix_micros``), not floating point and not ``F.window`` structs:
+  bucket ids are plain ``bigint`` epoch-second window starts, produced
+  by codegen'd integer div/mul. This (a) keeps the whole plan in
+  whole-stage codegen, (b) is bit-identical to a DuckDB
+  ``epoch_us``-based oracle, (c) avoids carrying a struct column
+  through the shuffle. Semantics match ``F.window``: starts are
+  epoch-aligned multiples of ``slide`` and row t ∈ window s iff
+  ``s <= t < s+size``. (Event times must be >= epoch; truncating and
+  floor division agree there.)
+* Tumbling: one hash aggregation, map-side combinable.
+* Short sliding windows: per-row expansion to the size/slide containing
+  window starts (``explode(sequence(...))``) then one aggregation —
+  what ``F.window`` does internally, minus the struct.
+* Long sliding windows (size ≫ slide — e.g. SG1's 3600s/1s,
+  ``test/benchmarks/applications/SmartGrid/SG1.cpp:17-24``): per-row
+  expansion replicates every row size/slide times — 3600× shuffle
+  amplification at 100 TB. We instead use the reference's **pane-based
+  slicing** (``WindowDefinition.h:80-90``: pane = gcd(size, slide))
+  relationally:
+
+    stage 1: tumbling pre-aggregation into panes (map-side combine,
+             one shuffle keyed on (pane, keys), ≤ panes×keys rows out)
+    stage 2: pane partials expand to their size/slide windows
+             (explode over aggregated panes — cheap) and merge.
+
+  O(rows × size/slide) shuffle → O(rows + panes × size/slide): the
+  LightSaber slicing trick as two Catalyst aggregations, no UDFs.
+* Empty-window emission (``OperatorKernel.h:3830-3988`` gap fill):
+  opt-in spine left-join, see :func:`window_spine`/:func:`gap_filled`.
+
+Aggregate outputs are Spark-native types (double for sum/avg over
+double); the reference emits float32 (``Aggregation.h:81-87``) — cast
+at the edge if bit-parity with the reference binary is needed.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    FloatType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+US = 1_000_000
+
+# (func, input column or None for count(*), output alias)
+AggSpec = tuple[str, str | None, str]
+
+_SUPPORTED = {"sum", "count", "avg", "min", "max"}
+
+
+def epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Event time as exact integer microseconds since epoch (bigint).
+
+    Accepts TimestampType (→ ``unix_micros``) or numeric epoch-seconds
+    columns (reference model: attribute 0 is a long timestamp,
+    ``src/utils/TupleSchema.h:25``).
+    """
+    dt = df.schema[ts_col].dataType
+    c = F.col(ts_col)
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(c)
+    if isinstance(dt, DateType):
+        return F.unix_micros(c.cast("timestamp"))
+    if isinstance(dt, (DoubleType, FloatType)):
+        return F.round(c * US).cast("bigint")
+    if isinstance(dt, NumericType):
+        return (c.cast("bigint") * US)
+    raise TypeError(f"unsupported event-time type {dt} for {ts_col!r}")
+
+
+def _check_aggs(aggs: Sequence[AggSpec]) -> None:
+    for func, col, _alias in aggs:
+        if func not in _SUPPORTED:
+            raise ValueError(f"unsupported aggregate {func!r}; supported: {sorted(_SUPPORTED)}")
+        if func != "count" and col is None:
+            raise ValueError(f"{func} needs an input column")
+
+
+def _agg_exprs(aggs: Sequence[AggSpec]) -> list[Column]:
+    out = []
+    for func, col, alias in aggs:
+        if func == "count":
+            e = F.count(F.lit(1)) if col is None else F.count(F.col(col))
+        else:
+            e = getattr(F, func)(F.col(col))
+        out.append(e.alias(alias))
+    return out
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    size_sec: int,
+    slide_sec: int | None,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = (),
+    *,
+    pane_threshold: int = 4,
+    use_panes: bool | None = None,
+) -> DataFrame:
+    """Event-time (RANGE_BASED) windowed aggregation.
+
+    Returns ``window_start`` (bigint epoch seconds), ``*keys``, one
+    column per agg spec. Only windows containing >= 1 input row are
+    emitted (gap fill is opt-in, :func:`window_spine`).
+
+    ``use_panes=None`` auto-selects the pane path when
+    ``size/slide >= pane_threshold``.
+    """
+    _check_aggs(aggs)
+    slide_sec = slide_sec or size_sec
+    if slide_sec > size_sec:
+        raise ValueError("slide > size (hopping-with-gaps) not in reference semantics")
+    keys = list(keys)
+
+    if slide_sec == size_sec:
+        return _tumbling(df, ts_col, size_sec, aggs, keys)
+    if use_panes is None:
+        use_panes = (size_sec / slide_sec) >= pane_threshold
+    if use_panes:
+        return _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys)
+    return _sliding_native(df, ts_col, size_sec, slide_sec, aggs, keys)
+
+
+def _tumbling(df, ts_col, size_sec, aggs, keys):
+    us = epoch_us(df, ts_col)
+    ws = _exact_bucket(us, size_sec).alias("window_start")
+    return (
+        df.groupBy(ws, *keys)
+        .agg(*_agg_exprs(aggs))
+        .select("window_start", *keys, *[F.col(a) for _, _, a in aggs])
+    )
+
+
+def _exact_bucket(us: Column, step_sec: int) -> Column:
+    """(us div step_us) * step — exact integer math via SQL div."""
+    step_us = F.lit(step_sec * US).cast("bigint")
+    return ((us - (us % step_us)) / step_us).cast("bigint") * F.lit(step_sec)
+
+
+def _window_starts(us: Column, size_sec: int, slide_sec: int) -> Column:
+    """Array of window starts (bigint seconds) containing time ``us``:
+    multiples s of slide with s <= t < s+size."""
+    s_max = _exact_bucket(us, slide_sec)
+    # smallest multiple of slide strictly greater than t - size
+    shifted = us - F.lit(size_sec * US).cast("bigint")
+    step_us = F.lit(slide_sec * US).cast("bigint")
+    s_min = (((shifted - (shifted % step_us)) / step_us).cast("bigint") + 1) * F.lit(slide_sec)
+    return F.sequence(s_min, s_max, F.lit(slide_sec).cast("bigint"))
+
+
+def _sliding_native(df, ts_col, size_sec, slide_sec, aggs, keys):
+    us = epoch_us(df, ts_col)
+    exploded = df.withColumn("window_start", F.explode(_window_starts(us, size_sec, slide_sec)))
+    return (
+        exploded.groupBy("window_start", *keys)
+        .agg(*_agg_exprs(aggs))
+        .select("window_start", *keys, *[F.col(a) for _, _, a in aggs])
+    )
+
+
+def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
+    """Pane-decomposed sliding aggregation (reference
+    ``WindowDefinition.h:80-90``; SIGMOD'20 slicing). Pane size
+    g = gcd(size, slide): every window is a union of whole panes, so
+    per-pane partials compose exactly."""
+    g = math.gcd(size_sec, slide_sec)
+
+    partials: dict[str, Column] = {}
+    for func, col, _alias in aggs:
+        if func in ("sum", "avg"):
+            partials[f"_sum_{col}"] = F.sum(F.col(col))
+        if func == "avg":
+            partials[f"_cnt_{col}"] = F.count(F.col(col))
+        if func == "count":
+            key = f"_cnt_{col}" if col else "_cnt_all"
+            partials[key] = F.count(F.col(col)) if col else F.count(F.lit(1))
+        if func == "min":
+            partials[f"_min_{col}"] = F.min(F.col(col))
+        if func == "max":
+            partials[f"_max_{col}"] = F.max(F.col(col))
+
+    us = epoch_us(df, ts_col)
+    stage1 = df.groupBy(_exact_bucket(us, g).alias("_pane"), *keys).agg(
+        *[c.alias(n) for n, c in partials.items()]
+    )
+
+    # pane p (seconds) belongs to windows s: s <= p and p+g <= s+size,
+    # s multiple of slide. All values are multiples of g in seconds —
+    # second-granularity integer math, exact.
+    p = F.col("_pane")
+    s_max = (F.floor(p / slide_sec)).cast("bigint") * F.lit(slide_sec)
+    x = p + F.lit(g - size_sec)  # s >= x, i.e. s_min = ceil(x / slide) * slide
+    s_min = (-F.floor(-x / slide_sec)).cast("bigint") * F.lit(slide_sec)
+    expanded = stage1.withColumn(
+        "window_start", F.explode(F.sequence(s_min, s_max, F.lit(slide_sec).cast("bigint")))
+    )
+
+    finals: list[Column] = []
+    for func, col, alias in aggs:
+        if func == "sum":
+            finals.append(F.sum(f"_sum_{col}").alias(alias))
+        elif func == "count":
+            key = f"_cnt_{col}" if col else "_cnt_all"
+            finals.append(F.sum(key).alias(alias))
+        elif func == "avg":
+            finals.append((F.sum(f"_sum_{col}") / F.sum(f"_cnt_{col}")).alias(alias))
+        elif func == "min":
+            finals.append(F.min(f"_min_{col}").alias(alias))
+        elif func == "max":
+            finals.append(F.max(f"_max_{col}").alias(alias))
+
+    return (
+        expanded.groupBy("window_start", *keys)
+        .agg(*finals)
+        .select("window_start", *keys, *[F.col(a) for _, _, a in aggs])
+    )
+
+
+def window_spine(
+    df: DataFrame,
+    ts_col: str,
+    size_sec: int,
+    slide_sec: int | None = None,
+) -> DataFrame:
+    """All window starts from the first to the last data point — the
+    reference's empty-window emission (gap fill,
+    ``OperatorKernel.h:3830-3988`` / ``:4374-4608``), which Spark's
+    native windowing does not do.
+
+    One-column DataFrame ``window_start`` (bigint). Generated from a
+    single (min, max) row + ``sequence``/``explode``: cardinality is
+    span/slide, independent of input rows — scale-safe; repartition
+    downstream if the spine is huge.
+    """
+    slide_sec = slide_sec or size_sec
+    bounds = df.agg(
+        F.min(epoch_us(df, ts_col)).alias("_lo"), F.max(epoch_us(df, ts_col)).alias("_hi")
+    )
+    lo, hi = F.col("_lo"), F.col("_hi")
+    step_us = F.lit(slide_sec * US).cast("bigint")
+    shifted = lo - F.lit(size_sec * US).cast("bigint")
+    first = (((shifted - (shifted % step_us)) / step_us).cast("bigint") + 1) * F.lit(slide_sec)
+    last = (((hi - (hi % step_us)) / step_us)).cast("bigint") * F.lit(slide_sec)
+    return bounds.select(
+        F.explode(F.sequence(first, last, F.lit(slide_sec).cast("bigint"))).alias("window_start")
+    )
+
+
+def gap_filled(
+    agg_result: DataFrame,
+    spine: DataFrame,
+    aggs: Sequence[AggSpec],
+    keys_df: DataFrame | None = None,
+) -> DataFrame:
+    """Left-join an aggregation result onto a window spine, emitting
+    empty windows (count→0, sum/avg/min/max→null). With ``keys_df``
+    (distinct key combinations — small) the fill is per key."""
+    base = spine if keys_df is None else spine.crossJoin(F.broadcast(keys_df))
+    out = base.join(agg_result, on=list(base.columns), how="left")
+    for func, _col, alias in aggs:
+        if func == "count":
+            out = out.withColumn(alias, F.coalesce(F.col(alias), F.lit(0)))
+    return out

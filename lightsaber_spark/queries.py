@@ -1,0 +1,507 @@
+"""Canonical query catalog — the driver-facing parity surface.
+
+Each entry re-expresses one reference benchmark query (SURVEY.md §5's
+table: CM1/CM2, SG1-3, LRB1-2, ME1, YSB, NBQ5) over the TESTDATA
+tables, since the driver's correctness gate runs on those. The mapping
+keeps the *operator shape* (filter → project → window agg → having →
+post-op; static join; theta join; row windows) while substituting
+testdata columns for the reference fixture columns:
+
+  reference stream attr        testdata analog
+  ------------------------     -----------------------------
+  timestamp (attr 0, long)  →  events.ts (timestamp)
+  group keys (jobId, plug…) →  events.user_id / event_type
+  measure (cpu, value…)     →  events.value
+  campaigns static table    →  customer (broadcast dim)
+
+Every Spark query has a DuckDB oracle twin in ``ORACLE_SQL`` with
+identical column aliases.
+
+Float determinism: SUM/AVG over doubles is order-dependent, and a
+distributed engine cannot fix the order — a rounding boundary can then
+flip the last emitted decimal vs the oracle. The testdata money-like
+columns are exact 2-decimal values, so parity queries aggregate
+**integer cents** (exact, order-independent) and divide once at the
+end — both engines then produce bit-identical doubles. MIN/MAX are
+order-independent and stay direct.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lightsaber_spark.session import load_tables
+from lightsaber_spark.operators import (
+    post_window_argmax,
+    row_window_agg,
+    static_hash_join,
+    theta_join,
+    windowed_agg,
+    window_spine,
+)
+from lightsaber_spark.operators.window_agg import gap_filled
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPARK_QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents of a 2-decimal double column."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _with_cents(df: DataFrame, col: str = "value") -> DataFrame:
+    return df.withColumn(f"{col}_c", _cents(col))
+
+
+# DuckDB oracle helpers (mirror operators/window_agg.py integer-µs math)
+CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _slide_expand(size: int, slide: int, src: str = "events", pred: str = "TRUE") -> str:
+    """Per-row expansion of sliding-window starts, exact integer µs."""
+    return f"""
+      SELECT *, unnest(generate_series(
+          ((epoch_us(ts) - {size * 1_000_000}) // {slide * 1_000_000} + 1) * {slide},
+          (epoch_us(ts) // {slide * 1_000_000}) * {slide},
+          {slide})) AS window_start
+      FROM {src} WHERE {pred}
+    """
+
+
+# ---------------------------------------------------------------------------
+# CM1 — sliding sum grouped by small-domain key
+# (ref: test/benchmarks/applications/ClusterMonitoring/CM1.cpp:20-30 —
+#  sum(cpu) GROUP BY category, window(60,1))
+# ---------------------------------------------------------------------------
+@query(
+    "cm1_sliding_sum_by_type",
+    f"""
+    WITH e AS (SELECT ts, event_type, {CENTS} AS value_c FROM events),
+    x AS ({_slide_expand(1800, 300, src="e")})
+    SELECT window_start, event_type,
+           CAST(sum(value_c) AS BIGINT) / 100.0 AS sum_value,
+           count(*) AS n
+    FROM x GROUP BY 1, 2
+    """,
+)
+def cm1(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    r = windowed_agg(ev, "ts", 1800, 300,
+                     [("sum", "value_c", "sum_c"), ("count", None, "n")],
+                     ["event_type"])
+    return r.select(
+        "window_start", "event_type",
+        (F.col("sum_c") / 100.0).alias("sum_value"), "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CM2 — filter → sliding sum grouped by high-cardinality key
+# (ref: CM2.cpp:24-39 — WHERE eventType==3 → sum(cpu) GROUP BY jobId)
+# ---------------------------------------------------------------------------
+@query(
+    "cm2_filter_sliding_sum_by_user",
+    f"""
+    WITH e AS (SELECT ts, user_id, {CENTS} AS value_c FROM events
+               WHERE event_type = 'click'),
+    x AS ({_slide_expand(1800, 300, src="e")})
+    SELECT window_start, user_id, CAST(sum(value_c) AS BIGINT) / 100.0 AS sum_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def cm2(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir).filter(F.col("event_type") == "click"))
+    r = windowed_agg(ev, "ts", 1800, 300, [("sum", "value_c", "sum_c")], ["user_id"])
+    return r.select("window_start", "user_id", (F.col("sum_c") / 100.0).alias("sum_value"))
+
+
+# ---------------------------------------------------------------------------
+# SG1 — global avg over a long sliding window (pane-optimized path)
+# (ref: SmartGrid/SG1.cpp:17-24 — avg(value), window(3600,1))
+# ---------------------------------------------------------------------------
+@query(
+    "sg1_global_sliding_avg",
+    f"""
+    WITH e AS (SELECT ts, {CENTS} AS value_c FROM events),
+    x AS ({_slide_expand(3600, 600, src="e")})
+    SELECT window_start,
+           CAST(sum(value_c) AS BIGINT) / 100.0 / count(*) AS avg_value,
+           count(*) AS n
+    FROM x GROUP BY 1
+    """,
+)
+def sg1(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    r = windowed_agg(ev, "ts", 3600, 600,
+                     [("sum", "value_c", "sum_c"), ("count", None, "n")])
+    return r.select(
+        "window_start",
+        (F.col("sum_c") / 100.0 / F.col("n")).alias("avg_value"), "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SG2 — tumbling avg grouped by multiple keys
+# (ref: SG2.cpp:21-31 — avg(value) GROUP BY plug,household,house, window(128,1))
+# ---------------------------------------------------------------------------
+@query(
+    "sg2_tumbling_avg_by_user_type",
+    f"""
+    WITH e AS (SELECT ts, user_id, event_type, {CENTS} AS value_c FROM events)
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, user_id, event_type,
+           CAST(sum(value_c) AS BIGINT) / 100.0 / count(*) AS avg_value
+    FROM e GROUP BY 1, 2, 3
+    """,
+)
+def sg2(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    r = windowed_agg(ev, "ts", 3600, 3600,
+                     [("sum", "value_c", "sum_c"), ("count", None, "n")],
+                     ["user_id", "event_type"])
+    return r.select(
+        "window_start", "user_id", "event_type",
+        (F.col("sum_c") / 100.0 / F.col("n")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SG3 — key-filter → long sliding avg by key
+# (ref: SG3.cpp:16-31 — WHERE household==3 → avg GROUP BY plug,household,house)
+# ---------------------------------------------------------------------------
+@query(
+    "sg3_filter_sliding_avg_by_user",
+    f"""
+    WITH e AS (SELECT ts, user_id, {CENTS} AS value_c FROM events
+               WHERE user_id % 10 = 3),
+    x AS ({_slide_expand(3600, 600, src="e")})
+    SELECT window_start, user_id,
+           CAST(sum(value_c) AS BIGINT) / 100.0 / count(*) AS avg_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def sg3(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir).filter(F.col("user_id") % 10 == 3))
+    r = windowed_agg(ev, "ts", 3600, 600,
+                     [("sum", "value_c", "sum_c"), ("count", None, "n")], ["user_id"])
+    return r.select(
+        "window_start", "user_id",
+        (F.col("sum_c") / 100.0 / F.col("n")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LRB1 — derived grouping key → sliding avg → HAVING
+# (ref: LinearRoadBenchmark/LRB1.cpp:23-51 — segment=position/5280,
+#  avg(speed) GROUP BY highway,direction,segment HAVING avg<40)
+# HAVING is evaluated on exact integers (sum_c < 100*100*n ⇔ avg < 100):
+# fully order-independent, like the post-agg Selection the reference
+# injects (OperatorKernel.h:176-180).
+# ---------------------------------------------------------------------------
+@query(
+    "lrb1_derived_key_having",
+    f"""
+    WITH e AS (SELECT ts, event_type, CAST(floor(value / 50) AS BIGINT) AS segment,
+                      {CENTS} AS value_c
+               FROM events),
+    x AS ({_slide_expand(1800, 300, src="e")})
+    SELECT window_start, event_type, segment,
+           CAST(sum(value_c) AS BIGINT) / 100.0 / count(*) AS avg_value
+    FROM x GROUP BY 1, 2, 3
+    HAVING CAST(sum(value_c) AS BIGINT) < 10000 * count(*)
+    """,
+)
+def lrb1(spark, sf_dir):
+    ev = _with_cents(
+        _events(spark, sf_dir).withColumn(
+            "segment", F.floor(F.col("value") / 50).cast("bigint")
+        )
+    )
+    r = windowed_agg(ev, "ts", 1800, 300,
+                     [("sum", "value_c", "sum_c"), ("count", None, "n")],
+                     ["event_type", "segment"])
+    return (
+        r.filter(F.col("sum_c") < 10000 * F.col("n"))
+        .select(
+            "window_start", "event_type", "segment",
+            (F.col("sum_c") / 100.0 / F.col("n")).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ME1 — multi-aggregate global tumbling window
+# (ref: ManufacturingEquipment/ME1.cpp:20-33 — avg(mf01),avg(mf02),avg(mf03))
+# ---------------------------------------------------------------------------
+@query(
+    "me1_multi_agg_tumbling",
+    f"""
+    WITH e AS (SELECT ts, value, {CENTS} AS value_c FROM events)
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+           CAST(sum(value_c) AS BIGINT) / 100.0 / count(*) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           count(*) AS n
+    FROM e GROUP BY 1
+    """,
+)
+def me1(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    r = windowed_agg(ev, "ts", 3600, 3600, [
+        ("sum", "value_c", "sum_c"),
+        ("min", "value", "min_value"),
+        ("max", "value", "max_value"),
+        ("count", None, "n"),
+    ])
+    return r.select(
+        "window_start",
+        (F.col("sum_c") / 100.0 / F.col("n")).alias("avg_value"),
+        "min_value", "max_value", "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# YSB — filter → project → broadcast static join → tumbling cnt/max
+# (ref: YahooBenchmark/YSB.cpp:153-202 — WHERE event_type==0 → join
+#  campaigns → cnt, max(ts) GROUP BY campaign_id, window(100,100))
+# ---------------------------------------------------------------------------
+@query(
+    "ysb_static_join_tumbling",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, c_mktsegment,
+           count(*) AS n, max(epoch_us(ts)) AS max_ts_us
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type = 'view'
+    GROUP BY 1, 2
+    """,
+)
+def ysb(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    stream = (
+        t["events"].filter(F.col("event_type") == "view")
+        .select("ts", "user_id")  # projection (ref Projection.h:14-71)
+    )
+    dim = t["customer"].select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    joined = static_hash_join(stream, dim, "user_id")
+    return windowed_agg(
+        joined.withColumn("ts_us", F.unix_micros("ts")),
+        "ts", 3600, 3600,
+        [("count", None, "n"), ("max", "ts_us", "max_ts_us")],
+        ["c_mktsegment"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# NBQ5 — tumbling count per key → post-window argmax (ties kept)
+# (ref: Nexmark/NBQ5.cpp:20-44,73-103 — bid count per auction, window(60,1),
+#  post-op emits auction(s) with the max count)
+# ---------------------------------------------------------------------------
+@query(
+    "nbq5_post_window_argmax",
+    """
+    WITH c AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n FROM c
+    QUALIFY n = max(n) OVER (PARTITION BY window_start)
+    """,
+)
+def nbq5(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    counts = windowed_agg(ev, "ts", 3600, 3600, [("count", None, "n")], ["user_id"])
+    return post_window_argmax(counts, ["window_start"], "user_id", "n", keep_ties=True)
+
+
+# ---------------------------------------------------------------------------
+# LRB2 — count-based (ROW_BASED) tumbling window
+# (ref: LRB2.cpp:22-111 — cnt GROUP BY keys, row window 1024/1024;
+#  WindowDefinition.h:13 ROW_BASED measure)
+# ---------------------------------------------------------------------------
+@query(
+    "lrb2_row_window_count",
+    f"""
+    WITH e AS (SELECT ts, event_id, event_type, {CENTS} AS value_c FROM events),
+    idx AS (
+      SELECT event_type, value_c,
+             (row_number() OVER (ORDER BY ts, event_id) - 1) // 1000 AS window_id
+      FROM e
+    )
+    SELECT window_id, event_type, count(*) AS n,
+           CAST(sum(value_c) AS BIGINT) / 100.0 AS sum_value
+    FROM idx GROUP BY 1, 2
+    """,
+)
+def lrb2(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    r = row_window_agg(
+        ev, ["ts", "event_id"], 1000, None,
+        [("count", None, "n"), ("sum", "value_c", "sum_c")],
+        ["event_type"],
+    )
+    return r.select(
+        "window_id", "event_type", "n", (F.col("sum_c") / 100.0).alias("sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill — empty-window emission (ref OperatorKernel.h:3830-3988)
+# ---------------------------------------------------------------------------
+@query(
+    "gapfill_tumbling_count",
+    f"""
+    WITH e AS (SELECT ts, {CENTS} AS value_c FROM events),
+    b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM e),
+    spine AS (
+      SELECT unnest(generate_series(
+        ((lo - 21600000000) // 21600000000 + 1) * 21600,
+        (hi // 21600000000) * 21600, 21600)) AS window_start
+      FROM b
+    ),
+    agg AS (
+      SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start, count(*) AS n,
+             CAST(sum(value_c) AS BIGINT) / 100.0 AS sum_value
+      FROM e GROUP BY 1
+    )
+    SELECT s.window_start, coalesce(a.n, 0) AS n, a.sum_value
+    FROM spine s LEFT JOIN agg a USING (window_start)
+    """,
+)
+def gapfill(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    aggs = [("count", None, "n"), ("sum", "value_c", "sum_c")]
+    agg = windowed_agg(ev, "ts", 21600, 21600, aggs).select(
+        "window_start", "n", (F.col("sum_c") / 100.0).alias("sum_value")
+    )
+    spine = window_spine(ev, "ts", 21600, 21600)
+    return gap_filled(agg, spine, [("count", None, "n"), ("sum", "value_c", "sum_value")])
+
+
+# ---------------------------------------------------------------------------
+# Theta join — time-banded inequality join
+# (ref: ThetaJoin.h:18-819 — symmetric windowed join, arbitrary predicate)
+# ---------------------------------------------------------------------------
+@query(
+    "theta_join_band_count",
+    """
+    SELECT l.event_id AS err_id, count(*) AS n_pairs, max(r.value) AS max_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON epoch_us(r.ts) >= epoch_us(l.ts) - 300000000
+     AND epoch_us(r.ts) <= epoch_us(l.ts) + 300000000
+     AND r.value > l.value
+    GROUP BY 1
+    """,
+)
+def theta(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    l = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+    )
+    joined = theta_join(
+        l, r,
+        predicate=F.col("r_value") > F.col("l_value"),
+        left_ts="l_ts", right_ts="r_ts", max_delta_sec=300,
+    )
+    return joined.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("r_value").alias("max_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational coverage (SURVEY §2.8 — surface the reference lacks
+# but a complete engine needs; Spark supplies natively)
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q1_pricing_summary",
+    """
+    WITH e AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qty_c) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(sum(price_c) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum(price_c * (100 - disc_c)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(sum(disc_c) AS BIGINT) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM e GROUP BY 1, 2
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    e = li.select(
+        "l_returnflag", "l_linestatus",
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_discount").alias("disc_c"),
+    )
+    return e.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum("qty_c") / 100.0).alias("sum_qty"),
+        (F.sum("price_c") / 100.0).alias("sum_base_price"),
+        (F.sum(F.col("price_c") * (100 - F.col("disc_c"))) / 10000.0).alias("sum_disc_price"),
+        (F.sum("disc_c") / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_top_revenue",
+    """
+    SELECT o_orderkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))) / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )

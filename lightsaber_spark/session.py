@@ -1,0 +1,97 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine hand-tunes batch/buffer sizes per query
+(BASELINE.md; reference scripts/lightsaber-bench/run-benchmarks-lightsaber.sh).
+On Spark the equivalent envelope is AQE + sane shuffle-partition and
+file-split sizing; everything else (fusion, codegen, partial agg) is
+built into Catalyst/Tungsten (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lightsaber-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    Defaults are chosen so the SAME code runs on ``local[N]`` for tests
+    and on a multi-executor cluster at 100 TB:
+
+    - AQE on (runtime shuffle coalescing, skew-join splitting) — replaces
+      the reference's hand-tuned per-query thread/batch configs.
+    - UTC session timezone so event-time epoch arithmetic is
+      deterministic across engines (DuckDB oracle parity).
+    - Arrow enabled for the (rare) pandas-UDF paths.
+    - 128 MB file split target: large enough to amortize task overhead
+      at 100 TB (≈800k tasks), small enough to parallelize local tests.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+# testdata columns stored as parquet timestamp[ns]; with nanosAsLong they
+# read as bigint nanoseconds and are normalized back to TimestampType.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs this engine depends on. Needed when
+    the SparkSession is provided by a host (e.g. the verify driver)
+    rather than built by :func:`get_spark`."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the TESTDATA parquet tables as a dict of DataFrames and
+    register them as temp views (mirrors the driver's DuckDB view setup).
+    Timestamp[ns] columns are normalized to TimestampType (µs, matching
+    DuckDB's read of the same files)."""
+    from pyspark.sql import functions as F
+
+    configure_runtime(spark)
+    names = names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    out = {}
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for c in _NANOS_TS_COLS.get(n, []):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then
+compares row count, column names, and order-insensitive values
+(floats rounded). Usage::
+
+    python scripts/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # round to 6 significant-ish decimals the way a tolerant hash would
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from lightsaber_spark import get_spark
+
+    spark = get_spark(app_name="check-parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, checked, weak = [], 0, []
+
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"spark error: {ex}"))
+            print(f"[FAIL] {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            weak.append(name)
+            print(f"[weak] {name}: {len(srows)} rows (no oracle, rows-only)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {ex}"))
+            print(f"[FAIL] {name}: duckdb error: {ex}")
+            continue
+
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            a, b = _normalize(srows, scols), _normalize(drows, dcols)
+            if a != b:
+                bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+                problems.append(f"values differ at sorted row {bad}: spark={a[bad]} duck={b[bad]}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"[FAIL] {name}: {'; '.join(problems)}")
+        else:
+            checked += 1
+            print(f"[ ok ] {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{checked} strong-checked ok, {len(weak)} weak (rows-only), "
+        f"{len(failures)} failed, sf_dir={sf_dir}"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
