@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the ``noop`` sink (full execution,
+no driver-side collect — mirrors how a cluster job would be measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from lightsaber_spark import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="lightsaber-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not session startup
+    from lightsaber_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+
+    t_all = time.time()
+    for name, fn in queries.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# bench error in {name}: {ex}", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
