@@ -1,0 +1,106 @@
+"""Structured Streaming layer.
+
+The reference is a streaming engine end-to-end (SPSC ring ingest →
+fused kernels → result forwarding, SURVEY.md §3.2); its batch behavior
+is just a replayed stream. Here the mapping inverts: the batch
+DataFrame plans ARE the semantics, and this module re-runs the same
+plans as Structured Streaming:
+
+  reference                              spark
+  ---------                              -----
+  in-order stream assumption             withWatermark(ts, "0 seconds")
+  (README.md:16, no late-data handling)  (tight watermark; late = drop)
+  circular-buffer replay driver          readStream file source /
+  (BenchmarkQuery.h:144-240)             rate source / availableNow
+  exactly-once via Scabbard checkpoints  checkpointLocation (built-in)
+  (src/checkpoint/…)
+  backpressure (ring full → retry)       maxFilesPerTrigger / rate limits
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from lightsaber_spark.operators.window_agg import AggSpec, _agg_exprs
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """File-based stream source (the batch fixtures replayed as a
+    stream — the Spark analog of the reference's dataset replay driver,
+    ``test/benchmarks/applications/BenchmarkQuery.h:144-240``)."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def streaming_windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    size_sec: int,
+    slide_sec: int | None,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = (),
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """The streaming twin of ``operators.windowed_agg``.
+
+    Uses native ``F.window`` (required for streaming state GC — the
+    state store needs the window column to expire state by watermark).
+    The ``0 seconds`` default watermark encodes the reference's
+    in-order-stream assumption (``README.md:16``): any late row is
+    dropped, exactly as the reference would never see one.
+
+    Output schema matches the batch operator (window_start bigint
+    seconds) so streaming-vs-batch equivalence tests can diff results
+    directly.
+    """
+    slide_sec = slide_sec or size_sec
+    wm = stream.withWatermark(ts_col, watermark)
+    w = (
+        F.window(F.col(ts_col), f"{size_sec} seconds")
+        if slide_sec == size_sec
+        else F.window(F.col(ts_col), f"{size_sec} seconds", f"{slide_sec} seconds")
+    )
+    out = wm.groupBy(w.alias("_w"), *keys).agg(*_agg_exprs(aggs))
+    return out.select(
+        F.unix_micros(F.col("_w.start")).cast("bigint").alias("window_start_us"),
+        *keys,
+        *[F.col(a) for _, _, a in aggs],
+    ).withColumn("window_start", (F.col("window_start_us") / 1_000_000).cast("bigint")) \
+     .drop("window_start_us")
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    table_name: str = "stream_result",
+) -> DataFrame:
+    """Run a streaming query to completion over all currently-available
+    input (deterministic test trigger), collect via the memory sink,
+    and return the result as a DataFrame.
+
+    ``checkpoint_dir`` gives Scabbard-style exactly-once restart
+    semantics for free (reference: FileBackedCheckpointCoordinator,
+    ``src/checkpoint/FileBackedCheckpointCoordinator.h:34-42`` — ~2000
+    lines of C++ replaced by one option)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table_name)

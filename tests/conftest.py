@@ -1,0 +1,64 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("LSSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from lightsaber_spark import get_spark
+
+    s = get_spark(app_name="lightsaber-tests", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    from lightsaber_spark.session import load_tables
+
+    return load_tables(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def events(tables):
+    return tables["events"].cache()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def rows_match(spark_rows, duck_rows, float_tol=1e-9):
+    """Order-insensitive comparison with float tolerance."""
+    import math
+
+    def key(r):
+        return tuple((x is None, str(x)) for x in r)
+
+    a = sorted([tuple(r) for r in spark_rows], key=key)
+    b = sorted([tuple(r) for r in duck_rows], key=key)
+    if len(a) != len(b):
+        return False, f"rowcount {len(a)} vs {len(b)}"
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                if not math.isclose(x, y, rel_tol=float_tol, abs_tol=float_tol):
+                    return False, f"row {i}: {ra} vs {rb}"
+            elif x != y:
+                return False, f"row {i}: {ra} vs {rb}"
+    return True, ""

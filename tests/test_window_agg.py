@@ -1,0 +1,78 @@
+"""Windowed-aggregation matrix vs DuckDB (the reference's §5 semantics:
+{tumbling, sliding} × {grouped, global} × {sum,cnt,avg,min,max}), plus
+pane-path equivalence and gap fill."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightsaber_spark.operators import windowed_agg, window_spine
+from lightsaber_spark.operators.window_agg import gap_filled
+from tests.conftest import rows_match
+
+
+def test_tumbling_grouped_all_aggs(events, duck):
+    r = windowed_agg(events, "ts", 3600, 3600, [
+        ("sum", "value", "s"), ("count", None, "n"),
+        ("min", "value", "lo"), ("max", "value", "hi"),
+    ], ["event_type"])
+    d = duck.execute("""
+        SELECT (epoch_us(ts) // 3600000000) * 3600, event_type,
+               sum(value), count(*), min(value), max(value)
+        FROM events GROUP BY 1, 2
+    """).fetchall()
+    ok, msg = rows_match([tuple(x) for x in r.collect()], d, float_tol=1e-6)
+    assert ok, msg
+
+
+@pytest.mark.parametrize("use_panes", [True, False])
+def test_sliding_global(events, duck, use_panes):
+    r = windowed_agg(events, "ts", 1800, 600,
+                     [("count", None, "n"), ("min", "value", "lo")],
+                     use_panes=use_panes)
+    d = duck.execute("""
+        WITH x AS (
+          SELECT *, unnest(generate_series(
+            ((epoch_us(ts) - 1800000000) // 600000000 + 1) * 600,
+            (epoch_us(ts) // 600000000) * 600, 600)) AS ws
+          FROM events)
+        SELECT ws, count(*), min(value) FROM x GROUP BY 1
+    """).fetchall()
+    ok, msg = rows_match([tuple(x) for x in r.collect()], d, float_tol=1e-6)
+    assert ok, msg
+
+
+def test_sliding_nondivisible_slide(events):
+    """size not a multiple of slide (panes = gcd) — pane path must equal
+    the naive per-row path."""
+    a = windowed_agg(events, "ts", 900, 600, [("count", None, "n")], use_panes=True)
+    b = windowed_agg(events, "ts", 900, 600, [("count", None, "n")], use_panes=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_numeric_epoch_ts_column(events):
+    """Reference model: attribute 0 is a long epoch timestamp."""
+    ev = events.withColumn("t_sec", (F.unix_micros("ts") / 1e6))
+    a = windowed_agg(ev, "t_sec", 3600, 3600, [("count", None, "n")])
+    b = windowed_agg(events, "ts", 3600, 3600, [("count", None, "n")])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_gap_fill_empty_windows(events):
+    aggs = [("count", None, "n")]
+    agg = windowed_agg(events, "ts", 21600, 21600, aggs)
+    spine = window_spine(events, "ts", 21600, 21600)
+    filled = gap_filled(agg, spine, aggs)
+    n_spine = spine.count()
+    assert filled.count() == n_spine
+    assert filled.filter(F.col("n") == 0).count() == n_spine - agg.count()
+
+
+def test_multi_key_grouping(events, duck):
+    r = windowed_agg(events, "ts", 7200, 7200, [("sum", "value", "s")],
+                     ["user_id", "event_type"])
+    d = duck.execute("""
+        SELECT (epoch_us(ts) // 7200000000) * 7200, user_id, event_type, sum(value)
+        FROM events GROUP BY 1, 2, 3
+    """).fetchall()
+    ok, msg = rows_match([tuple(x) for x in r.collect()], d, float_tol=1e-6)
+    assert ok, msg
