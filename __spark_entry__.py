@@ -21,12 +21,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import lightsaber_spark.pipeline_queries  # noqa: F401 — registers entries
     from lightsaber_spark.queries import SPARK_QUERIES
 
     return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import lightsaber_spark.pipeline_queries  # noqa: F401 — registers entries
     from lightsaber_spark.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -1,0 +1,316 @@
+"""Deduplication for large-scale training-data pipelines.
+
+Beyond-parity surface: exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — the standard dedup ladder for pretraining
+corpora. Everything is DataFrame-native (no Python UDFs) and built on
+cross-engine-deterministic hashing (md5-hex→bigint), so each op has an
+exact DuckDB oracle.
+
+Scale design (100 TB):
+- exact dedup: one hash-groupBy on a 128-bit digest — the only full
+  shuffle, map-side combinable.
+- n-gram Jaccard / MinHash verification: inverted-index shingle join
+  with a document-frequency cutoff (`max_doc_freq`) to drop stop
+  shingles — without it one hot shingle produces O(n²) candidate pairs.
+- MinHash LSH: signatures are one aggregation; banding turns all-pairs
+  similarity into an equi-join on (band, bucket).
+- SimHash: 4 bands × 15 bits ⇒ pigeonhole-exact retrieval for hamming
+  distance ≤ 3 via equi-joins, no pairwise scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lightsaber_spark.functions.text import normalize_text, tokens
+
+# 2^61 - 1 (Mersenne prime) for minhash permutations; shingle hashes are
+# truncated to 30 bits so a*x+b stays < 2^63 (no overflow under ANSI mode)
+MERSENNE_61 = (1 << 61) - 1
+X_BITS = 1 << 30
+
+
+def _lcg_constants(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) minhash permutation constants — embedded
+    identically into the Spark plan and the oracle SQL."""
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 10) % (X_BITS - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 10) % MERSENNE_61
+        out.append((a, b))
+    return out
+
+
+def shingle_hash(c: Column) -> Column:
+    """60-bit deterministic hash of a string (md5 hex prefix → bigint);
+    DuckDB twin: ``('0x'||substr(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of the normalized text (k-grams over
+    word tokens — the unit of Jaccard/MinHash similarity)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text: one row per
+    duplicated digest with the representative (min id) and member count.
+    At scale: single map-side-combinable aggregation."""
+    digest = F.md5(normalize_text(F.col(text_col))).alias("digest")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def _shingle_index(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_doc_freq: int | None
+) -> DataFrame:
+    """Exploded (id, shingle) inverted index with optional stop-shingle
+    removal (doc-frequency cutoff — the scalability valve)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    )
+    if max_doc_freq is not None:
+        freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(freq.filter(F.col("_df") <= max_doc_freq).select("_sh"), "_sh")
+    return ex
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs with k-word-shingle Jaccard >= threshold, via the
+    inverted-index join (never an all-pairs scan). The threshold test is
+    exact integer arithmetic: |A∩B| >= τ(|A|+|B|-|A∩B|) evaluated as
+    100000·i >= τ·100000·(na+nb-i)."""
+    ex = _shingle_index(df, text_col, id_col, k, max_doc_freq)
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    tau_scaled = int(round(threshold * 100000))
+    out = (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
+        .filter(
+            F.col("n_common") * 100000
+            >= F.lit(tau_scaled) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b",
+        (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    n_hashes: int = 32,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: sig[j] = min over shingles s of
+    (a_j·h30(s) + b_j) mod (2^61−1). One explode + one aggregation;
+    constants are reproducible from the seed (same in the oracle)."""
+    consts = _lcg_constants(n_hashes, seed)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+    ).withColumn("_x", shingle_hash(F.col("_sh")) % X_BITS)
+    mins = [
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % MERSENNE_61).alias(f"h{j}")
+        for j, (a, b) in enumerate(consts)
+    ]
+    return ex.groupBy("_id").agg(*mins).withColumnRenamed("_id", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures → bucket equi-join →
+    candidate pairs → exact Jaccard verification (>= threshold).
+
+    bands·rows = n_hashes; a pair collides in a band iff all its rows
+    match, so candidate generation is equi-joins only — the 100 TB path.
+    Verification reuses the exact inverted-index Jaccard, restricted to
+    candidates (semi-join), so output = (LSH recall) ∩ (true >= τ).
+    """
+    if n_hashes % bands != 0:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    sig = minhash_signature(df, n_hashes, k, text_col, id_col, seed)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[F.col(f"h{b*r+j}") for j in range(r)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("_id"), *band_cols)
+    stacked = banded.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    cands = (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, threshold, k, text_col, id_col, max_doc_freq)
+    return exact.join(cands, ["id_a", "id_b"])
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash over word tokens (term-frequency weighted): bit i
+    of the fingerprint is the sign of Σ_tokens (2·bit_i(h(token)) − 1).
+
+    Implemented as explode(tokens) × explode(bits) → one aggregation —
+    shuffle volume is tokens×bits but all map-side combinable."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn("_h", shingle_hash(F.col("_tok")))
+    bit = ex.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("_bit"),
+        F.col("_h"),
+    ).withColumn(
+        "_sign",
+        F.expr("(shiftright(_h, _bit) & 1) * 2 - 1"),
+    )
+    return (
+        bit.groupBy("_id", "_bit")
+        .agg(F.sum("_sign").alias("_s"))
+        .withColumn(
+            "_bitval",
+            F.when(F.col("_s") > 0, F.expr("shiftleft(1L, _bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_bitval").alias("simhash"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Retrieval is *exact* by pigeonhole: with ``bands`` disjoint bit
+    blocks and max_hamming < bands, any qualifying pair agrees on at
+    least one block — so candidates come from equi-joins on block
+    values, then the true hamming distance filters. No pairwise scan.
+    """
+    if max_hamming >= bands:
+        raise ValueError("need max_hamming < bands for exact pigeonhole retrieval")
+    width = bits // bands
+    sh = simhash(df, text_col, id_col, bits)
+    mask = (1 << width) - 1
+    blocks = sh.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bv"),
+    ).select("_id", "simhash", "bv.blk", "bv.val")
+    cands = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cands.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs: exact integer-scaled cosine >= τ.
+
+    Elements are scaled to integers (×10^6) so dot products and norms
+    are order-independent exact bigints; only the final cos division is
+    floating point (deterministic: same operands). Baseline is the
+    all-pairs form — at scale route candidates through
+    ``similarity.hyperplane_lsh_topk`` buckets first."""
+    from lightsaber_spark.functions.similarity import _prep, _scaled_dot
+
+    a = _prep(df, id_col, vec_col, "id_a").withColumnsRenamed(
+        {"_sv": "_va", "_norm": "_na"}
+    )
+    b = _prep(df, id_col, vec_col, "id_b")
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn(
+        "cosine", _scaled_dot(F.col("_va"), F.col("_sv")) / (F.col("_na") * F.col("_norm"))
+    )
+    return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

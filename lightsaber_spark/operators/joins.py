@@ -114,12 +114,10 @@ def asof_join(
     lcols = left.columns
     rcols = [c for c in right.columns if c not in by]
 
-    lt = left.withColumn("_t", F.col(on_ts_left).cast("double")).withColumn(
-        "_side", F.lit(1)
-    )
-    rt = right.withColumn("_t", F.col(on_ts_right).cast("double")).withColumn(
-        "_side", F.lit(0)
-    )
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    lt = left.withColumn("_t", epoch_us(left, on_ts_left)).withColumn("_side", F.lit(1))
+    rt = right.withColumn("_t", epoch_us(right, on_ts_right)).withColumn("_side", F.lit(0))
     for c in rcols:
         lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
     for c in lcols:
@@ -147,7 +145,8 @@ def asof_join(
 
     out = carried.filter(F.col("_side") == 1)
     if tolerance_sec is not None:
-        within = F.abs(F.col("_t") - F.col("_c_t")) <= tolerance_sec
+        # _t is integer microseconds (epoch_us)
+        within = F.abs(F.col("_t") - F.col("_c_t")) <= int(tolerance_sec * 1_000_000)
         for c in rcols:
             out = out.withColumn(f"_c_{c}", F.when(within, F.col(f"_c_{c}")))
     sel = [F.col(c) for c in lcols] + [F.col(f"_c_{c}").alias(c) for c in rcols]

@@ -74,7 +74,10 @@ def epoch_us(df: DataFrame, ts_col: str) -> Column:
     """
     dt = df.schema[ts_col].dataType
     c = F.col(ts_col)
-    if isinstance(dt, (TimestampType, TimestampNTZType)):
+    if isinstance(dt, TimestampNTZType):
+        # NTZ → LTZ under the (UTC) session timezone, then exact µs
+        return F.unix_micros(c.cast("timestamp"))
+    if isinstance(dt, TimestampType):
         return F.unix_micros(c)
     if isinstance(dt, DateType):
         return F.unix_micros(c.cast("timestamp"))

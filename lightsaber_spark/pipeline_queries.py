@@ -1,0 +1,405 @@
+"""Pipeline query catalog — dedup / similarity / text / multimodal /
+session / as-of ops as driver-checkable queries with DuckDB oracles.
+
+These are the beyond-parity operators a 100 TB training-data pipeline
+needs (BASELINE.json north star). Implementations live in
+``lightsaber_spark.functions``; this module binds each to the testdata
+``documents`` / ``embeddings`` / ``events`` / ``orders`` tables and
+generates the equivalent DuckDB SQL — including for MinHash-LSH and
+hyperplane-LSH, whose hashing is deliberately md5-based so both engines
+reproduce identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lightsaber_spark.session import load_tables
+from lightsaber_spark.queries import query
+from lightsaber_spark.functions.text import (
+    BPE_RE,
+    LANG_PATTERNS,
+    STOPWORDS,
+    WORD_RE,
+    doc_fingerprint,
+    language_id,
+    text_stats,
+    token_count,
+)
+from lightsaber_spark.functions.dedup import (
+    MERSENNE_61,
+    X_BITS,
+    _lcg_constants,
+    embedding_neardup_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from lightsaber_spark.functions.similarity import (
+    SCALE,
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+from lightsaber_spark.functions.multimodal import (
+    decode_media,
+    documents_as_media,
+    extract_features,
+)
+from lightsaber_spark.operators import asof_join
+from lightsaber_spark.streaming.sessions import session_window_agg
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _embs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# shared oracle fragments ----------------------------------------------------
+TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+SHINGLES = (
+    "list_distinct(list_transform(range(greatest(len(t) - 2, 0)), "
+    "i -> array_to_string(t[i+1:i+3], ' ')))"
+)
+H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+_JACCARD_CTE = f"""
+  toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+  sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM toks),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  jacc AS (
+    SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common * 100000 >= 50000 * (sa.n + sb.n - n_common)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats_per_doc",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
+             AS punct_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+               * 1.0 / len(toks) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+               * 1.0 / len(toks) ELSE 0.0 END AS mean_token_len
+    FROM t
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    d = text_stats(_docs(spark, sf_dir))
+    return d.select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len")
+
+
+@query(
+    "text_langid",
+    f"""
+    SELECT doc_id, (list_aggregate([
+      {", ".join(
+        "{'c': len(regexp_extract_all(lower(text), '" + pat.replace("'", "''") + "')), 'l': '" + lang + "'}"
+        for lang, pat in sorted(LANG_PATTERNS.items())
+      )}
+    ], 'max')).l AS lang_pred
+    FROM documents
+    """,
+)
+def q_langid(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, {H60.format(x=NORM)} AS fingerprint FROM documents
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "text_token_count_by_source",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT)
+             AS total_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"), BPE_RE)).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication ladder
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({NORM}) AS digest, min(doc_id) AS representative,
+           count(*) AS n_members
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"WITH {_JACCARD_CTE} SELECT * FROM jacc",
+)
+def q_dedup_ngram(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+
+
+def _minhash_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    consts = _lcg_constants(n_hashes, seed)
+    r = n_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}" for j, (a, b) in enumerate(consts)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
+        for b in range(bands)
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded" for b in range(bands)
+    )
+    return f"""
+    WITH {_JACCARD_CTE},
+    xs AS (SELECT doc_id, ({H60.format(x='s')}) % {X_BITS} AS x FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM xs GROUP BY 1),
+    banded AS (SELECT doc_id,
+           {band_cols}
+           FROM sig),
+    stacked AS ({stacked}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM stacked a JOIN stacked b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT j.* FROM jacc j JOIN cand c USING (id_a, id_b)
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, n_hashes=32, bands=8, k=3
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH tk AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, {H60.format(x='tok')} AS h FROM tk),
+    bits AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS s
+             FROM h, range(60) t(b) GROUP BY 1, 2),
+    sh AS (SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS BIGINT)
+             AS simhash
+           FROM bits GROUP BY 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+# x::DOUBLE before scaling: DuckDB would otherwise multiply in float32
+# while Spark computes in double, flipping round() on some elements
+_INT_DOT = (
+    "list_sum(list_transform({a}, (x,i) -> "
+    f"round(x::DOUBLE * {SCALE})::BIGINT * round({{b}}[i]::DOUBLE * {SCALE})::BIGINT))"
+)
+_COS = (
+    f"{_INT_DOT.format(a='{a}', b='{b}')} / "
+    f"(sqrt({_INT_DOT.format(a='{a}', b='{a}')}) * sqrt({_INT_DOT.format(a='{b}', b='{b}')}))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a='a.embedding', b='b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.35
+    """,
+)
+def q_dedup_embedding(spark, sf_dir):
+    return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@query(
+    "sim_brute_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS vq FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a='vq', b='c.embedding')} AS cosine
+      FROM q JOIN embeddings c ON query_id != c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_sim_brute(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    out = brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _hyperplane_sig_sql(vec: str, n_planes: int = 8, salt: str = "lsh") -> str:
+    bits = []
+    for p in range(n_planes):
+        w = (
+            f"((('0x' || substr(md5('{salt}_{p}_' || (i - 1)), 1, 15))::BIGINT % 2) * 2 - 1)"
+        )
+        dot = f"list_sum(list_transform({vec}, (x,i) -> round(x::DOUBLE * {SCALE})::BIGINT * {w}))"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@query(
+    "sim_lsh_topk",
+    f"""
+    WITH sigs AS (SELECT vec_id, embedding, {_hyperplane_sig_sql('embedding')} AS sig
+                  FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS vq, sig FROM sigs WHERE vec_id < 50),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a='vq', b='c.embedding')} AS cosine
+      FROM q JOIN sigs c ON q.sig = c.sig AND query_id != c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_sim_lsh(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    out = hyperplane_lsh_topk(e.filter(F.col("vec_id") < 50), e, k=5, n_planes=8, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas; deterministic stub codec)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) // 640) % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    return decode_media(documents_as_media(_docs(spark, sf_dir)))
+
+
+@query(
+    "multimodal_features",
+    f"""
+    SELECT doc_id AS media_id,
+           {", ".join(
+               f"('0x' || substr(md5(text), {2*i+1}, 2))::BIGINT AS f{i}" for i in range(16)
+           )}
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    out = extract_features(documents_as_media(_docs(spark, sf_dir)))
+    return out.select("media_id", *[F.col(f"feature.f{i}").alias(f"f{i}") for i in range(16)])
+
+
+# ---------------------------------------------------------------------------
+# Session windows (executable SESSION type — dead enum in the reference,
+# WindowDefinition.h:14,55-58) and as-of join
+# ---------------------------------------------------------------------------
+@query(
+    "session_windows_per_user",
+    """
+    WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    d AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d)
+    SELECT user_id, min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us, count(*) AS n
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_sessions(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    out = session_window_agg(ev, "ts", 1800, [("count", None, "n")], ["user_id"])
+    return out.select("user_id", "session_start_us", "session_end_us", "n")
+
+
+@query(
+    "asof_event_last_order",
+    """
+    SELECT e.event_id, epoch_us(o.o_orderdate) AS last_order_us
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def q_asof(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("orders", "events"))
+    left = t["events"].select("event_id", F.col("user_id").alias("cust"), "ts")
+    right = t["orders"].select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderdate",
+        F.col("o_orderdate").cast("timestamp").alias("_od"),
+    ).withColumn("last_order_us", F.unix_micros("_od")).drop("_od")
+    out = asof_join(left, right, "ts", "o_orderdate", by=["cust"], direction="backward")
+    return out.filter(F.col("last_order_us").isNotNull()).select(
+        "event_id", "last_order_us"
+    )
