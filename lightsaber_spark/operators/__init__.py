@@ -1,5 +1,9 @@
 from lightsaber_spark.operators.window_agg import windowed_agg, window_spine
-from lightsaber_spark.operators.row_window import row_window_agg, with_global_row_index
+from lightsaber_spark.operators.row_window import (
+    keyed_row_window_agg,
+    row_window_agg,
+    with_global_row_index,
+)
 from lightsaber_spark.operators.joins import static_hash_join, theta_join, asof_join, range_join
 from lightsaber_spark.operators.topk import post_window_argmax, window_topk
 

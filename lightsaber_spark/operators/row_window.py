@@ -112,3 +112,34 @@ def row_window_agg(
         .agg(*_agg_exprs(aggs))
         .select("window_id", *keys, *[F.col(a) for _, _, a in aggs])
     )
+
+
+def keyed_row_window_agg(
+    df: DataFrame,
+    order_by: Sequence[str],
+    size: int,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str],
+) -> DataFrame:
+    """Tumbling count windows counted **independently per key** — the
+    scalable row-window shape (each key's stream is its own in-order
+    sequence; state shards by key). Batch twin of
+    ``streaming.row_windows.streaming_row_window_agg(keys=...)``.
+
+    Per-key ``row_number`` partitions by key — no global sort, no
+    two-pass index needed; skew bounded by the hottest key.
+
+    Output: ``*keys``, ``window_id`` (0-based per key), aggregates.
+    """
+    _check_aggs(aggs)
+    keys = list(keys)
+    rank = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    )
+    idx = df.withColumn("_rk", rank)
+    win = (F.floor((F.col("_rk") - 1) / size)).cast("bigint").alias("window_id")
+    return (
+        idx.groupBy(*keys, win)
+        .agg(*_agg_exprs(aggs))
+        .select(*keys, "window_id", *[F.col(a) for _, _, a in aggs])
+    )

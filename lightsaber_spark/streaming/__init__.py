@@ -4,10 +4,12 @@ from lightsaber_spark.streaming.stream import (
     streaming_windowed_agg,
     run_available_now,
 )
+from lightsaber_spark.streaming.row_windows import streaming_row_window_agg
 
 __all__ = [
     "session_window_agg",
     "read_stream",
     "streaming_windowed_agg",
     "run_available_now",
+    "streaming_row_window_agg",
 ]

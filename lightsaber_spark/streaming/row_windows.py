@@ -1,0 +1,175 @@
+"""Count-based (ROW_BASED) windows in Structured Streaming.
+
+The reference's row windows count tuples, not time
+(``src/utils/WindowDefinition.h:13`` ROW_BASED measure; LRB2's stage-2
+1024/1024 row window, ``LRB2.cpp:22-111``). Spark has no native
+streaming count-window, so this is the one operator that needs a custom
+stateful implementation: ``applyInPandasWithState`` keyed state holding
+the open window's partial aggregates (SURVEY.md §7 hard part #1).
+
+Scale model
+-----------
+Row windows are inherently *sequential in arrival order*. The reference
+is single-node, so "arrival order" is global; on a cluster a global row
+counter is a 1-partition bottleneck by definition. Two modes:
+
+* ``keys=(...)`` (recommended): independent row windows **per key** —
+  each key's rows are counted in its own arrival order; state and
+  compute shard across executors by key. This is the scalable shape.
+* ``keys=()``: global row windows — all rows flow through one state
+  key. Correct, but single-task; only for reference-parity workloads
+  (the reference itself is single-node, so this matches its envelope).
+
+Within each micro-batch, rows are sorted by ``order_cols`` before
+counting; across micro-batches, arrival order is batch order (the
+reference assumes in-order input, ``README.md:16``).
+
+Only COMPLETE windows are emitted (the open trailing window stays in
+state — same as the reference, which emits a row window when the
+tuple count reaches ``size``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from lightsaber_spark.operators.window_agg import AggSpec, _check_aggs
+
+_GLOBAL_KEY = "_global"
+
+
+def streaming_row_window_agg(
+    stream: DataFrame,
+    order_cols: Sequence[str],
+    window_rows: int,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming twin of ``operators.row_window_agg`` (complete windows
+    only). Output: ``*keys``, ``window_id`` (0-based per key), one
+    column per agg spec.
+
+    Supported aggs: sum/count/min/max/avg — the reference set
+    (``AggregationType.h:12``). Partials kept in state are
+    (sum, count, min, max) per agg column: all five compose from them
+    across micro-batches.
+    """
+    import pandas as pd
+
+    _check_aggs(aggs)
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    in_fields = {f.name: f for f in stream.schema.fields}
+    agg_cols = sorted({c for _f, c, _a in aggs if c is not None})
+
+    key_fields = (
+        [in_fields[k] for k in keys]
+        if keys
+        else [StructField(_GLOBAL_KEY, LongType())]
+    )
+    out_schema = StructType(
+        key_fields
+        + [StructField("window_id", LongType())]
+        + [
+            StructField(
+                alias,
+                LongType()
+                if func == "count"
+                else DoubleType()
+                if func in ("avg", "sum")
+                else in_fields[col].dataType,
+            )
+            for func, col, alias in aggs
+        ]
+    )
+    # state: rows already in open window, open window id, then per agg
+    # column: sum(double), count, min(double), max(double)
+    state_fields = [StructField("n_open", LongType()), StructField("wid", LongType())]
+    for c in agg_cols:
+        state_fields += [
+            StructField(f"sum_{c}", DoubleType()),
+            StructField(f"cnt_{c}", LongType()),
+            StructField(f"min_{c}", DoubleType()),
+            StructField(f"max_{c}", DoubleType()),
+        ]
+    state_schema = StructType(state_fields)
+
+    n_state_per_col = 4
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [0, 0] + [0.0, 0, None, None] * len(agg_cols)
+
+        def col_slot(ci):
+            return 2 + ci * n_state_per_col
+
+        out_rows = []
+
+        def close_window():
+            row = list(key) + [st[1]]
+            for func, col, _alias in aggs:
+                if col is None:
+                    row.append(int(st[0]))
+                    continue
+                s = col_slot(agg_cols.index(col))
+                if func == "sum":
+                    row.append(st[s])
+                elif func == "count":
+                    row.append(int(st[s + 1]))
+                elif func == "avg":
+                    row.append(st[s] / st[s + 1] if st[s + 1] else None)
+                elif func == "min":
+                    row.append(st[s + 2])
+                elif func == "max":
+                    row.append(st[s + 3])
+            out_rows.append(row)
+            st[0] = 0
+            st[1] += 1
+            for ci in range(len(agg_cols)):
+                s = col_slot(ci)
+                st[s], st[s + 1], st[s + 2], st[s + 3] = 0.0, 0, None, None
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            vals = {c: pdf[c].to_numpy() for c in agg_cols}
+            n = len(pdf)
+            i = 0
+            while i < n:
+                take = min(window_rows - st[0], n - i)
+                for ci, c in enumerate(agg_cols):
+                    chunk = vals[c][i : i + take]
+                    s = col_slot(ci)
+                    st[s] += float(chunk.sum())
+                    st[s + 1] += int(len(chunk))
+                    mn, mx = float(chunk.min()), float(chunk.max())
+                    st[s + 2] = mn if st[s + 2] is None else min(st[s + 2], mn)
+                    st[s + 3] = mx if st[s + 3] is None else max(st[s + 3], mx)
+                st[0] += take
+                i += take
+                if st[0] == window_rows:
+                    close_window()
+
+        state.update(tuple(st))
+        cols = [f.name for f in out_schema.fields]
+        yield pd.DataFrame(out_rows, columns=cols)
+
+    grouped = (
+        stream.groupBy(*keys)
+        if keys
+        else stream.withColumn(_GLOBAL_KEY, F.lit(0).cast("long")).groupBy(_GLOBAL_KEY)
+    )
+    out = grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    return out if keys else out.drop(_GLOBAL_KEY)

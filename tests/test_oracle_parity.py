@@ -1,0 +1,65 @@
+"""Local mirror of the driver's correctness gate.
+
+For every entry in ``__spark_entry__.queries()`` with an
+``oracle_sql()`` twin, run the Spark query and the DuckDB oracle on the
+same sf directory, reorder columns by sorted name (the driver sorts
+columns by name before hashing), and compare rows order-insensitively
+with a small float tolerance.
+
+Default sf0.001 for speed; set LSSPARK_TEST_SF_DIR=/root/testdata/sf0.01
+to rehearse the exact driver gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_DIR
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def key(r):
+        return tuple((x is None, repr(x)) for x in r)
+
+    return sorted([tuple(r[i] for i in order) for r in rows], key=key)
+
+
+def _cell_eq(x, y):
+    if isinstance(x, float) or isinstance(y, float):
+        if x is None or y is None:
+            return x is y
+        return math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+    return x == y
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(name, spark, duck):
+    fn = QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    assert name in ORACLES, f"{name} has no oracle_sql entry"
+    rel = duck.execute(ORACLES[name])
+    d_cols = [d[0] for d in rel.description]
+    d_rows = rel.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column mismatch {sorted(s_cols)} vs {sorted(d_cols)}"
+    )
+    a, b = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+    assert len(a) == len(b), f"{name}: rowcount {len(a)} vs {len(b)}"
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        for c, (x, y) in zip(sorted(s_cols), zip(ra, rb)):
+            assert _cell_eq(x, y), (
+                f"{name}: row {i} col {c}: spark={x!r} duck={y!r}\n"
+                f"  spark row: {ra}\n  duck row:  {rb}"
+            )

@@ -1,0 +1,183 @@
+"""Streaming layer tests: streaming-vs-batch equivalence (the
+reference executes everything as a stream — SURVEY.md §3.2 — so our
+batch plans must agree with the streaming runs of the same logic),
+stream-static join, checkpoint restart, and the stateful count-window
+operator."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, rows_match
+
+from lightsaber_spark.operators import static_hash_join, windowed_agg
+from lightsaber_spark.operators.row_window import keyed_row_window_agg
+from lightsaber_spark.streaming import (
+    read_stream,
+    run_available_now,
+    streaming_windowed_agg,
+)
+from lightsaber_spark.streaming.row_windows import streaming_row_window_agg
+
+
+@pytest.fixture(scope="module")
+def events_stream_src(spark, tmp_path_factory):
+    """Events re-written as several parquet files so availableNow
+    replays them as multiple micro-batches (the reference's replay
+    driver, BenchmarkQuery.h:144-240)."""
+    from lightsaber_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR, ("events",))["events"]
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    # in-order split: sort then range-partition into sequential files
+    ev.sort("ts").coalesce(1).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    return path, schema
+
+
+def _stream(spark, src, max_files=1):
+    path, schema = src
+    return read_stream(spark, path, schema, max_files_per_trigger=max_files)
+
+
+def test_streaming_tumbling_matches_batch(spark, events, events_stream_src, tmp_path):
+    stream = _stream(spark, events_stream_src)
+    s = streaming_windowed_agg(
+        stream, "ts", 3600, None,
+        [("sum", "value", "sum_value"), ("count", None, "n")],
+        ["event_type"],
+    )
+    # complete mode: emit every window incl. the last (append mode holds
+    # the final window open — watermark semantics tested separately)
+    got = run_available_now(s, str(tmp_path / "ck"), "complete", table_name="t_tumb")
+    want = windowed_agg(
+        events, "ts", 3600, None,
+        [("sum", "value", "sum_value"), ("count", None, "n")],
+        ["event_type"],
+    )
+    ok, msg = rows_match(
+        got.select("window_start", "event_type", "sum_value", "n").collect(),
+        want.select("window_start", "event_type", "sum_value", "n").collect(),
+        float_tol=1e-6,
+    )
+    assert ok, msg
+
+
+def test_streaming_sliding_matches_batch(spark, events, events_stream_src, tmp_path):
+    stream = _stream(spark, events_stream_src)
+    s = streaming_windowed_agg(
+        stream, "ts", 1800, 600, [("count", None, "n")], ["event_type"]
+    )
+    got = run_available_now(s, str(tmp_path / "ck"), "complete", table_name="t_slide")
+    want = windowed_agg(events, "ts", 1800, 600, [("count", None, "n")], ["event_type"])
+    ok, msg = rows_match(
+        got.select("window_start", "event_type", "n").collect(),
+        want.select("window_start", "event_type", "n").collect(),
+    )
+    assert ok, msg
+
+
+def test_append_mode_emits_only_closed_windows(spark, events, events_stream_src, tmp_path):
+    """Append mode + 0s watermark = the reference's in-order stream
+    model: a window is emitted once the stream has passed its end; the
+    trailing open window(s) stay in state."""
+    stream = _stream(spark, events_stream_src)
+    s = streaming_windowed_agg(stream, "ts", 3600, None, [("count", None, "n")])
+    got = {(r.window_start, r.n) for r in
+           run_available_now(s, str(tmp_path / "ck"), table_name="t_append").collect()}
+    want = {(r.window_start, r.n) for r in
+            windowed_agg(events, "ts", 3600, None, [("count", None, "n")]).collect()}
+    assert got.issubset(want)
+    held = want - got
+    assert 0 < len(held) <= 2  # only the newest window(s) can be open
+    assert min(w for w, _ in held) >= max(w for w, _ in got)
+
+
+def test_stream_static_join_ysb_shape(spark, tables, events_stream_src, tmp_path):
+    """YSB as a real stream: stream-static broadcast join then tumbling
+    agg (ref YSB.cpp:153-202; stream×table join = StaticHashJoin §2.1#7)."""
+    stream = _stream(spark, events_stream_src).filter(F.col("event_type") == "view")
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = static_hash_join(stream, dim, "user_id")
+    s = streaming_windowed_agg(joined, "ts", 3600, None, [("count", None, "n")], ["c_mktsegment"])
+    got = run_available_now(s, str(tmp_path / "ck"), "complete", table_name="t_ysb")
+
+    batch = static_hash_join(
+        tables["events"].filter(F.col("event_type") == "view"), dim, "user_id"
+    )
+    want = windowed_agg(batch, "ts", 3600, None, [("count", None, "n")], ["c_mktsegment"])
+    ok, msg = rows_match(
+        got.select("window_start", "c_mktsegment", "n").collect(),
+        want.select("window_start", "c_mktsegment", "n").collect(),
+    )
+    assert ok, msg
+
+
+def test_checkpoint_restart_exactly_once(spark, events_stream_src, tmp_path):
+    """Scabbard semantics (FileBackedCheckpointCoordinator.h:34-42):
+    kill a query, restart from the checkpoint, no loss, no dupes."""
+    path, schema = events_stream_src
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = read_stream(spark, path, schema, max_files_per_trigger=1)
+        agg = streaming_windowed_agg(stream, "ts", 3600, None, [("count", None, "n")])
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    n1 = run_once()
+    # "restart" from the same checkpoint: input already committed → no
+    # duplicate output (the Scabbard exactly-once guarantee)
+    n2 = run_once()
+    assert n1 > 0
+    assert n2 == n1
+
+
+def test_streaming_row_window_per_key_matches_batch(spark, events, events_stream_src, tmp_path):
+    """Count windows (ROW_BASED, WindowDefinition.h:13) via the
+    applyInPandasWithState operator, per-key mode — the scalable shape."""
+    stream = _stream(spark, events_stream_src, max_files=1)
+    s = streaming_row_window_agg(
+        stream, ["ts", "event_id"], 100,
+        [("count", None, "n"), ("sum", "value", "sum_value"), ("max", "value", "max_value")],
+        keys=["event_type"],
+    )
+    got = run_available_now(s, str(tmp_path / "ck"), table_name="t_rw")
+
+    want_full = keyed_row_window_agg(
+        events, ["ts", "event_id"], 100,
+        [("count", None, "n"), ("sum", "value", "sum_value"), ("max", "value", "max_value")],
+        ["event_type"],
+    )
+    want = want_full.filter(F.col("n") == 100)  # streaming emits complete windows only
+    ok, msg = rows_match(
+        got.select("event_type", "window_id", "n", "sum_value", "max_value").collect(),
+        want.select("event_type", "window_id", "n", "sum_value", "max_value").collect(),
+        float_tol=1e-6,
+    )
+    assert ok, msg
+
+
+def test_streaming_row_window_global(spark, events, events_stream_src, tmp_path):
+    stream = _stream(spark, events_stream_src, max_files=1)
+    s = streaming_row_window_agg(
+        stream, ["ts", "event_id"], 1000, [("count", None, "n")], keys=[]
+    )
+    got = run_available_now(s, str(tmp_path / "ck"), table_name="t_rwg")
+    n_rows = events.count()
+    assert sorted(r.window_id for r in got.collect()) == list(range(n_rows // 1000))
+    assert all(r.n == 1000 for r in got.collect())
