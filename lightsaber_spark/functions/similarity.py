@@ -58,6 +58,88 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
     return s.withColumn("_norm", F.sqrt(_scaled_dot(F.col("_sv"), F.col("_sv"))))
 
 
+def blocked_allpairs_cosine(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via block-nested-loop GEMM.
+
+    The row-level cross join evaluates the dot product expression per
+    pair — O(n²) Catalyst expression evals. This kernel instead tiles
+    the n×n pair space into (n_blocks choose 2)+n_blocks block pairs:
+    each row is replicated to its n_blocks partner groups (shuffle is
+    n·n_blocks rows — linear), and each group computes one vectorized
+    BLAS matmul over its two sub-matrices (``applyInPandas``).
+
+    Exactness: scaled elements are integers ≤ ~10^7, so every product
+    (≤10^14) and 64-term partial sum stays < 2^53 — float64 GEMM is
+    EXACT integer arithmetic, reproducing the SQL bigint fold and the
+    DuckDB oracle bit-for-bit. Rounding replicates Spark/DuckDB
+    HALF_UP (numpy's own round is half-to-even).
+
+    At 100 TB scale: n_blocks² tasks, each a dense GEMM — compute-bound
+    and embarrassingly parallel; raise n_blocks so each tile fits in
+    executor memory (tile rows ≈ n / n_blocks).
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("_id"), F.col(vec_col).alias("_v")
+    )
+    b = base.withColumn("_blk", F.pmod(F.col("_id"), F.lit(n_blocks)).cast("int"))
+    rep = (
+        b.withColumn("_p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("_gi", F.least("_blk", "_p"))
+        .withColumn("_gj", F.greatest("_blk", "_p"))
+    )
+
+    def _scaled_mat(col) -> "np.ndarray":
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        y = m * SCALE
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)  # HALF_UP, exact ints
+
+    def fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        gi, gj = int(key[0]), int(key[1])
+        cols = ["id_a", "id_b", "cosine"]
+        blk = pdf["_blk"].to_numpy()
+        if gi == gj:
+            sub = pdf
+            S = _scaled_mat(sub["_v"])
+            ids = sub["_id"].to_numpy()
+            norms = np.sqrt((S * S).sum(axis=1))
+            C = (S @ S.T) / (norms[:, None] * norms[None, :])
+            mask = (ids[:, None] < ids[None, :]) & (C >= threshold)
+            ia, ib = np.nonzero(mask)
+            return pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib], "cosine": C[ia, ib]}
+            )[cols]
+        a, c = pdf[blk == gi], pdf[blk == gj]
+        if len(a) == 0 or len(c) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})[cols]
+        Sa, Sc = _scaled_mat(a["_v"]), _scaled_mat(c["_v"])
+        ia_ids, ic_ids = a["_id"].to_numpy(), c["_id"].to_numpy()
+        na = np.sqrt((Sa * Sa).sum(axis=1))
+        nc = np.sqrt((Sc * Sc).sum(axis=1))
+        C = (Sa @ Sc.T) / (na[:, None] * nc[None, :])
+        ia, ic = np.nonzero(C >= threshold)
+        u, v = ia_ids[ia], ic_ids[ic]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(u, v),
+                "id_b": np.maximum(u, v),
+                "cosine": C[ia, ic],
+            }
+        )[cols]
+
+    return rep.groupBy("_gi", "_gj").applyInPandas(
+        fn, "id_a bigint, id_b bigint, cosine double"
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

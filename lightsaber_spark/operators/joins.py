@@ -54,19 +54,37 @@ def theta_join(
 
     At scale an unbounded theta join is a cross product, so callers
     supply the event-time bound (``max_delta_sec``) the reference gets
-    implicitly from its window definitions; with it Spark can plan the
-    time condition as a range/band join instead of a full cartesian.
-    Columns must be disambiguated by the caller (aliases).
+    implicitly from its window definitions. A naive band condition still
+    plans as a nested-loop join (non-equi), so the band is rewritten as
+    a **bucketed equi join**: time is bucketed at ``max_delta`` width,
+    the right side is exploded to its bucket ±1 (any pair within the
+    band differs by at most one bucket), the join key is the bucket —
+    a plain shuffle hash join with the exact band + theta predicate
+    applied after. Pair space per task is bounded by bucket occupancy,
+    not |L|·|R|. Columns must be disambiguated by the caller (aliases).
     """
     cond = predicate
-    if max_delta_sec is not None:
-        if left_ts is None or right_ts is None:
-            raise ValueError("time-bounded theta join needs both ts columns")
-        lt = F.col(left_ts).cast("double")
-        rt = F.col(right_ts).cast("double")
-        band = (rt >= lt - max_delta_sec) & (rt <= lt + max_delta_sec)
-        cond = band if cond is None else (band & cond)
-    return left.join(right, cond, "inner")
+    if max_delta_sec is None:
+        return left.join(right, cond, "inner")
+    if left_ts is None or right_ts is None:
+        raise ValueError("time-bounded theta join needs both ts columns")
+
+    us = 1_000_000
+    d_us = int(round(max_delta_sec * us))
+    lt_us = F.round(F.col(left_ts).cast("double") * us).cast("bigint")
+    rt_us = F.round(F.col(right_ts).cast("double") * us).cast("bigint")
+    band = (rt_us >= lt_us - d_us) & (rt_us <= lt_us + d_us)
+    cond = band if cond is None else (band & cond)
+
+    def bucket(ts_us):
+        return ((ts_us - (ts_us % d_us)) / d_us).cast("bigint")
+
+    l2 = left.withColumn("_tj_bkt", bucket(lt_us))
+    rb = bucket(rt_us)
+    r2 = right.withColumn(
+        "_tj_bkt", F.explode(F.array(rb - 1, rb, rb + 1))
+    )
+    return l2.join(r2, "_tj_bkt").filter(cond).drop("_tj_bkt")
 
 
 def range_join(

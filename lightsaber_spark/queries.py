@@ -40,6 +40,7 @@ from lightsaber_spark.operators import (
     theta_join,
     windowed_agg,
     window_spine,
+    window_topk,
 )
 from lightsaber_spark.operators.window_agg import gap_filled
 
@@ -472,6 +473,88 @@ def tpch_q1(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# LRB3 — two-stage query DAG: windowed agg → row window over its output
+# (ref: applicationsWithCheckpoints/LinearRoadBenchmark/LRB3.cpp:677-738 —
+#  stage 1 windowed cnt, stage 2 row window 1024/1024; DAG wiring via
+#  Query::connectTo, src/utils/Query.h:111)
+# ---------------------------------------------------------------------------
+@query(
+    "lrb3_two_stage_dag",
+    """
+    WITH s1 AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT n, (row_number() OVER (ORDER BY window_start, user_id) - 1) // 256
+               AS window_id
+      FROM s1
+    )
+    SELECT window_id, count(*) AS n_rows, CAST(sum(n) AS BIGINT) AS total_events
+    FROM idx GROUP BY 1
+    """,
+)
+def lrb3(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    stage1 = windowed_agg(ev, "ts", 3600, 3600, [("count", None, "n")], ["user_id"])
+    return row_window_agg(
+        stage1, ["window_start", "user_id"], 256, None,
+        [("count", None, "n_rows"), ("sum", "n", "total_events")],
+        bucket_expr=F.floor(F.col("window_start") / 86400).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregate per window (SURVEY §2.8 — absent in the reference,
+# required for a complete engine; Spark native partial-distinct agg)
+# ---------------------------------------------------------------------------
+@query(
+    "window_distinct_users",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, event_type,
+           count(DISTINCT user_id) AS n_users, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_distinct(spark, sf_dir):
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            _exact_bucket(epoch_us(ev, "ts"), 3600).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per window (generalizes the NBQ5 post-op argmax to k>1)
+# ---------------------------------------------------------------------------
+@query(
+    "window_top3_users",
+    """
+    WITH c AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start, user_id,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, n FROM c
+    QUALIFY row_number() OVER (PARTITION BY window_start
+                               ORDER BY n DESC, user_id ASC) <= 3
+    """,
+)
+def window_top3(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    counts = windowed_agg(ev, "ts", 3600, 3600, [("count", None, "n")], ["user_id"])
+    return window_topk(counts, ["window_start"], "n", 3, tie_breakers=["user_id"])
+
+
 @query(
     "tpch_q3_top_revenue",
     """
@@ -504,4 +587,86 @@ def tpch_q3(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    """Multi-way join with small-dim broadcasts: nation/region/supplier
+    broadcast; the lineitem⋈orders⋈customer chain shuffles on keys and
+    AQE reorders/skew-splits at runtime."""
+    t = load_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    dims = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    joined = (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dims), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        (
+            F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))) / 10000.0
+        ).alias("revenue")
+    )
+
+
+@query(
+    "tpch_q6_banded_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """Pure scan-filter-agg: every predicate pushes to the parquet scan
+    (shipdate/quantity are plain column comparisons) — zero shuffle
+    beyond the final single-row reduce."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    f = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & _cents("l_discount").between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        (F.sum(_cents("l_extendedprice") * _cents("l_discount")) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
     )
