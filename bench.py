@@ -34,10 +34,20 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
+    # queries, not session startup: load tables, then push one small
+    # aggregation + one python-worker batch through the full write path
+    # (first noop write otherwise pays codegen/executor/python-daemon
+    # startup — previously charged to whichever query ran first)
+    from pyspark.sql import functions as F
     from lightsaber_spark.session import load_tables
 
-    load_tables(spark, sf_dir)
+    tables = load_tables(spark, sf_dir)
+    warm = tables["events"].groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    warm.write.format("noop").mode("overwrite").save()
+    pup = F.pandas_udf(lambda s: s, "bigint")
+    tables["events"].select(pup(F.col("event_id"))).limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     t_all = time.time()
     for name, fn in queries.items():

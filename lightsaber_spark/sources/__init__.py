@@ -1,0 +1,19 @@
+from lightsaber_spark.sources.readers import (
+    rate_source,
+    read_table,
+    socket_source,
+)
+from lightsaber_spark.sources.sinks import (
+    memory_sink,
+    noop_sink,
+    to_files,
+)
+
+__all__ = [
+    "read_table",
+    "rate_source",
+    "socket_source",
+    "to_files",
+    "memory_sink",
+    "noop_sink",
+]

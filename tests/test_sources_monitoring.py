@@ -1,0 +1,73 @@
+"""Sources/sinks format coverage + monitoring hooks."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_match
+
+from lightsaber_spark.monitoring import ThroughputListener, observed
+from lightsaber_spark.sources import noop_sink, rate_source, read_table, to_files
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_format_round_trip(spark, tables, tmp_path, fmt):
+    """events → write fmt → read fmt ⇒ identical rows (csv/json lose
+    native timestamp/double typing only where the format does)."""
+    ev = tables["events"].select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / fmt)
+    to_files(ev, path, fmt=fmt, max_records_per_file=10_000)
+    schema = ev.schema
+    back = read_table(spark, path, fmt=fmt, schema=schema)
+    ok, msg = rows_match(back.collect(), ev.collect(), float_tol=1e-9)
+    assert ok, msg
+
+
+def test_partitioned_write_prunes(spark, tables, tmp_path):
+    """partitionBy layout → reading one partition touches one
+    directory (partition pruning — free at 100 TB only if the layout
+    exists)."""
+    ev = tables["events"]
+    path = str(tmp_path / "part")
+    to_files(ev, path, partition_by=["event_type"])
+    one = read_table(spark, path).filter(F.col("event_type") == "click")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == ev.filter(F.col("event_type") == "click").count()
+    # the scan's partition filters must mention event_type
+    assert "event_type" in plan
+
+
+def test_observed_counts(spark, tables):
+    df, obs = observed(tables["events"].filter(F.col("event_type") == "view"))
+    noop_sink(df)
+    assert obs.get["rows"] == tables["events"].filter(F.col("event_type") == "view").count()
+
+
+def test_throughput_listener(spark, tables, tmp_path):
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        tables["events"].limit(500).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = (
+            stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory").queryName("mon_t")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        for _ in range(50):
+            if listener.total_rows >= 500:
+                break
+            time.sleep(0.2)
+        assert listener.total_rows == 500
+        assert all(m.duration_ms for m in listener.metrics if m.num_input_rows)
+    finally:
+        spark.streams.removeListener(listener)
