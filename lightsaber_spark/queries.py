@@ -591,6 +591,32 @@ def tpch_q3(spark, sf_dir):
 
 
 @query(
+    "ysb_longlong_keys",
+    """
+    SELECT CAST(CAST(user_id AS HUGEINT) * 18446744073709551616 + event_id
+                AS VARCHAR) AS key128,
+           count(*) AS n
+    FROM events
+    WHERE event_id % 100 = 0
+    GROUP BY 1
+    """,
+)
+def ysb_longlong(spark, sf_dir):
+    """128-bit composite keys (reference LongLong/__uint128_t,
+    ``src/utils/AttributeType.h:67-78``; YSB 128-bit campaign variant
+    ``YahooBenchmark.h:248-263``) → ``DecimalType(38,0)`` — grouping,
+    arithmetic, and equality all work; rendered as string for the
+    cross-engine comparison."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 100 == 0)
+    two_64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
+    key = (
+        F.col("user_id").cast("decimal(38,0)") * two_64
+        + F.col("event_id").cast("decimal(38,0)")
+    ).cast("decimal(38,0)").cast("string").alias("key128")
+    return ev.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "tpch_q5_revenue_by_nation",
     """
     SELECT n_name,

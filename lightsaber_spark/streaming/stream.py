@@ -80,6 +80,53 @@ def streaming_windowed_agg(
      .drop("window_start_us")
 
 
+def streaming_theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    predicate,
+    left_ts: str,
+    right_ts: str,
+    max_delta_sec: int,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream theta join — the reference's symmetric windowed
+    nested-loop join (``ThetaJoin.h:18-819``, two ring buffers paired by
+    ``JoinTaskDispatcher``) as a Structured Streaming join.
+
+    The event-time band (±max_delta_sec) plus watermarks on BOTH sides
+    is what lets the state store evict rows (the reference's per-side
+    window eviction, ``ThetaJoin.h:417-499``); the arbitrary theta
+    predicate rides along as a residual filter. Spark additionally
+    requires an EQUALITY predicate for stream-stream joins (symmetric
+    hash join keys), so the band is bucketized exactly like the batch
+    operator: both sides get a ``max_delta``-wide time bucket, the
+    right side is exploded to bucket ±1, and the join key is the
+    bucket — which also co-partitions state by time.
+    """
+    us = 1_000_000
+    d_us = max_delta_sec * us
+
+    def bucket(c):
+        ts_us = F.unix_micros(F.col(c))
+        return ((ts_us - (ts_us % d_us)) / d_us).cast("bigint")
+
+    l_wm = left.withWatermark(left_ts, watermark).withColumn(
+        "_tj_bkt", bucket(left_ts)
+    )
+    rb = bucket(right_ts)
+    r_wm = right.withWatermark(right_ts, watermark).withColumn(
+        "_tj_bkt", F.explode(F.array(rb - 1, rb, rb + 1))
+    )
+    lt, rt = F.col(left_ts), F.col(right_ts)
+    band = (rt >= lt - F.expr(f"INTERVAL {max_delta_sec} SECONDS")) & (
+        rt <= lt + F.expr(f"INTERVAL {max_delta_sec} SECONDS")
+    )
+    cond = (l_wm["_tj_bkt"] == r_wm["_tj_bkt"]) & band
+    if predicate is not None:
+        cond = cond & predicate
+    return l_wm.join(r_wm, cond, "inner").drop("_tj_bkt")
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -172,6 +172,38 @@ def test_streaming_row_window_per_key_matches_batch(spark, events, events_stream
     assert ok, msg
 
 
+def test_streaming_theta_join_matches_batch(spark, events, events_stream_src, tmp_path):
+    """Stream-stream theta join (ref ThetaJoin.h symmetric windowed
+    join) vs the batch bucketed band join — same pairs."""
+    from lightsaber_spark.operators import theta_join
+    from lightsaber_spark.streaming.stream import streaming_theta_join
+
+    def sides(df):
+        l = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+        r = df.filter(F.col("event_type") == "click").select(
+            F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+        )
+        return l, r
+
+    sl, sr = sides(_stream(spark, events_stream_src))
+    joined = streaming_theta_join(
+        sl, sr, F.col("r_value") > F.col("l_value"), "l_ts", "r_ts", 120
+    ).select("err_id", "r_ts", "r_value")
+    got = run_available_now(joined, str(tmp_path / "ck"), table_name="t_sj")
+
+    bl, br = sides(events)
+    want = theta_join(
+        bl, br, F.col("r_value") > F.col("l_value"),
+        left_ts="l_ts", right_ts="r_ts", max_delta_sec=120,
+    ).select("err_id", "r_ts", "r_value")
+    ok, msg = rows_match(got.collect(), want.collect(), float_tol=1e-9)
+    assert ok, msg
+
+
 def test_streaming_row_window_global(spark, events, events_stream_src, tmp_path):
     stream = _stream(spark, events_stream_src, max_files=1)
     s = streaming_row_window_agg(
