@@ -98,6 +98,9 @@ class AggregationType(enum.Enum):
     CNT = "count"
     SUM = "sum"
     AVG = "avg"
+    # weighted average over a (value, weight) attribute pair
+    # (AggregationType.h:12; lift/combine AggregationTree.h:106-133)
+    W_AVG = "w_avg"
 
 
 class Aggregation(Operator):
@@ -145,10 +148,15 @@ class Aggregation(Operator):
                 df = df.withColumn(name, g.compile(schema))
                 keys.append(name)
 
-        aggs = [
-            (t.value, a.resolved_name(schema), f"{t.value}_{a.resolved_name(schema)}")
-            for t, a in zip(self.agg_types, self.agg_attributes)
-        ]
+        aggs = []
+        for t, a in zip(self.agg_types, self.agg_attributes):
+            if t is AggregationType.W_AVG:
+                v, w = a  # (value, weight) ColumnReference pair
+                vn, wn = v.resolved_name(schema), w.resolved_name(schema)
+                aggs.append((t.value, (vn, wn), f"w_avg_{vn}"))
+            else:
+                n = a.resolved_name(schema)
+                aggs.append((t.value, n, f"{t.value}_{n}"))
         if self.include_count:
             aggs.append(("count", None, "count"))
 

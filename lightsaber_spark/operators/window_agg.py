@@ -59,10 +59,12 @@ from pyspark.sql.types import (
 
 US = 1_000_000
 
-# (func, input column or None for count(*), output alias)
-AggSpec = tuple[str, str | None, str]
+# (func, input column or None for count(*), output alias);
+# w_avg (reference AggregationType.h:12 W_AVG) takes a (value, weight)
+# column pair: sum(w·v)/sum(w) — lift/combine per AggregationTree.h:116
+AggSpec = tuple[str, str | tuple[str, str] | None, str]
 
-_SUPPORTED = {"sum", "count", "avg", "min", "max"}
+_SUPPORTED = {"sum", "count", "avg", "min", "max", "w_avg"}
 
 
 def epoch_us(df: DataFrame, ts_col: str) -> Column:
@@ -92,7 +94,10 @@ def _check_aggs(aggs: Sequence[AggSpec]) -> None:
     for func, col, _alias in aggs:
         if func not in _SUPPORTED:
             raise ValueError(f"unsupported aggregate {func!r}; supported: {sorted(_SUPPORTED)}")
-        if func != "count" and col is None:
+        if func == "w_avg":
+            if not (isinstance(col, (tuple, list)) and len(col) == 2):
+                raise ValueError("w_avg needs a (value, weight) column pair")
+        elif func != "count" and col is None:
             raise ValueError(f"{func} needs an input column")
 
 
@@ -101,6 +106,9 @@ def _agg_exprs(aggs: Sequence[AggSpec]) -> list[Column]:
     for func, col, alias in aggs:
         if func == "count":
             e = F.count(F.lit(1)) if col is None else F.count(F.col(col))
+        elif func == "w_avg":
+            v, w = col
+            e = F.sum(F.col(w) * F.col(v)) / F.sum(F.col(w))
         else:
             e = getattr(F, func)(F.col(col))
         out.append(e.alias(alias))
@@ -199,6 +207,10 @@ def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
             partials[f"_min_{col}"] = F.min(F.col(col))
         if func == "max":
             partials[f"_max_{col}"] = F.max(F.col(col))
+        if func == "w_avg":
+            v, w = col
+            partials[f"_wv_{v}_{w}"] = F.sum(F.col(w) * F.col(v))
+            partials[f"_ww_{w}"] = F.sum(F.col(w))
 
     us = epoch_us(df, ts_col)
     stage1 = df.groupBy(_exact_bucket(us, g).alias("_pane"), *keys).agg(
@@ -229,6 +241,11 @@ def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
             finals.append(F.min(f"_min_{col}").alias(alias))
         elif func == "max":
             finals.append(F.max(f"_max_{col}").alias(alias))
+        elif func == "w_avg":
+            v, w = col
+            finals.append(
+                (F.sum(f"_wv_{v}_{w}") / F.sum(f"_ww_{w}")).alias(alias)
+            )
 
     return (
         expanded.groupBy("window_start", *keys)

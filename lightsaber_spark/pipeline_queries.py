@@ -40,6 +40,7 @@ from lightsaber_spark.functions.similarity import (
     SCALE,
     brute_force_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 from lightsaber_spark.functions.multimodal import (
     decode_media,
@@ -319,6 +320,37 @@ def _hyperplane_sig_sql(vec: str, n_planes: int = 8, salt: str = "lsh") -> str:
 def q_sim_lsh(spark, sf_dir):
     e = _embs(spark, sf_dir)
     out = hyperplane_lsh_topk(e.filter(F.col("vec_id") < 50), e, k=5, n_planes=8, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "sim_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                  WHERE vec_id < 8),
+    assign AS (
+      SELECT e.vec_id, e.embedding, cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a='e.embedding', b='cv')} DESC, cid ASC) AS rn
+      FROM embeddings e CROSS JOIN cent
+    ),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS vq, cid FROM cells
+          WHERE vec_id < 30),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS.format(a='vq', b='c.embedding')} AS cosine
+      FROM q JOIN cells c ON q.cid = c.cid AND query_id != c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_sim_ivf(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    out = ivf_topk(e.filter(F.col("vec_id") < 30), e, k=5, n_cells=8)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

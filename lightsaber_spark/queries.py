@@ -397,6 +397,65 @@ def gapfill(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# W_AVG — weighted average over a (value, weight) pair
+# (ref: AggregationType.h:12 W_AVG; lift (w, w·v) AggregationTree.h:116;
+#  sliding window → exercises the pane-partial path for w_avg)
+# ---------------------------------------------------------------------------
+@query(
+    "wavg_sliding_by_type",
+    f"""
+    WITH e AS (SELECT ts, event_type, {CENTS} AS value_c,
+                      event_id % 7 + 1 AS w
+               FROM events),
+    x AS ({_slide_expand(1800, 300, src="e")})
+    SELECT window_start, event_type,
+           CAST(sum(w * value_c) AS BIGINT) / 100.0 / sum(w) AS wavg_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def wavg_sliding(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir)).withColumn(
+        "w", F.col("event_id") % 7 + 1
+    )
+    r = windowed_agg(
+        ev, "ts", 1800, 300,
+        [("w_avg", ("value_c", "w"), "wavg_c")], ["event_type"],
+    )
+    return r.select(
+        "window_start", "event_type", (F.col("wavg_c") / 100.0).alias("wavg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill, sliding variant (ref getFillEmptySlidingWindows
+# OperatorKernel.h:4374-4608): every slide-aligned window start in the
+# data span is emitted, including empty ones
+# ---------------------------------------------------------------------------
+@query(
+    "gapfill_sliding_count",
+    f"""
+    WITH e AS (SELECT ts FROM events WHERE user_id % 50 = 7),
+    b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM e),
+    spine AS (
+      SELECT unnest(generate_series(
+        ((lo - 7200000000) // 1800000000 + 1) * 1800,
+        (hi // 1800000000) * 1800, 1800)) AS window_start
+      FROM b
+    ),
+    x AS ({_slide_expand(7200, 1800, src="e")}),
+    agg AS (SELECT window_start, count(*) AS n FROM x GROUP BY 1)
+    SELECT s.window_start, coalesce(a.n, 0) AS n
+    FROM spine s LEFT JOIN agg a USING (window_start)
+    """,
+)
+def gapfill_sliding(spark, sf_dir):
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 7)
+    agg = windowed_agg(ev, "ts", 7200, 1800, [("count", None, "n")])
+    spine = window_spine(ev, "ts", 7200, 1800)
+    return gap_filled(agg, spine, [("count", None, "n")])
+
+
+# ---------------------------------------------------------------------------
 # Theta join — time-banded inequality join
 # (ref: ThetaJoin.h:18-819 — symmetric windowed join, arbitrary predicate)
 # ---------------------------------------------------------------------------
