@@ -370,6 +370,62 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def duplicate_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 8,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (member,
+    representative=min id in component). The step that turns pairwise
+    dedup output into actual keep/drop decisions.
+
+    Iterative min-label propagation with pointer jumping: each round
+    takes the min label over neighbors, then jumps ``label ←
+    label[label]`` — combined, convergence is ~log2(diameter), so
+    ``iters=8`` covers any realistic near-dup cluster (diameter
+    ≤ 2^8). Each round is two shuffles on bounded keys; no driver-side
+    graph state — the standard large-scale CC shape.
+
+    NOTE: eager — each round is ``localCheckpoint``-ed (the labels
+    relation appears twice per round, so a lazy plan doubles every
+    iteration), and iteration stops early once no label changes.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("v"), F.col(id_b).alias("u"))
+        .union(pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("v").distinct().withColumn("l", F.col("v")).localCheckpoint()
+    for _ in range(iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v")
+            .agg(F.min("l").alias("_nl"))
+        )
+        stepped = (
+            labels.withColumnRenamed("l", "_l0")
+            .join(nbr, "v", "left")
+            .select("v", F.least(F.col("_l0"), F.coalesce("_nl", "_l0")).alias("l"),
+                    F.col("_l0"))
+        )
+        jump = stepped.select(F.col("v").alias("l"), F.col("l").alias("_jl"))
+        stepped = (
+            stepped.join(jump, "l", "left")
+            .select("v", F.least(F.col("l"), F.coalesce("_jl", "l")).alias("l"),
+                    "_l0")
+            .localCheckpoint()
+        )
+        changed = stepped.filter(F.col("l") != F.col("_l0")).limit(1).count()
+        labels = stepped.drop("_l0")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("v").alias("member"), F.col("l").alias("representative")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,

@@ -12,6 +12,7 @@ oracles can reproduce results exactly.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — required so pandas-UDF type hints resolve
 from pyspark.sql import Column, DataFrame, functions as F
 
 # word tokens: ASCII alphanumerics (identical semantics in Java regex and
@@ -33,6 +34,52 @@ LANG_PATTERNS: dict[str, str] = {
     "es": r"\b(el|los|que|por|una)\b",
     "zh": "[一-鿿]",  # CJK ideograph count
 }
+
+
+def winnow_fingerprints_udf(k: int = 3, window: int = 4):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the standard rolling-hash fingerprint scheme): hash every k-word
+    shingle *in order*, slide a ``window``-wide frame over the hash
+    sequence, keep the minimum of each frame, return the distinct
+    selected hashes. Guarantees any shared run of ≥ window+k-1 tokens
+    between two documents shares ≥ 1 fingerprint.
+
+    Arrow-batched; hashes are the same 60-bit md5-prefix integers used
+    everywhere else, so a DuckDB oracle reproduces them exactly.
+    """
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    @pandas_udf("array<bigint>")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            n = max(len(toks) - (k - 1), 0)
+            hs = np.fromiter(
+                (h60(" ".join(toks[i : i + k])) for i in range(n)),
+                dtype=np.int64, count=n,
+            )
+            if len(hs) == 0:
+                out.append([])
+                continue
+            if len(hs) <= window:
+                out.append([int(hs.min())])
+                continue
+            frames = np.lib.stride_tricks.sliding_window_view(hs, window)
+            out.append(sorted({int(x) for x in frames.min(axis=1)}))
+        return pd.Series(out)
+
+    return _fp
 
 
 def normalize_text(c: Column) -> Column:

@@ -25,11 +25,13 @@ from lightsaber_spark.functions.text import (
     language_id,
     text_stats,
     token_count,
+    winnow_fingerprints_udf,
 )
 from lightsaber_spark.functions.dedup import (
     MERSENNE_61,
     X_BITS,
     _lcg_constants,
+    duplicate_groups,
     embedding_neardup_pairs,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -158,6 +160,36 @@ def q_token_count(spark, sf_dir):
     )
 
 
+@query(
+    "text_winnow_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(range(greatest(len(t) - 2, 0)),
+                                 i -> array_to_string(t[i+1:i+3], ' ')) AS s
+           FROM toks),
+    hs AS (SELECT doc_id,
+                  list_transform(s, x -> {H60.format(x='x')}) AS h
+           FROM sh),
+    w AS (SELECT doc_id, CASE
+            WHEN len(h) = 0 THEN []
+            WHEN len(h) <= 4 THEN [list_min(h)]
+            ELSE list_distinct(list_transform(range(len(h) - 3),
+                                              j -> list_min(h[j+1:j+4])))
+          END AS fps FROM hs)
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def q_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints: k=3-word shingles, frame
+    width 4, min-per-frame, distinct."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints_udf(3, 4)(F.col("text"))).alias("fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication ladder
 # ---------------------------------------------------------------------------
@@ -238,6 +270,30 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+@query(
+    "dedup_duplicate_groups",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTE},
+    edges AS (SELECT id_a AS v, id_b AS u FROM jacc
+              UNION SELECT id_b, id_a FROM jacc),
+    walk(v, l) AS (
+      SELECT DISTINCT v, v FROM edges
+      UNION
+      SELECT e.v, w.l FROM edges e JOIN walk w ON e.u = w.v
+    )
+    SELECT v AS member, min(l) AS representative
+    FROM walk GROUP BY 1
+    """,
+)
+def q_dup_groups(spark, sf_dir):
+    """Pairs → connected components → representative per member (the
+    keep/drop decision step of a dedup pipeline). Oracle is the exact
+    transitive closure via recursive CTE; the Spark side converges by
+    min-label propagation + pointer jumping."""
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+    return duplicate_groups(pairs)
 
 
 # x::DOUBLE before scaling: DuckDB would otherwise multiply in float32

@@ -204,6 +204,22 @@ def test_streaming_theta_join_matches_batch(spark, events, events_stream_src, tm
     assert ok, msg
 
 
+def test_streaming_session_windows_match_batch(spark, events, events_stream_src, tmp_path):
+    """session_window works in Structured Streaming too (state-store
+    session merging); complete mode ⇒ same sessions as batch."""
+    from lightsaber_spark.streaming import session_window_agg
+
+    stream = _stream(spark, events_stream_src).withWatermark("ts", "0 seconds")
+    s = session_window_agg(stream, "ts", 1800, [("count", None, "n")], ["user_id"])
+    got = run_available_now(s, str(tmp_path / "ck"), "complete", table_name="t_sess")
+    want = session_window_agg(events, "ts", 1800, [("count", None, "n")], ["user_id"])
+    cols = ["user_id", "session_start_us", "session_end_us", "n"]
+    ok, msg = rows_match(
+        got.select(*cols).collect(), want.select(*cols).collect()
+    )
+    assert ok, msg
+
+
 def test_streaming_row_window_global(spark, events, events_stream_src, tmp_path):
     stream = _stream(spark, events_stream_src, max_files=1)
     s = streaming_row_window_agg(
