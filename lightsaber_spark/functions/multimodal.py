@@ -85,6 +85,67 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("out_bytes", IntegerType()),
+    StructField("digest", StringType()),
+])
+
+
+def resize_media(df: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Deterministic stub "resize": stride-sample the payload down to
+    ``target_bytes`` (byte i of the output = input byte ⌊i·n/target⌋) —
+    the plumbing shape of a thumbnail/downsample kernel. A real image
+    resize replaces the sampling line; batching, schema, and digest
+    verification stay identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, digs = [], [], []
+            for mid, d in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(d)
+                n = len(b)
+                small = bytes(b[i * n // target_bytes] for i in range(target_bytes)) \
+                    if n >= 1 else b""
+                ids.append(mid)
+                outs.append(len(small))
+                digs.append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame({"media_id": ids, "out_bytes": outs, "digest": digs})
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("digest", StringType()),
+])
+
+
+def sample_frames(df: DataFrame, frame_size: int = 64, every_n: int = 2) -> DataFrame:
+    """Deterministic stub frame sampler: the payload is treated as
+    consecutive ``frame_size``-byte frames (last frame may be short);
+    every ``every_n``-th frame is emitted with its index and digest —
+    the video-keyframe-extraction plumbing shape (one input row → many
+    frame rows, mapInPandas)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, d in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(d)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_n):
+                    fr = b[i * frame_size : (i + 1) * frame_size]
+                    rows.append((mid, i, len(fr), hashlib.md5(fr).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_bytes", "digest"]
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
 FEATURE_DIM = 16
 
 FEATURE_SCHEMA = StructType([

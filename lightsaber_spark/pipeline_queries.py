@@ -48,6 +48,8 @@ from lightsaber_spark.functions.multimodal import (
     decode_media,
     documents_as_media,
     extract_features,
+    resize_media,
+    sample_frames,
 )
 from lightsaber_spark.operators import asof_join
 from lightsaber_spark.streaming.sessions import session_window_agg
@@ -441,6 +443,45 @@ def q_multimodal_decode(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     out = extract_features(documents_as_media(_docs(spark, sf_dir)))
     return out.select("media_id", *[F.col(f"feature.f{i}").alias(f"f{i}") for i in range(16)])
+
+
+@query(
+    "multimodal_resize_stub",
+    """
+    WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+    SELECT media_id,
+           32 AS out_bytes,
+           md5(array_to_string(
+             list_transform(range(32), i -> substr(text, (i * n) // 32 + 1, 1)),
+             '')) AS digest
+    FROM b
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Stride-downsample stub over byte payloads (documents are ASCII,
+    so the DuckDB char-level oracle reproduces the byte math exactly)."""
+    return resize_media(documents_as_media(_docs(spark, sf_dir)), target_bytes=32)
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+    f AS (SELECT media_id, text, n,
+                 unnest(generate_series(0, (n + 63) // 64 - 1, 2)) AS frame_idx
+          FROM b)
+    SELECT media_id, frame_idx,
+           CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS INTEGER) AS n_bytes,
+           md5(substr(text, frame_idx * 64 + 1, 64)) AS digest
+    FROM f
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Every-2nd-frame sampler over 64-byte frames (one media row →
+    many frame rows)."""
+    return sample_frames(
+        documents_as_media(_docs(spark, sf_dir)), frame_size=64, every_n=2
+    )
 
 
 # ---------------------------------------------------------------------------

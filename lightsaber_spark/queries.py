@@ -397,6 +397,63 @@ def gapfill(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# NoOp — identity / data-movement baseline
+# (ref: src/cql/operators/NoOp.h:14-65 — the reference's throughput-
+#  measurement operator; here: a full scan-and-forward of events)
+# ---------------------------------------------------------------------------
+@query(
+    "noop_scan",
+    "SELECT event_id, user_id, event_type, value FROM events",
+)
+def noop_scan(spark, sf_dir):
+    return _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Windowed value profile — stddev/median (SURVEY §2.8: absent in the
+# reference; standard telemetry aggregates a complete engine needs).
+# Variance from exact integer power sums (order-independent):
+# var = (n·Σx² − (Σx)²) / (n(n−1)) over integer cents.
+# ---------------------------------------------------------------------------
+@query(
+    "window_value_profile",
+    f"""
+    WITH e AS (SELECT ts, {CENTS} AS x FROM events),
+    g AS (
+      SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start,
+             count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+             CAST(quantile_cont(x, 0.5) AS DOUBLE) AS med_c
+      FROM e GROUP BY 1
+    )
+    SELECT window_start, n,
+           CASE WHEN n > 1 THEN
+             sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) / 100.0 END AS stddev_value,
+           med_c / 100.0 AS median_value
+    FROM g
+    """,
+)
+def window_profile(spark, sf_dir):
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ev = _with_cents(_events(spark, sf_dir))
+    g = ev.groupBy(
+        _exact_bucket(epoch_us(ev, "ts"), 21600).alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("sx"),
+        F.sum(F.col("value_c") * F.col("value_c")).alias("sxx"),
+        F.expr("percentile(value_c, 0.5)").alias("med_c"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    return g.select(
+        "window_start", "n",
+        F.when(n > 1, F.sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) / 100.0)
+         .alias("stddev_value"),
+        (F.col("med_c") / 100.0).alias("median_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # W_AVG — weighted average over a (value, weight) pair
 # (ref: AggregationType.h:12 W_AVG; lift (w, w·v) AggregationTree.h:116;
 #  sliding window → exercises the pane-partial path for w_avg)
