@@ -6,7 +6,7 @@ operator."""
 
 from __future__ import annotations
 
-import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -145,6 +145,55 @@ def test_checkpoint_restart_exactly_once(spark, events_stream_src, tmp_path):
     n2 = run_once()
     assert n1 > 0
     assert n2 == n1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """The reference assumes in-order streams and has no late-data
+    handling (README.md:16) — our 0s watermark encodes that: a row
+    older than the watermark is dropped. A larger watermark delay
+    (allowed lateness) keeps it — the semantic knob the reference
+    lacks."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "ts timestamp, v long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    # batch 1: in-order rows; batch 2: one more (the watermark a batch
+    # uses is derived from the PREVIOUS batch's max event time, so the
+    # late row goes a full two batches after the data that outdates it)
+    write_file([(t0 + dt.timedelta(hours=1), 1), (t0 + dt.timedelta(hours=2), 2)])
+    write_file([(t0 + dt.timedelta(hours=3), 5)])
+    # batch 3: one LATE row back at 00:30
+    write_file([(t0 + dt.timedelta(minutes=30), 3)])
+    # batch 4: a future row; advances the watermark far enough to close
+    # the 00:00 window even with 4h allowed lateness
+    write_file([(t0 + dt.timedelta(hours=10), 4)])
+
+    def run(delay, ck):
+        stream = (
+            spark.readStream.schema("ts timestamp, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = streaming_windowed_agg(
+            stream, "ts", 3600, None, [("count", None, "n")], watermark=delay
+        )
+        got = run_available_now(agg, str(tmp_path / ck), "append", table_name=f"t_{ck}")
+        return {r.window_start: r.n for r in got.collect()}
+
+    strict = run("0 seconds", "ck0")
+    lenient = run("4 hours", "ck4")
+    w_0000 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())  # 00:00 window
+    # strict (the reference's in-order model): late row dropped
+    assert strict.get(w_0000) is None
+    # allowed lateness: late row admitted into the 00:00 window
+    assert lenient.get(w_0000) == 1
 
 
 def test_streaming_row_window_per_key_matches_batch(spark, events, events_stream_src, tmp_path):
