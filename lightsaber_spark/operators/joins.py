@@ -96,9 +96,16 @@ def range_join(
     extra: Column | None = None,
 ) -> DataFrame:
     """Interval join: left rows matched to right rows whose
-    [lo, hi) interval contains the left timestamp."""
-    lt = F.col(left_ts).cast("double")
-    cond = (lt >= F.col(right_lo).cast("double")) & (lt < F.col(right_hi).cast("double"))
+    [lo, hi) interval contains the left timestamp. Bounds compare in
+    exact integer microseconds (handles TIMESTAMP_NTZ, which cannot
+    cast to double). Pass the equality key (if any) via ``extra`` —
+    Catalyst extracts equi conjuncts as hash-join keys, leaving the
+    interval as a residual filter."""
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    lt = epoch_us(left, left_ts)
+    lo, hi = epoch_us(right, right_lo), epoch_us(right, right_hi)
+    cond = (lt >= lo) & (lt < hi)
     if extra is not None:
         cond = cond & extra
     return left.join(right, cond, "inner")

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from lightsaber_spark.session import load_tables
 from lightsaber_spark.operators import (
     post_window_argmax,
+    range_join,
     row_window_agg,
     static_hash_join,
     theta_join,
@@ -397,6 +398,38 @@ def gapfill(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Range (interval) join — left timestamp within a right-side interval
+# (beyond-parity: the reference has only theta + static joins, §2.7)
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_ship_within_60d",
+    """
+    SELECT o_orderkey, count(*) AS n_lines
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+)
+def range_join_q(spark, sf_dir):
+    """Equality key (orderkey) + interval containment: Catalyst
+    extracts the equi conjunct as the hash-join key, the interval is a
+    residual filter — no nested loop."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    orders = t["orders"].select(
+        "o_orderkey", "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("_hi"),
+    )
+    joined = range_join(
+        li, orders, "l_shipdate", "o_orderdate", "_hi",
+        extra=F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+# ---------------------------------------------------------------------------
 # NoOp — identity / data-movement baseline
 # (ref: src/cql/operators/NoOp.h:14-65 — the reference's throughput-
 #  measurement operator; here: a full scan-and-forward of events)
@@ -466,7 +499,10 @@ def window_profile(spark, sf_dir):
                FROM events),
     x AS ({_slide_expand(1800, 300, src="e")})
     SELECT window_start, event_type,
-           CAST(sum(w * value_c) AS BIGINT) / 100.0 / sum(w) AS wavg_value
+           -- divide Σwv/Σw FIRST, then /100: float division is not
+           -- associative and the Spark side computes (Σwv/Σw)/100
+           (CAST(sum(w * value_c) AS BIGINT) / CAST(sum(w) AS BIGINT)) / 100.0
+             AS wavg_value
     FROM x GROUP BY 1, 2
     """,
 )
