@@ -115,6 +115,9 @@ def _agg_exprs(aggs: Sequence[AggSpec]) -> list[Column]:
     return out
 
 
+_INVERTIBLE = {"sum", "count", "avg", "w_avg"}
+
+
 def windowed_agg(
     df: DataFrame,
     ts_col: str,
@@ -124,7 +127,9 @@ def windowed_agg(
     keys: Sequence[str] = (),
     *,
     pane_threshold: int = 4,
+    prefix_threshold: int = 64,
     use_panes: bool | None = None,
+    use_prefix: bool | None = None,
 ) -> DataFrame:
     """Event-time (RANGE_BASED) windowed aggregation.
 
@@ -132,8 +137,19 @@ def windowed_agg(
     column per agg spec. Only windows containing >= 1 input row are
     emitted (gap fill is opt-in, :func:`window_spine`).
 
-    ``use_panes=None`` auto-selects the pane path when
-    ``size/slide >= pane_threshold``.
+    Physical strategy ladder (auto-selected):
+    - tumbling → one hash aggregation.
+    - sliding, ratio < ``pane_threshold`` → per-row expansion.
+    - sliding, ratio >= ``pane_threshold`` → pane decomposition
+      (gcd panes, explode panes not rows).
+    - sliding, ratio >= ``prefix_threshold``, global, all-invertible
+      aggs, slide | size → **prefix-sum path**: cumulative sums over a
+      dense pane spine, window value = cum[e] − cum[e − size/slide].
+      This is the reference's subtract-on-evict incremental aggregation
+      (``Aggregation.h:89-94`` invertible path) expressed relationally —
+      cost is span/slide spine rows, independent of the ratio, where the
+      pane path would replicate every pane size/slide times (3600× for
+      SG1's window(3600,1), ``SG1.cpp:17-24``).
     """
     _check_aggs(aggs)
     slide_sec = slide_sec or size_sec
@@ -143,8 +159,22 @@ def windowed_agg(
 
     if slide_sec == size_sec:
         return _tumbling(df, ts_col, size_sec, aggs, keys)
+    ratio = size_sec / slide_sec
+    prefix_ok = (
+        not keys
+        and size_sec % slide_sec == 0
+        and all(f in _INVERTIBLE for f, _c, _a in aggs)
+    )
+    if use_prefix is None:
+        use_prefix = prefix_ok and ratio >= prefix_threshold
+    elif use_prefix and not prefix_ok:
+        raise ValueError(
+            "prefix path needs global (no keys), invertible aggs, slide | size"
+        )
+    if use_prefix:
+        return _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs)
     if use_panes is None:
-        use_panes = (size_sec / slide_sec) >= pane_threshold
+        use_panes = ratio >= pane_threshold
     if use_panes:
         return _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys)
     return _sliding_native(df, ts_col, size_sec, slide_sec, aggs, keys)
@@ -251,6 +281,99 @@ def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
         expanded.groupBy("window_start", *keys)
         .agg(*finals)
         .select("window_start", *keys, *[F.col(a) for _, _, a in aggs])
+    )
+
+
+def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs):
+    """Prefix-sum sliding aggregation for very high size/slide ratios
+    (global, invertible aggs, slide | size).
+
+    stage 1: pane pre-aggregation at slide granularity (map-side
+             combinable; ≤ span/slide rows out).
+    stage 2: dense spine of panes from (first −) to (last + size −
+             slide), zero-filled; cumulative sums ordered by pane;
+             window value at end-pane e = cum[e] − cum[e − k] with
+             k = size/slide (row-based lag on the dense spine — exact).
+
+    Cost is span/slide spine rows regardless of the ratio; the spine is
+    time-bound, not data-bound, so a 100× data scale-up does not grow
+    it. The cumulative pass is one ordered window scan — for the global
+    case that is a single-partition sort of span/slide rows (the same
+    sequential dependency the reference's two-stacks algorithm has;
+    shard by coarse time ranges with per-range carry-in if the span
+    itself is huge).
+    """
+    k = size_sec // slide_sec
+
+    partials: dict[str, Column] = {}
+    for func, col, _alias in aggs:
+        if func in ("sum", "avg"):
+            partials[f"_sum_{col}"] = F.sum(F.col(col))
+        if func == "avg":
+            partials[f"_cnt_{col}"] = F.count(F.col(col))
+        if func == "count":
+            key = f"_cnt_{col}" if col else "_cnt_all"
+            partials[key] = F.count(F.col(col)) if col else F.count(F.lit(1))
+        if func == "w_avg":
+            v, w = col
+            partials[f"_wv_{v}_{w}"] = F.sum(F.col(w) * F.col(v))
+            partials[f"_ww_{w}"] = F.sum(F.col(w))
+    partials["_cnt__rows"] = F.count(F.lit(1))  # emission filter
+
+    us = epoch_us(df, ts_col)
+    stage1 = df.groupBy(_exact_bucket(us, slide_sec).alias("_pane")).agg(
+        *[c.alias(n) for n, c in partials.items()]
+    )
+
+    # dense spine [first_pane, last_pane + size - slide], step = slide
+    bounds = df.agg(
+        F.min(epoch_us(df, ts_col)).alias("_lo"), F.max(epoch_us(df, ts_col)).alias("_hi")
+    )
+    step_us = F.lit(slide_sec * US).cast("bigint")
+    first = ((F.col("_lo") - (F.col("_lo") % step_us)) / step_us).cast("bigint") * F.lit(slide_sec)
+    last = ((F.col("_hi") - (F.col("_hi") % step_us)) / step_us).cast("bigint") * F.lit(slide_sec) \
+        + F.lit(size_sec - slide_sec)
+    spine = bounds.select(
+        F.explode(F.sequence(first, last, F.lit(slide_sec).cast("bigint"))).alias("_pane")
+    )
+
+    from pyspark.sql import Window
+
+    dense = spine.join(stage1, "_pane", "left")
+    w_cum = Window.orderBy("_pane").rowsBetween(Window.unboundedPreceding, 0)
+    cums = {}
+    for n in partials:
+        cums[n] = F.sum(F.coalesce(F.col(n), F.lit(0))).over(w_cum)
+    cum = dense.select("_pane", *[c.alias(f"_c{n}") for n, c in cums.items()])
+
+    w_lag = Window.orderBy("_pane")
+    win = cum.select(
+        "_pane",
+        *[
+            (F.col(f"_c{n}") - F.coalesce(F.lag(f"_c{n}", k).over(w_lag), F.lit(0)))
+            .alias(f"_w{n}")
+            for n in partials
+        ],
+    )
+
+    finals: list[Column] = []
+    for func, col, alias in aggs:
+        if func == "sum":
+            finals.append(F.col(f"_w_sum_{col}").alias(alias))
+        elif func == "count":
+            key = f"_cnt_{col}" if col else "_cnt_all"
+            finals.append(F.col(f"_w{key}").alias(alias))
+        elif func == "avg":
+            finals.append((F.col(f"_w_sum_{col}") / F.col(f"_w_cnt_{col}")).alias(alias))
+        elif func == "w_avg":
+            v, wt = col
+            finals.append((F.col(f"_w_wv_{v}_{wt}") / F.col(f"_w_ww_{wt}")).alias(alias))
+
+    return (
+        win.filter(F.col("_w_cnt__rows") > 0)
+        .select(
+            (F.col("_pane") - F.lit(size_sec - slide_sec)).alias("window_start"), *finals
+        )
     )
 
 

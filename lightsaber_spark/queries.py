@@ -161,6 +161,77 @@ def sg1(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SG1 at the TRUE reference parameters — window(3600, 1): ratio 3600,
+# the workload LightSaber exists for. Per-row expansion would replicate
+# every row 3600×; the prefix-sum path costs one span-bound spine scan.
+# Output thinned to minute-aligned windows for the comparison only
+# (the filter sits above the window scan, so the full computation runs).
+# ---------------------------------------------------------------------------
+@query(
+    "sg1_ref_window_3600_1",
+    f"""
+    WITH e AS (SELECT ts, {CENTS} AS value_c FROM events),
+    p AS (SELECT epoch_us(ts) // 1000000 AS pane, sum(value_c) AS s,
+                 count(*) AS c
+          FROM e GROUP BY 1),
+    b AS (SELECT min(epoch_us(ts)) // 1000000 AS lo,
+                 max(epoch_us(ts)) // 1000000 AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(lo, hi + 3599, 1)) AS pane FROM b),
+    d AS (SELECT spine.pane, coalesce(s, 0) AS s, coalesce(c, 0) AS c
+          FROM spine LEFT JOIN p USING (pane)),
+    cum AS (SELECT pane,
+                   sum(s) OVER (ORDER BY pane ROWS UNBOUNDED PRECEDING) AS cs,
+                   sum(c) OVER (ORDER BY pane ROWS UNBOUNDED PRECEDING) AS cc
+            FROM d),
+    win AS (SELECT pane,
+                   cs - coalesce(lag(cs, 3600) OVER (ORDER BY pane), 0) AS ws,
+                   cc - coalesce(lag(cc, 3600) OVER (ORDER BY pane), 0) AS wc
+            FROM cum)
+    SELECT pane - 3599 AS window_start,
+           CAST(ws AS BIGINT) / 100.0 / wc AS avg_value, wc AS n
+    FROM win WHERE wc > 0 AND (pane - 3599) % 60 = 0
+    """,
+)
+def sg1_ref(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    r = windowed_agg(ev, "ts", 3600, 1,
+                     [("sum", "value_c", "sum_c"), ("count", None, "n")])
+    return r.filter(F.col("window_start") % 60 == 0).select(
+        "window_start",
+        (F.col("sum_c") / 100.0 / F.col("n")).alias("avg_value"), "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CM1 at the TRUE reference parameters — window(60, 1), grouped: the
+# pane path at ratio 60 (grouped windows can't use the global prefix
+# scan; panes explode 60× but pane count ≪ row count).
+# ---------------------------------------------------------------------------
+@query(
+    "cm1_ref_window_60_1",
+    f"""
+    WITH e AS (SELECT ts, user_id % 5 AS category, {CENTS} AS value_c FROM events),
+    x AS ({_slide_expand(60, 1, src="e")})
+    SELECT window_start, category,
+           CAST(sum(value_c) AS BIGINT) / 100.0 AS sum_value, count(*) AS n
+    FROM x GROUP BY 1, 2
+    HAVING window_start % 300 = 0
+    """,
+)
+def cm1_ref(spark, sf_dir):
+    ev = _with_cents(
+        _events(spark, sf_dir).withColumn("category", F.col("user_id") % 5)
+    )
+    r = windowed_agg(ev, "ts", 60, 1,
+                     [("sum", "value_c", "sum_c"), ("count", None, "n")],
+                     ["category"])
+    return r.filter(F.col("window_start") % 300 == 0).select(
+        "window_start", "category",
+        (F.col("sum_c") / 100.0).alias("sum_value"), "n",
+    )
+
+
+# ---------------------------------------------------------------------------
 # SG2 — tumbling avg grouped by multiple keys
 # (ref: SG2.cpp:21-31 — avg(value) GROUP BY plug,household,house, window(128,1))
 # ---------------------------------------------------------------------------

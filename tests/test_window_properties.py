@@ -47,3 +47,24 @@ import pytest
 def spark_session_holder(spark, events):
     # hypothesis can't take function-scoped fixtures; bundle session-scoped
     return spark, events.cache()
+
+
+def test_prefix_path_equals_pane_path(spark, events):
+    """The prefix-sum path (subtract-on-evict relationally) must equal
+    the pane path exactly — integer inputs make both orders exact."""
+    from pyspark.sql import functions as F
+
+    ev = events.withColumn("vc", F.round(F.col("value") * 100).cast("bigint"))
+    aggs = [("sum", "vc", "s"), ("count", None, "n"), ("avg", "vc", "a")]
+    pre = windowed_agg(ev, "ts", 3600, 60, aggs, use_prefix=True)
+    pane = windowed_agg(ev, "ts", 3600, 60, aggs, use_prefix=False, use_panes=True)
+    ok, msg = rows_match(pre.collect(), pane.collect(), float_tol=1e-9)
+    assert ok, msg
+
+
+def test_prefix_path_rejects_grouped(spark, events):
+    with pytest.raises(ValueError):
+        windowed_agg(
+            events, "ts", 3600, 60, [("count", None, "n")], ["event_type"],
+            use_prefix=True,
+        )
