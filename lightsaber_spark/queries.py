@@ -501,6 +501,26 @@ def range_join_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Approximate distinct (HLL++) — no oracle: DuckDB's approx sketch is a
+# different algorithm, so values differ by design; the driver records
+# the weaker rows-only check. The EXACT twin (window_distinct_users)
+# is the correctness anchor; this entry is the 100 TB path where exact
+# distinct's expand-shuffle is too expensive.
+# ---------------------------------------------------------------------------
+@query("window_approx_distinct_users", None)
+def window_approx_distinct(spark, sf_dir):
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            _exact_bucket(epoch_us(ev, "ts"), 3600).alias("window_start"), "event_type"
+        )
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # NoOp — identity / data-movement baseline
 # (ref: src/cql/operators/NoOp.h:14-65 — the reference's throughput-
 #  measurement operator; here: a full scan-and-forward of events)
