@@ -912,6 +912,83 @@ def tpch_q5(spark, sf_dir):
 
 
 @query(
+    "tpch_q10_returned_items",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_name, n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               / 10000.0 AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT * FROM r ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    joined = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))) / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    WITH e AS (
+      SELECT p_type,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS dp
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+    )
+    SELECT (100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN dp ELSE 0 END)
+                         AS BIGINT))
+             / CAST(sum(dp) AS BIGINT) AS promo_revenue_pct,
+           count(*) AS n
+    FROM e
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    """Two exact integer accumulators, ONE division at the end —
+    order-independent despite the conditional aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    e = li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_type",
+        (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("dp"),
+    )
+    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), F.col("dp")).otherwise(F.lit(0)))
+    return e.agg(
+        ((100.0 * promo) / F.sum("dp")).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "tpch_q6_banded_revenue",
     """
     SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
