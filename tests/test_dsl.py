@@ -127,6 +127,39 @@ def test_query_dag_connect_to(events):
     assert results[1].filter(F.col("count_value") <= 5).count() == 0
 
 
+def test_theta_join_dsl(events):
+    """DSL ThetaJoin (ThetaJoin.h:18-819): two-stream join with a
+    comparison predicate + the implicit window time bound."""
+    from lightsaber_spark.dsl import GT, ThetaJoin
+
+    l = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    r = events.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+    )
+    w = WindowDefinition(WindowMeasure.RANGE_BASED, 120, 120)
+    tj = ThetaJoin(
+        ComparisonPredicate(GT, ColumnReference("r_value"), ColumnReference("l_value"))
+    ).setup(r, w, w, left_ts="l_ts", right_ts="r_ts")
+    out = tj.apply(l)
+    got = out.filter(
+        (F.col("r_value") <= F.col("l_value"))
+        | (F.abs(F.col("r_ts").cast("double") - F.col("l_ts").cast("double")) > 120)
+    ).count()
+    assert got == 0
+    assert out.count() > 0
+
+
+def test_noop_dsl(events):
+    from lightsaber_spark.dsl import NoOp
+
+    out = NoOp().apply(events)
+    assert out.columns == events.columns
+    assert out.count() == events.count()
+
+
 def test_static_hash_join_dsl(tables):
     ev = tables["events"]
     dim = tables["customer"].select(
