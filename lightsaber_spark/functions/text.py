@@ -121,6 +121,32 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_punct_permille: int = 150,
+    max_stopword_permille: int = 600,
+) -> DataFrame:
+    """The quality GATE: keep documents passing the standard cheap
+    pretraining filters. All comparisons are exact integer arithmetic
+    (``n_punct·1000 ≤ max‰·n_chars``) — no float thresholds, so the
+    keep/drop decision is bit-stable across engines and data orders."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    return df.filter(
+        (n_tokens >= min_tokens)
+        & (n_punct * 1000 <= F.lit(max_punct_permille) * n_chars)
+        & (n_stop * 1000 <= F.lit(max_stopword_permille) * n_tokens)
+    )
+
+
 def language_id(c: Column) -> Column:
     """Marker-pattern language heuristic: count hits per language, take
     the argmax (ties → lexicographically larger code, consistent with

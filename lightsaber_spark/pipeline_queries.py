@@ -163,6 +163,32 @@ def q_token_count(spark, sf_dir):
 
 
 @query(
+    "documents_quality_gate",
+    f"""
+    WITH t AS (
+      SELECT source, {TOKS} AS toks,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents
+    ),
+    f AS (
+      SELECT source FROM t
+      WHERE len(toks) >= 20
+        AND n_punct * 1000 <= 150 * n_chars
+        AND len(list_filter(toks, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+              * 1000 <= 600 * len(toks)
+    )
+    SELECT source, count(*) AS n_kept FROM f GROUP BY 1
+    """,
+)
+def q_quality_gate(spark, sf_dir):
+    from lightsaber_spark.functions.text import quality_filter
+
+    kept = quality_filter(_docs(spark, sf_dir))
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@query(
     "text_winnow_fingerprints",
     f"""
     WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),

@@ -52,16 +52,27 @@ def streaming_row_window_agg(
     window_rows: int,
     aggs: Sequence[AggSpec],
     keys: Sequence[str] = (),
+    slide_rows: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators.row_window_agg`` (complete windows
     only). Output: ``*keys``, ``window_id`` (0-based per key), one
     column per agg spec.
+
+    ``slide_rows`` < ``window_rows`` gives SLIDING count windows
+    (slide must divide size): state keeps a deque of size/slide pane
+    partials — the row-based analog of the gcd-pane trick — so memory
+    is O(size/slide) regardless of window size. Window j covers rows
+    [j·slide, j·slide+size) and is emitted when its last pane fills.
 
     Supported aggs: sum/count/min/max/avg — the reference set
     (``AggregationType.h:12``). Partials kept in state are
     (sum, count, min, max) per agg column: all five compose from them
     across micro-batches.
     """
+    if slide_rows is not None and slide_rows != window_rows:
+        return _streaming_sliding_row_windows(
+            stream, order_cols, window_rows, slide_rows, aggs, keys
+        )
     import pandas as pd
 
     _check_aggs(aggs)
@@ -161,6 +172,135 @@ def streaming_row_window_agg(
                     close_window()
 
         state.update(tuple(st))
+        cols = [f.name for f in out_schema.fields]
+        yield pd.DataFrame(out_rows, columns=cols)
+
+    grouped = (
+        stream.groupBy(*keys)
+        if keys
+        else stream.withColumn(_GLOBAL_KEY, F.lit(0).cast("long")).groupBy(_GLOBAL_KEY)
+    )
+    out = grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+    return out if keys else out.drop(_GLOBAL_KEY)
+
+
+def _streaming_sliding_row_windows(
+    stream: DataFrame,
+    order_cols: Sequence[str],
+    size: int,
+    slide: int,
+    aggs: Sequence[AggSpec],
+    keys: Sequence[str],
+) -> DataFrame:
+    """Sliding count windows via a bounded deque of pane partials.
+
+    State = JSON (compact, Arrow-friendly): current-pane fill count +
+    up to size/slide completed pane partial tuples (sum, cnt, min, max
+    per agg column). When a pane completes and the deque holds
+    size/slide panes, the oldest-anchored window is emitted and the
+    oldest pane dropped — O(size/slide) state per key, the row-based
+    analog of ``WindowDefinition.h:80-90`` pane slicing.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    _check_aggs(aggs)
+    if size % slide != 0:
+        raise ValueError("slide must divide size for sliding row windows")
+    k = size // slide
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    in_fields = {f.name: f for f in stream.schema.fields}
+    agg_cols = sorted({c for _f, c, _a in aggs if c is not None})
+
+    key_fields = (
+        [in_fields[kc] for kc in keys]
+        if keys
+        else [StructField(_GLOBAL_KEY, LongType())]
+    )
+    out_schema = StructType(
+        key_fields
+        + [StructField("window_id", LongType())]
+        + [
+            StructField(
+                alias,
+                LongType()
+                if func == "count"
+                else DoubleType()
+                if func in ("avg", "sum")
+                else in_fields[col].dataType,
+            )
+            for func, col, alias in aggs
+        ]
+    )
+    state_schema = StructType([StructField("js", StringType())])
+
+    def _new_pane():
+        return {c: [0.0, 0, None, None] for c in agg_cols} | {"_n": 0}
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            st = json.loads(state.get[0])
+        else:
+            st = {"panes": [], "cur": _new_pane(), "done": 0}
+
+        out_rows = []
+
+        def close_pane():
+            st["panes"].append(st["cur"])
+            st["cur"] = _new_pane()
+            st["done"] += 1
+            if len(st["panes"]) == k:
+                # window anchored at pane (done - k): emit aggregate
+                wid = st["done"] - k
+                row = list(key) + [wid]
+                for func, col, _alias in aggs:
+                    if col is None:
+                        row.append(sum(p["_n"] for p in st["panes"]))
+                        continue
+                    ps = [p[col] for p in st["panes"]]
+                    if func == "sum":
+                        row.append(sum(p[0] for p in ps))
+                    elif func == "count":
+                        row.append(sum(p[1] for p in ps))
+                    elif func == "avg":
+                        cnt = sum(p[1] for p in ps)
+                        row.append(sum(p[0] for p in ps) / cnt if cnt else None)
+                    elif func == "min":
+                        vals = [p[2] for p in ps if p[2] is not None]
+                        row.append(min(vals) if vals else None)
+                    elif func == "max":
+                        vals = [p[3] for p in ps if p[3] is not None]
+                        row.append(max(vals) if vals else None)
+                out_rows.append(row)
+                st["panes"].pop(0)
+
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            vals = {c: pdf[c].to_numpy() for c in agg_cols}
+            n = len(pdf)
+            i = 0
+            while i < n:
+                take = min(slide - st["cur"]["_n"], n - i)
+                for c in agg_cols:
+                    chunk = vals[c][i : i + take]
+                    p = st["cur"][c]
+                    p[0] += float(chunk.sum())
+                    p[1] += int(len(chunk))
+                    mn, mx = float(chunk.min()), float(chunk.max())
+                    p[2] = mn if p[2] is None else min(p[2], mn)
+                    p[3] = mx if p[3] is None else max(p[3], mx)
+                st["cur"]["_n"] += take
+                i += take
+                if st["cur"]["_n"] == slide:
+                    close_pane()
+
+        state.update((json.dumps(st),))
         cols = [f.name for f in out_schema.fields]
         yield pd.DataFrame(out_rows, columns=cols)
 

@@ -301,6 +301,31 @@ def test_streaming_session_windows_match_batch(spark, events, events_stream_src,
     assert ok, msg
 
 
+def test_streaming_sliding_row_window_matches_batch(spark, events, events_stream_src, tmp_path):
+    """Sliding count windows (size=200, slide=50) per key: the pane-
+    deque stateful op vs the batch row_window_agg explode path."""
+    from lightsaber_spark.operators.row_window import row_window_agg
+
+    stream = _stream(spark, events_stream_src)
+    s = streaming_row_window_agg(
+        stream, ["ts", "event_id"], 200,
+        [("count", None, "n"), ("sum", "value", "sum_value"), ("min", "value", "min_value")],
+        keys=[], slide_rows=50,
+    )
+    got = run_available_now(s, str(tmp_path / "ck"), table_name="t_srw")
+
+    want = row_window_agg(
+        events, ["ts", "event_id"], 200, 50,
+        [("count", None, "n"), ("sum", "value", "sum_value"), ("min", "value", "min_value")],
+    ).filter(F.col("n") == 200)  # complete windows only
+    ok, msg = rows_match(
+        got.select("window_id", "n", "sum_value", "min_value").collect(),
+        want.select("window_id", "n", "sum_value", "min_value").collect(),
+        float_tol=1e-6,
+    )
+    assert ok, msg
+
+
 def test_streaming_row_window_global(spark, events, events_stream_src, tmp_path):
     stream = _stream(spark, events_stream_src, max_files=1)
     s = streaming_row_window_agg(

@@ -62,6 +62,34 @@ def test_prefix_path_equals_pane_path(spark, events):
     assert ok, msg
 
 
+@settings(max_examples=8, deadline=None)
+@given(delta=st.integers(min_value=30, max_value=7200))
+def test_theta_band_bucketing_equals_naive(spark_session_holder, delta):
+    """The bucketed band equi-join must produce exactly the pairs of a
+    naive cross-join + band filter for any max_delta — boundary rows
+    (|Δt| == delta) and bucket-edge rows included."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.operators import theta_join
+
+    spark, events = spark_session_holder
+    l = events.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("lid"), F.col("ts").alias("l_ts")
+    )
+    r = events.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("rid"), F.col("ts").alias("r_ts")
+    )
+    got = theta_join(l, r, None, "l_ts", "r_ts", max_delta_sec=delta).select("lid", "rid")
+
+    lt = F.col("l_ts").cast("double")
+    rt = F.col("r_ts").cast("double")
+    want = l.crossJoin(r).filter(
+        (rt >= lt - delta) & (rt <= lt + delta)
+    ).select("lid", "rid")
+    ok, msg = rows_match(got.collect(), want.collect())
+    assert ok, f"delta={delta}: {msg}"
+
+
 def test_prefix_path_rejects_grouped(spark, events):
     with pytest.raises(ValueError):
         windowed_agg(
