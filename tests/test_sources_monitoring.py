@@ -40,6 +40,35 @@ def test_partitioned_write_prunes(spark, tables, tmp_path):
     assert "event_type" in plan
 
 
+def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
+    """Both sides bucketed+sorted on the key ⇒ sort-merge join with
+    ZERO shuffle exchanges (the big-big join layout for 100 TB)."""
+    from lightsaber_spark.sources.bucketing import (
+        assert_no_shuffle,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(tables["events"], "t_ev_bucketed", ["user_id"], n_buckets=8)
+        write_bucketed(
+            tables["orders"].withColumnRenamed("o_custkey", "user_id"),
+            "t_ord_bucketed", ["user_id"], n_buckets=8,
+        )
+        j = bucketed_join(spark, "t_ev_bucketed", "t_ord_bucketed", "user_id")
+        assert_no_shuffle(j)
+        want = tables["events"].join(
+            tables["orders"].withColumnRenamed("o_custkey", "user_id"), "user_id"
+        )
+        assert j.count() == want.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
 def test_compression_codecs(spark, tables, tmp_path):
     """Scabbard's adaptive checkpoint compression (reference
     src/compression/*) maps to storage-layer codecs: same rows back,
