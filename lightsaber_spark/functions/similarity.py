@@ -150,22 +150,53 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding
-    self-matches by id). The correctness baseline: broadcast the query
-    side (small), scan the corpus once, per-query heap via rank.
+    self-matches by id).
 
-    At 100 TB the corpus side stays partitioned and un-shuffled; only
-    queries (k·|Q| rows) move. Ties break by neighbor id ascending."""
-    q = _prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
-        {"_sv": "_qv", "_norm": "_qn"}
-    )
-    c = _prep(corpus, id_col, vec_col, "neighbor_id")
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            _scaled_dot(F.col("_qv"), F.col("_sv")) / (F.col("_qn") * F.col("_norm")),
-        )
+    The query set is collected driver-side (top-k seekers are small by
+    definition — for large query sets use the LSH/IVF paths) and
+    embedded as a matrix; each corpus partition computes one GEMM
+    against it and keeps only its LOCAL top-k per query (exact: the
+    global top-k is a subset of the union of per-partition top-k).
+    Shuffle volume is partitions·|Q|·k rows instead of |corpus|·|Q| —
+    the corpus is scanned once, never shuffled, and the float64-on-
+    integers GEMM is exact (see CLAUDE.md). Ties break by neighbor id
+    ascending."""
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    y = qm * SCALE
+    qs = np.sign(y) * np.floor(np.abs(y) + 0.5)
+    qn = np.sqrt((qs * qs).sum(axis=1))
+
+    def part(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            ym = m * SCALE
+            s = np.sign(ym) * np.floor(np.abs(ym) + 0.5)
+            norms = np.sqrt((s * s).sum(axis=1))
+            cos = (qs @ s.T) / (qn[:, None] * norms[None, :])  # (nq, nb)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                row = cos[qi]
+                mask = ids != q_ids[qi]
+                cand_n, cand_c = ids[mask], row[mask]
+                if len(cand_c) > k:
+                    # exact local top-k with (cos desc, id asc) ties
+                    order = np.lexsort((cand_n, -cand_c))[:k]
+                else:
+                    order = np.argsort(-cand_c, kind="stable")
+                out_q.extend([q_ids[qi]] * len(cand_n[order]))
+                out_n.extend(cand_n[order])
+                out_c.extend(cand_c[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        part, "query_id bigint, neighbor_id bigint, cosine double"
     )
     from pyspark.sql import Window
 
