@@ -108,19 +108,48 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """``(_id, _shs: array<string>)`` — the materialization point of the
+    dedup ladder. The Arrow-UDF shingle extraction is the expensive leaf
+    of every similarity plan and is referenced by several branches
+    (inverted index, set sizes, MinHash signatures, self-join sides), so
+    it is ``persist()``-ed (lazy — populated on first evaluation,
+    MEMORY_AND_DISK via default level) rather than recomputed per
+    branch. At corpus scale this is the 'build the shingle index once'
+    step a real pipeline would materialize anyway."""
+    out = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles_udf(k)(F.col(text_col)).alias("_shs"),
+    )
+    return out.persist() if persist else out
+
+
 def _shingle_index(
     df: DataFrame, text_col: str, id_col: str, k: int, max_doc_freq: int | None
 ) -> DataFrame:
     """Exploded (id, shingle) inverted index with optional stop-shingle
     removal (doc-frequency cutoff — the scalability valve)."""
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles_udf(k)(F.col(text_col))).alias("_sh"),
-    )
+    return _index_from_arrays(shingle_arrays(df, text_col, id_col, k), max_doc_freq)
+
+
+def _index_from_arrays(arr: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    ex = arr.select("_id", F.explode("_shs").alias("_sh"))
     if max_doc_freq is not None:
         freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
         ex = ex.join(freq.filter(F.col("_df") <= max_doc_freq).select("_sh"), "_sh")
     return ex
+
+
+def _sizes_from_arrays(arr: DataFrame, ex: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Per-doc shingle-set size. Without a doc-frequency cutoff it is
+    ``size(_shs)`` straight off the cached arrays — no shuffle; with a
+    cutoff it must count the post-filter index rows."""
+    if max_doc_freq is None:
+        return arr.select("_id", F.size("_shs").cast("bigint").alias("_n"))
+    return ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
 
 def ngram_jaccard_pairs(
@@ -135,8 +164,9 @@ def ngram_jaccard_pairs(
     inverted-index join (never an all-pairs scan). The threshold test is
     exact integer arithmetic: |A∩B| >= τ(|A|+|B|-|A∩B|) evaluated as
     100000·i >= τ·100000·(na+nb-i)."""
-    ex = _shingle_index(df, text_col, id_col, k, max_doc_freq)
-    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    arr = shingle_arrays(df, text_col, id_col, k)
+    ex = _index_from_arrays(arr, max_doc_freq)
+    sizes = _sizes_from_arrays(arr, ex, max_doc_freq)
     # singleton shingles (df=1, the vast majority in natural text) can't
     # match in the self-join — prune them first; sizes above still count
     # the full shingle sets, so Jaccard values are unchanged
@@ -172,15 +202,16 @@ def minhash_signature(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    _arr: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig[j] = min over shingles s of
     (a_j·h30(s) + b_j) mod (2^61−1). One explode + one aggregation;
     constants are reproducible from the seed (same in the oracle)."""
     consts = _lcg_constants(n_hashes, seed)
-    ex = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(word_shingles_udf(k)(F.col(text_col))).alias("_sh"),
-    ).withColumn("_x", shingle_hash(F.col("_sh")) % X_BITS)
+    arr = _arr if _arr is not None else shingle_arrays(df, text_col, id_col, k)
+    ex = arr.select("_id", F.explode("_shs").alias("_sh")).withColumn(
+        "_x", shingle_hash(F.col("_sh")) % X_BITS
+    )
     mins = [
         F.min((F.lit(a) * F.col("_x") + F.lit(b)) % MERSENNE_61).alias(f"h{j}")
         for j, (a, b) in enumerate(consts)
@@ -210,7 +241,8 @@ def minhash_lsh_pairs(
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    sig = minhash_signature(df, n_hashes, k, text_col, id_col, seed)
+    arr = shingle_arrays(df, text_col, id_col, k)
+    sig = minhash_signature(df, n_hashes, k, text_col, id_col, seed, _arr=arr)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"h{b*r+j}") for j in range(r)])).alias(f"band{b}")
         for b in range(bands)
@@ -236,7 +268,7 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return _jaccard_for_pairs(df, cands, threshold, k, text_col, id_col, max_doc_freq)
+    return _jaccard_for_pairs(df, cands, threshold, k, text_col, id_col, max_doc_freq, _arr=arr)
 
 
 def _jaccard_for_pairs(
@@ -247,6 +279,7 @@ def _jaccard_for_pairs(
     text_col: str,
     id_col: str,
     max_doc_freq: int | None = None,
+    _arr: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard evaluated ONLY for the given candidate pairs.
 
@@ -256,8 +289,9 @@ def _jaccard_for_pairs(
     O(|candidates| · shingles/doc), independent of corpus pair count.
     Same output columns/values as :func:`ngram_jaccard_pairs` restricted
     to the pairs."""
-    ex = _shingle_index(df, text_col, id_col, k, max_doc_freq)
-    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    arr = _arr if _arr is not None else shingle_arrays(df, text_col, id_col, k)
+    ex = _index_from_arrays(arr, max_doc_freq)
+    sizes = _sizes_from_arrays(arr, ex, max_doc_freq)
     a_sh = ex.select(F.col("_id").alias("id_a"), "_sh")
     b_sh = ex.select(F.col("_id").alias("id_b"), "_sh")
     common = (
@@ -391,9 +425,19 @@ def duplicate_groups(
     relation appears twice per round, so a lazy plan doubles every
     iteration), and iteration stops early once no label changes.
     """
+    # Symmetrize with one explode, not a two-branch union: the pairs
+    # plan (often an expensive similarity join) must be evaluated once,
+    # not once per union branch.
     edges = (
-        pairs.select(F.col(id_a).alias("v"), F.col(id_b).alias("u"))
-        .union(pairs.select(F.col(id_b).alias("v"), F.col(id_a).alias("u")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("v"), F.col(id_b).alias("u")),
+                    F.struct(F.col(id_b).alias("v"), F.col(id_a).alias("u")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.v", "_e.u")
         .distinct()
         .localCheckpoint()
     )

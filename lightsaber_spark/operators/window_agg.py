@@ -297,13 +297,17 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs):
 
     Cost is span/slide spine rows regardless of the ratio; the spine is
     time-bound, not data-bound, so a 100× data scale-up does not grow
-    it. The cumulative pass is one ordered window scan — for the global
-    case that is a single-partition sort of span/slide rows (the same
-    sequential dependency the reference's two-stacks algorithm has;
-    shard by coarse time ranges with per-range carry-in if the span
-    itself is huge).
+    it. The cumulative pass is **chunk-parallel**, not a global sort:
+    the spine is cut into chunks of ``panes_per_chunk`` panes, each
+    chunk also receives the previous chunk's last k panes as carry rows,
+    and cum − lag(k) is evaluated per chunk partition (every own row has
+    its full k-pane history locally, so the per-chunk difference equals
+    the global one — offsets cancel). One shuffle, parallel across
+    chunks, exact for any span.
     """
     k = size_sec // slide_sec
+    # carry must come from the immediately-previous chunk only
+    panes_per_chunk = max(k, 1 << 16)
 
     partials: dict[str, Column] = {}
     for func, col, _alias in aggs:
@@ -318,21 +322,23 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs):
             v, w = col
             partials[f"_wv_{v}_{w}"] = F.sum(F.col(w) * F.col(v))
             partials[f"_ww_{w}"] = F.sum(F.col(w))
-    partials["_cnt__rows"] = F.count(F.lit(1))  # emission filter
+    # emission filter: reuse an existing count(*) partial if present
+    rows_key = "_cnt_all" if "_cnt_all" in partials else "_cnt__rows"
+    if rows_key == "_cnt__rows":
+        partials["_cnt__rows"] = F.count(F.lit(1))
 
     us = epoch_us(df, ts_col)
     stage1 = df.groupBy(_exact_bucket(us, slide_sec).alias("_pane")).agg(
         *[c.alias(n) for n, c in partials.items()]
     )
 
-    # dense spine [first_pane, last_pane + size - slide], step = slide
-    bounds = df.agg(
-        F.min(epoch_us(df, ts_col)).alias("_lo"), F.max(epoch_us(df, ts_col)).alias("_hi")
-    )
-    step_us = F.lit(slide_sec * US).cast("bigint")
-    first = ((F.col("_lo") - (F.col("_lo") % step_us)) / step_us).cast("bigint") * F.lit(slide_sec)
-    last = ((F.col("_hi") - (F.col("_hi") % step_us)) / step_us).cast("bigint") * F.lit(slide_sec) \
-        + F.lit(size_sec - slide_sec)
+    # dense spine [first_pane, last_pane + size - slide], step = slide.
+    # Bounds come from stage1 (min/max pane), not a second scan of the
+    # base table: the two stage1 occurrences are identical subplans, so
+    # Catalyst's ReuseExchange evaluates the pre-aggregation once.
+    bounds = stage1.agg(F.min("_pane").alias("_lo"), F.max("_pane").alias("_hi"))
+    first = F.col("_lo")
+    last = F.col("_hi") + F.lit(size_sec - slide_sec)
     spine = bounds.select(
         F.explode(F.sequence(first, last, F.lit(slide_sec).cast("bigint"))).alias("_pane")
     )
@@ -340,21 +346,42 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs):
     from pyspark.sql import Window
 
     dense = spine.join(stage1, "_pane", "left")
-    w_cum = Window.orderBy("_pane").rowsBetween(Window.unboundedPreceding, 0)
+    # chunk-parallel prefix: pane index → chunk; the last k panes of each
+    # chunk are duplicated into the next chunk as carry (non-own) rows
+    p_idx = (F.col("_pane") / F.lit(slide_sec)).cast("bigint")
+    own_chunk = F.floor(p_idx / F.lit(panes_per_chunk)).cast("bigint")
+    assigns = F.when(
+        p_idx % F.lit(panes_per_chunk) >= F.lit(panes_per_chunk - k),
+        F.array(own_chunk, own_chunk + 1),
+    ).otherwise(F.array(own_chunk))
+    ext = dense.withColumn("_chunk", F.explode(assigns))
+
+    w_cum = (
+        Window.partitionBy("_chunk").orderBy("_pane").rowsBetween(Window.unboundedPreceding, 0)
+    )
     cums = {}
     for n in partials:
         cums[n] = F.sum(F.coalesce(F.col(n), F.lit(0))).over(w_cum)
-    cum = dense.select("_pane", *[c.alias(f"_c{n}") for n, c in cums.items()])
+    cum = ext.select(
+        "_chunk",
+        "_pane",
+        (own_chunk == F.col("_chunk")).alias("_own"),
+        *[c.alias(f"_c{n}") for n, c in cums.items()],
+    )
 
-    w_lag = Window.orderBy("_pane")
+    # every own row has >= k local predecessors (its chunk's carry rows),
+    # except in chunk 0 where the global cumulative IS the local one — in
+    # both cases cum − coalesce(lag(k), 0) equals the exact window value
+    w_lag = Window.partitionBy("_chunk").orderBy("_pane")
     win = cum.select(
         "_pane",
+        "_own",
         *[
             (F.col(f"_c{n}") - F.coalesce(F.lag(f"_c{n}", k).over(w_lag), F.lit(0)))
             .alias(f"_w{n}")
             for n in partials
         ],
-    )
+    ).filter(F.col("_own"))
 
     finals: list[Column] = []
     for func, col, alias in aggs:
@@ -370,7 +397,7 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs):
             finals.append((F.col(f"_w_wv_{v}_{wt}") / F.col(f"_w_ww_{wt}")).alias(alias))
 
     return (
-        win.filter(F.col("_w_cnt__rows") > 0)
+        win.filter(F.col(f"_w{rows_key}") > 0)
         .select(
             (F.col("_pane") - F.lit(size_sec - slide_sec)).alias("window_start"), *finals
         )
