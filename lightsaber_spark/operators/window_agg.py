@@ -130,6 +130,7 @@ def windowed_agg(
     prefix_threshold: int = 64,
     use_panes: bool | None = None,
     use_prefix: bool | None = None,
+    prefix_panes_per_chunk: int | None = None,
 ) -> DataFrame:
     """Event-time (RANGE_BASED) windowed aggregation.
 
@@ -172,7 +173,9 @@ def windowed_agg(
             "prefix path needs global (no keys), invertible aggs, slide | size"
         )
     if use_prefix:
-        return _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs)
+        return _sliding_prefix(
+            df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=prefix_panes_per_chunk
+        )
     if use_panes is None:
         use_panes = ratio >= pane_threshold
     if use_panes:
@@ -284,7 +287,7 @@ def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
     )
 
 
-def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs):
+def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None):
     """Prefix-sum sliding aggregation for very high size/slide ratios
     (global, invertible aggs, slide | size).
 
@@ -307,7 +310,7 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs):
     """
     k = size_sec // slide_sec
     # carry must come from the immediately-previous chunk only
-    panes_per_chunk = max(k, 1 << 16)
+    panes_per_chunk = max(k, panes_per_chunk or 1 << 16)
 
     partials: dict[str, Column] = {}
     for func, col, _alias in aggs:

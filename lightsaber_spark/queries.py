@@ -521,6 +521,26 @@ def window_approx_distinct(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# KMV distinct sketch — the strong-checked approximate-distinct path:
+# unlike HLL, every randomized choice derives from md5(value), so DuckDB
+# reproduces the identical estimate (functions/sketches.py). k=64 so the
+# estimator branch actually fires at the driver's sf0.01 gate (150
+# distinct users per event_type there); below 64 distinct it is exact.
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.sketches import kmv_distinct, kmv_oracle_sql  # noqa: E402
+
+
+@query(
+    "kmv_distinct_users_by_type",
+    kmv_oracle_sql("events", ["event_type"], "user_id", k=64,
+                   out_col="n_users_kmv"),
+)
+def kmv_distinct_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64, out_col="n_users_kmv")
+
+
+# ---------------------------------------------------------------------------
 # NoOp — identity / data-movement baseline
 # (ref: src/cql/operators/NoOp.h:14-65 — the reference's throughput-
 #  measurement operator; here: a full scan-and-forward of events)

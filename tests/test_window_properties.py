@@ -90,6 +90,25 @@ def test_theta_band_bucketing_equals_naive(spark_session_holder, delta):
     assert ok, f"delta={delta}: {msg}"
 
 
+def test_prefix_chunked_carry_equals_pane_path(spark, events):
+    """The chunk-parallel prefix path with tiny chunks (forcing many
+    chunk boundaries and carry rows) must equal the pane path exactly —
+    the carry trick (each chunk prepends the previous chunk's last k
+    panes so cum − lag(k) stays exact per partition) is invisible at
+    default chunk size on test-scale spines."""
+    from pyspark.sql import functions as F
+
+    ev = events.withColumn("vc", F.round(F.col("value") * 100).cast("bigint"))
+    aggs = [("sum", "vc", "s"), ("count", None, "n"), ("avg", "vc", "a")]
+    # k = 60 panes per window; 64-pane chunks → carries cross every chunk
+    pre = windowed_agg(
+        ev, "ts", 3600, 60, aggs, use_prefix=True, prefix_panes_per_chunk=64
+    )
+    pane = windowed_agg(ev, "ts", 3600, 60, aggs, use_prefix=False, use_panes=True)
+    ok, msg = rows_match(pre.collect(), pane.collect(), float_tol=1e-9)
+    assert ok, msg
+
+
 def test_prefix_path_rejects_grouped(spark, events):
     with pytest.raises(ValueError):
         windowed_agg(
