@@ -4,7 +4,13 @@ from lightsaber_spark.operators.row_window import (
     row_window_agg,
     with_global_row_index,
 )
-from lightsaber_spark.operators.joins import static_hash_join, theta_join, asof_join, range_join
+from lightsaber_spark.operators.joins import (
+    asof_join,
+    range_join,
+    salted_join,
+    static_hash_join,
+    theta_join,
+)
 from lightsaber_spark.operators.topk import post_window_argmax, window_topk
 
 __all__ = [
@@ -16,6 +22,7 @@ __all__ = [
     "theta_join",
     "asof_join",
     "range_join",
+    "salted_join",
     "post_window_argmax",
     "window_topk",
 ]

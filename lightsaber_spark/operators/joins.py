@@ -87,6 +87,44 @@ def theta_join(
     return l2.join(r2, "_tj_bkt").filter(cond).drop("_tj_bkt")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi join: hot keys on the (large, skewed) left
+    side no longer land in one reducer.
+
+    Left rows get a deterministic salt in ``[0, n_salts)`` (xxhash64 of
+    the full row — stable under task retry); the (smaller) right side is
+    replicated ``n_salts``× via ``explode``; the join key becomes
+    ``(key, salt)``, so each hot key fans out over ``n_salts`` reducers.
+    Result is exactly the plain equi join — salting only changes the
+    partitioning. AQE's skew-join handles *sort-merge* skew splits
+    automatically; explicit salting is the declarative fallback that
+    also works for hash joins, bucketed layouts, and streaming
+    micro-batches where AQE cannot re-plan.
+
+    ``how`` supports inner/left joins (right replication makes
+    right-outer semantics ambiguous per salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner|left")
+    keys = [on] if isinstance(on, str) else list(on)
+    l2 = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    r2 = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint"))
+        ),
+    )
+    return l2.join(r2, keys + ["_salt"], how).drop("_salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -501,6 +501,40 @@ def range_join_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Salted skew join — 75% of event rows share one key; the salt spreads
+# the hot key over n_salts reducers while the result stays the exact
+# equi join (operators/joins.py salted_join). At this SF a broadcast
+# would hide the skew, so the build side is left un-broadcast on
+# purpose; the oracle is the plain join.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_skew_join_counts",
+    """
+    WITH e AS (SELECT CASE WHEN user_id % 4 > 0 THEN 1 ELSE user_id END AS k
+               FROM events)
+    SELECT c_mktsegment, count(*) AS n_events
+    FROM e JOIN customer ON c_custkey = k
+    GROUP BY 1
+    """,
+)
+def salted_skew_join(spark, sf_dir):
+    from lightsaber_spark.operators import salted_join
+
+    t = load_tables(spark, sf_dir, ("events", "customer"))
+    ev = t["events"].select(
+        F.when(F.col("user_id") % 4 > 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("k")
+    )
+    cust = t["customer"].select(
+        F.col("c_custkey").cast("bigint").alias("k"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, "k", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct (HLL++) — no oracle: DuckDB's approx sketch is a
 # different algorithm, so values differ by design; the driver records
 # the weaker rows-only check. The EXACT twin (window_distinct_users)
@@ -737,6 +771,75 @@ def tpch_q1(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals (SURVEY §2.8: grouping sets/rollup do
+# not exist in the reference; free relational surface here). Exactness:
+# integer-cent sums, one division at the end; rollup NULL rows compare
+# as NULLs in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_revenue_flag_status",
+    """
+    WITH e AS (SELECT l_returnflag, l_linestatus,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+               FROM lineitem)
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(price_c) AS BIGINT) / 100.0 AS revenue,
+           count(*) AS n_lines
+    FROM e GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    e = li.select(
+        "l_returnflag", "l_linestatus", _cents("l_extendedprice").alias("price_c")
+    )
+    return e.rollup("l_returnflag", "l_linestatus").agg(
+        (F.sum("price_c") / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (SURVEY §2.8; distinct set
+# semantics in both engines: Spark intersect/subtract = INTERSECT /
+# EXCEPT DISTINCT).
+# ---------------------------------------------------------------------------
+@query(
+    "setop_engaged_non_buyers",
+    """
+    WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id, event_type
+                FROM events)
+    SELECT user_id, day_id FROM (
+      (SELECT user_id, day_id FROM ud WHERE event_type = 'click'
+       INTERSECT
+       SELECT user_id, day_id FROM ud WHERE event_type = 'view')
+      EXCEPT
+      SELECT user_id, day_id FROM ud WHERE event_type = 'purchase'
+    ) t
+    """,
+)
+def setop_engaged_non_buyers(spark, sf_dir):
+    """(user, day) pairs that clicked AND viewed but did not purchase
+    that day — distinct set semantics at day granularity (integer day
+    ids: exact cross-engine)."""
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    ev = _events(spark, sf_dir)
+    us = epoch_us(ev, "ts")
+    step = F.lit(86_400_000_000).cast("bigint")
+    ud = ev.select(
+        "user_id",
+        ((us - us % step) / step).cast("bigint").alias("day_id"),
+        "event_type",
+    )
+
+    def pairs(et):
+        return ud.filter(F.col("event_type") == et).select("user_id", "day_id")
+
+    return pairs("click").intersect(pairs("view")).subtract(pairs("purchase"))
+
+
+# ---------------------------------------------------------------------------
 # LRB3 — two-stage query DAG: windowed agg → row window over its output
 # (ref: applicationsWithCheckpoints/LinearRoadBenchmark/LRB3.cpp:677-738 —
 #  stage 1 windowed cnt, stage 2 row window 1024/1024; DAG wiring via
@@ -850,6 +953,98 @@ def tpch_q3(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (SURVEY §2.7 lists them as absent in the reference;
+# first-class here). Semi = TPC-H q4 shape; anti = the classic
+# customers-without-orders.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_returnflag = 'R')
+    GROUP BY 1
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H q4 shape — left-semi join: orders with at least one
+    qualifying lineitem (returned, as the synthetic lineitem carries no
+    commit/receipt dates). The EXISTS becomes one semi join — probe
+    side streams, no fan-out, dedup-free."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    late = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        t["orders"]
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "anti_join_churned_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def anti_join_churned(spark, sf_dir):
+    """Left-anti join: customers with no order since 2000 ('churned'),
+    counted by segment (NOT EXISTS → one anti join, the retention /
+    dedup-complement shape)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        t["customer"]
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — long→wide reshaping over a fixed category list (deterministic
+# schema; oracle = conditional aggregation with identical aliases).
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pivot_event_counts_by_day",
+    f"""
+    SELECT epoch_us(ts) // 86400000000 AS day_id,
+           {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    ev = _events(spark, sf_dir)
+    us = epoch_us(ev, "ts")
+    step = F.lit(86_400_000_000).cast("bigint")
+    day = ((us - us % step) / step).cast("bigint").alias("day_id")
+    out = (
+        ev.select(day, "event_type")
+        .groupBy("day_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields null for absent (day, type) combos; the oracle's
+    # conditional sum yields 0 — normalize
+    return out.select(
+        "day_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
 
 

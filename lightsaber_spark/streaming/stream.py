@@ -127,6 +127,31 @@ def streaming_theta_join(
     return l_wm.join(r_wm, cond, "inner").drop("_tj_bkt")
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys`` — the streaming twin of
+    the batch dedup ladder's exact rung (functions/dedup.py) and a
+    first-class training-pipeline ingest op (drop re-delivered /
+    re-crawled records as they arrive).
+
+    With ``ts_col`` the state store keeps one entry per key only within
+    the watermark horizon (``dropDuplicatesWithinWatermark``): bounded
+    state, the 100 TB-ingest mode — duplicates are only suppressed while
+    their first occurrence is younger than the watermark delay, exactly
+    the re-delivery window guarantee at-least-once sources need. Without
+    ``ts_col`` state is unbounded (global exact dedup, batch-replay
+    parity)."""
+    keys = list(keys)
+    if ts_col is None:
+        return stream.dropDuplicates(keys)
+    wm = stream.withWatermark(ts_col, watermark)
+    return wm.dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -20,6 +20,7 @@ from lightsaber_spark.streaming import (
     run_available_now,
     streaming_windowed_agg,
 )
+from lightsaber_spark.streaming.stream import streaming_dedup
 from lightsaber_spark.streaming.row_windows import streaming_row_window_agg
 
 
@@ -335,3 +336,48 @@ def test_streaming_row_window_global(spark, events, events_stream_src, tmp_path)
     n_rows = events.count()
     assert sorted(r.window_id for r in got.collect()) == list(range(n_rows // 1000))
     assert all(r.n == 1000 for r in got.collect())
+
+
+def test_streaming_dedup_cross_batch(spark, events, tmp_path):
+    """Re-delivered records across micro-batches: file 2 replays file 1
+    verbatim; global streaming_dedup (unbounded state) must emit each
+    event_id exactly once — equal to batch dropDuplicates."""
+    src = str(tmp_path / "dup_src")
+    ev = events.select("event_id", "ts", "user_id").sort("ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    ev.coalesce(1).write.mode("append").parquet(src + "/f1")  # second copy
+    schema = spark.read.parquet(src + "/f1").schema
+    stream = read_stream(spark, src + "/f1", schema, max_files_per_trigger=1)
+    got = run_available_now(
+        streaming_dedup(stream, ["event_id"]),
+        str(tmp_path / "ck_dedup"), table_name="t_dedup",
+    )
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    want = [r.event_id for r in ev.select("event_id").distinct().collect()]
+    assert sorted(ids) == sorted(want)
+    assert len(ids) == len(set(ids))  # each exactly once
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Bounded-state mode: duplicates inside the re-delivery window are
+    suppressed (dropDuplicatesWithinWatermark keeps state only within
+    the watermark horizon)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for i in range(50):
+        t = base + dt.timedelta(seconds=i)
+        rows.append((i, t))
+        rows.append((i, t))  # same-batch duplicate
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    src = str(tmp_path / "wm_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+    got = run_available_now(
+        streaming_dedup(stream, ["id"], ts_col="ts", watermark="10 seconds"),
+        str(tmp_path / "ck_wm"), table_name="t_dedup_wm",
+    )
+    ids = [r.id for r in got.collect()]
+    assert sorted(ids) == list(range(50))

@@ -109,6 +109,32 @@ def test_prefix_chunked_carry_equals_pane_path(spark, events):
     assert ok, msg
 
 
+@settings(max_examples=6, deadline=None)
+@given(n_salts=st.integers(min_value=1, max_value=32))
+def test_salted_join_equals_plain_join(spark_session_holder, n_salts):
+    """Salting only changes partitioning: for any salt count the result
+    must be exactly the plain equi join, hot keys included."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.operators import salted_join
+
+    spark, events = spark_session_holder
+    # heavy skew: ~75% of rows share key 1
+    l = events.select(
+        F.when(F.col("user_id") % 4 > 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .cast("bigint")
+        .alias("k"),
+        "event_id",
+    )
+    r = events.select(F.col("user_id").cast("bigint").alias("k"), "event_type").distinct()
+    got = salted_join(l, r, "k", n_salts=n_salts)
+    want = l.join(r, "k")
+    ok, msg = rows_match(got.select("k", "event_id", "event_type").collect(),
+                         want.select("k", "event_id", "event_type").collect())
+    assert ok, f"n_salts={n_salts}: {msg}"
+
+
 def test_prefix_path_rejects_grouped(spark, events):
     with pytest.raises(ValueError):
         windowed_agg(
