@@ -316,13 +316,35 @@ def _jaccard_for_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    use_udf: bool = True,
 ) -> DataFrame:
     """60-bit SimHash over word tokens (term-frequency weighted): bit i
     of the fingerprint is the sign of Σ_tokens (2·bit_i(h(token)) − 1).
 
-    Implemented as explode(tokens) × explode(bits) → one aggregation —
-    shuffle volume is tokens×bits but all map-side combinable."""
+    Two bit-identical implementations:
+    - ``use_udf=True`` (default): one Arrow-batched pandas UDF per doc —
+      tokenize, hash unique tokens (hashlib md5 == Spark/DuckDB md5),
+      one numpy bit-matrix reduction. Zero shuffle before the
+      fingerprint exists; the relational form moves tokens×bits rows
+      through an exchange (60× amplification) to compute the same 60
+      integers per doc.
+    - ``use_udf=False``: the relational explode(tokens)×explode(bits)
+      form — the semantics anchor (mirrors the DuckDB oracle CTE), kept
+      for the equivalence test and UDF-free contexts.
+
+    Docs with zero tokens are absent from the output in both forms
+    (explode of an empty array emits nothing)."""
+    if use_udf:
+        sh = simhash_udf(bits)
+        out = df.select(
+            F.col(id_col),
+            sh(F.col(text_col)).alias("simhash"),
+        )
+        return out.filter(F.col("simhash").isNotNull())
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("_tok"),
@@ -348,6 +370,52 @@ def simhash(
         .agg(F.sum("_bitval").alias("simhash"))
         .withColumnRenamed("_id", id_col)
     )
+
+
+def simhash_udf(bits: int = 60):
+    """Arrow-batched SimHash: per doc, token frequencies × a ±1 bit
+    matrix of the tokens' 60-bit md5 hashes, reduced with one numpy
+    matmul-style sum. hashlib md5 == Spark/DuckDB ``md5``, and all
+    arithmetic is integer, so fingerprints are bit-identical to the
+    relational form. Returns NULL for token-less docs (dropped by the
+    caller to match explode semantics). A per-batch token→hash memo
+    exploits the shared vocabulary."""
+    import hashlib
+
+    import numpy as np
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf("bigint")
+    def _sh(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def h60(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                memo[tok] = v
+            return v
+
+        out = []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            if not toks:
+                out.append(None)
+                continue
+            freq: dict[str, int] = {}
+            for tok in toks:
+                freq[tok] = freq.get(tok, 0) + 1
+            hs = np.fromiter((h60(k) for k in freq), dtype=np.uint64, count=len(freq))
+            ws = np.fromiter(freq.values(), dtype=np.int64, count=len(freq))
+            signs = ((hs[:, None] >> bit_idx) & 1).astype(np.int64) * 2 - 1
+            sums = (ws[:, None] * signs).sum(axis=0)
+            fp = int(((sums > 0).astype(np.uint64) << bit_idx).sum())
+            out.append(fp)
+        return pd.Series(out, dtype="object")
+
+    return _sh
 
 
 def simhash_pairs(

@@ -30,3 +30,15 @@ def test_kmv_global_no_groups(spark):
     df = spark.range(0, 30).select(F.col("id").alias("v"))
     [row] = kmv_distinct(df, [], "v", k=64, out_col="n").collect()
     assert row["n"] == 30
+
+
+def test_simhash_udf_equals_relational(spark, tables):
+    """The Arrow-batched SimHash must be bit-identical to the
+    explode(tokens)×explode(bits) relational form (hashlib md5 ==
+    Spark md5; integer-only arithmetic)."""
+    from lightsaber_spark.functions.dedup import simhash
+
+    docs = tables["documents"]
+    a = sorted(tuple(r) for r in simhash(docs, use_udf=True).collect())
+    b = sorted(tuple(r) for r in simhash(docs, use_udf=False).collect())
+    assert a == b and len(a) > 0
