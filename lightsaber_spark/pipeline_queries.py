@@ -558,3 +558,51 @@ def q_asof(spark, sf_dir):
     return out.filter(F.col("last_order_us").isNotNull()).select(
         "event_id", "last_order_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splitting (functions/sampling.py) —
+# the reproducible-training-data primitives: the keep/route decision is
+# md5(key), so the sample is stable under partitioning, retries, and
+# engine (exact DuckDB twins), and keyed sampling is leakage-safe
+# (all rows of a user land together).
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.sampling import (
+    hash_sample,
+    hash_split,
+    sample_oracle_pred,
+    split_oracle_expr,
+)
+
+
+@query(
+    "sample_events_by_user_10pct",
+    f"""
+    SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE {sample_oracle_pred(["user_id"], 0.1)}
+    GROUP BY 1
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    s = hash_sample(ev, 0.1, ["user_id"])
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "split_documents_train_val_test",
+    f"""
+    SELECT {split_oracle_expr(["doc_id"], [0.8, 0.1, 0.1])} AS split_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_hash_split(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    s = hash_split(docs, [0.8, 0.1, 0.1], ["doc_id"])
+    return s.groupBy("split_id").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -42,3 +42,50 @@ def test_simhash_udf_equals_relational(spark, tables):
     a = sorted(tuple(r) for r in simhash(docs, use_udf=True).collect())
     b = sorted(tuple(r) for r in simhash(docs, use_udf=False).collect())
     assert a == b and len(a) > 0
+
+
+def test_hash_sample_partitioning_invariant(spark, events):
+    """The sample must be a pure function of the data: identical row
+    set no matter how the input is partitioned."""
+    from lightsaber_spark.functions.sampling import hash_sample
+
+    a = sorted(r.event_id for r in hash_sample(events, 0.2, ["user_id"]).collect())
+    b = sorted(
+        r.event_id
+        for r in hash_sample(events.repartition(7, "event_type"), 0.2, ["user_id"]).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_keyed_all_or_nothing(spark, events):
+    """Keying on user_id keeps each user entirely in or entirely out."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.sampling import hash_sample
+
+    sampled_users = {r.user_id for r in
+                     hash_sample(events, 0.3, ["user_id"]).select("user_id").distinct().collect()}
+    all_counts = {r.user_id: r.n for r in
+                  events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got_counts = {r.user_id: r.n for r in
+                  hash_sample(events, 0.3, ["user_id"]).groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0 < len(sampled_users) < len(all_counts)
+    for u in sampled_users:
+        assert got_counts[u] == all_counts[u]
+
+
+def test_hash_split_partitions_everything_once(spark, tables):
+    """Splits are exhaustive and disjoint; fractions are plausible."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.sampling import hash_split
+
+    docs = tables["documents"]
+    n = docs.count()
+    s = hash_split(docs, [0.8, 0.1, 0.1], ["doc_id"])
+    counts = {r.split_id: r.n for r in
+              s.groupBy("split_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert set(counts) <= {0, 1, 2}
+    assert counts[0] > counts.get(1, 0) and counts[0] > counts.get(2, 0)
