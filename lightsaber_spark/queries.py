@@ -957,6 +957,63 @@ def tpch_q3(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H q18 shape — large-volume orders: inner aggregation with HAVING
+# feeding a two-dim join (the agg→join DAG; exact cent arithmetic).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q18_big_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q_c
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+    )
+    SELECT c_name, o_orderkey, CAST(q_c AS BIGINT) / 100.0 AS total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("q_c"))
+        .filter(F.col("q_c") > 25000)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", (F.col("q_c") / 100.0).alias("total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction — events.props is a JSON string; the
+# reference has no string/JSON functions at all (SURVEY §2.2), a
+# pipeline can't live without them.
+# ---------------------------------------------------------------------------
+@query(
+    "json_props_stats_by_type",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           count(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def json_props_stats(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semi / anti joins (SURVEY §2.7 lists them as absent in the reference;
 # first-class here). Semi = TPC-H q4 shape; anti = the classic
 # customers-without-orders.
