@@ -990,6 +990,37 @@ def tpch_q18(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Analytic window functions — lag over a per-key event-time ordering
+# (SURVEY §2.8: no ranking/analytic functions exist in the reference).
+# Exactness: deltas in integer cents; ties in ts broken by event_id so
+# the ordering is total and both engines agree row-for-row.
+# ---------------------------------------------------------------------------
+@query(
+    "lag_value_delta_per_user",
+    f"""
+    WITH e AS (SELECT event_id, user_id, ts, {CENTS} AS value_c FROM events),
+    d AS (SELECT event_id,
+                 value_c - lag(value_c) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS delta_c
+          FROM e)
+    SELECT event_id, CAST(delta_c AS BIGINT) / 100.0 AS value_delta
+    FROM d WHERE delta_c IS NOT NULL
+    """,
+)
+def lag_value_delta(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _with_cents(_events(spark, sf_dir))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_id", (F.col("value_c") - F.lag("value_c").over(w)).alias("delta_c")
+    )
+    return d.filter(F.col("delta_c").isNotNull()).select(
+        "event_id", (F.col("delta_c") / 100.0).alias("value_delta")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured extraction — events.props is a JSON string; the
 # reference has no string/JSON functions at all (SURVEY §2.2), a
 # pipeline can't live without them.
