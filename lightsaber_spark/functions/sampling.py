@@ -79,6 +79,58 @@ def hash_split(
     return df.withColumn(split_col, expr.cast("int"))
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_cols: Sequence[str],
+    key_cols: Sequence[str],
+    salt: str = "strata",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen as the n smallest key hashes — deterministic,
+    partition-stable, and still uniform within each stratum.
+
+    This is the exact-count companion to :func:`hash_sample` (which is
+    exact-in-distribution only): eval/test-set construction usually
+    wants "exactly 1000 docs per language", not "about 0.1%".
+
+    One shuffle (rank within stratum); ties impossible modulo md5
+    collisions on the full key, which both engines would share.
+    """
+    from pyspark.sql import Window
+
+    strata = list(strata_cols)
+    w = Window.partitionBy(*strata).orderBy("_sh")
+    return (
+        df.withColumn("_sh", _key_hash(key_cols, salt))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_sh", "_rn")
+    )
+
+
+def stratified_oracle_sql(
+    table_expr: str,
+    n_per_stratum: int,
+    strata_cols: Sequence[str],
+    key_exprs: Sequence[str],
+    select_cols: Sequence[str],
+    salt: str = "strata",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample_exact` (same hash, same
+    rank-within-stratum selection)."""
+    joined = " || ',' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    h = f"('0x'||substr(md5('{salt}' || ',' || {joined}),1,15))::BIGINT"
+    part = ", ".join(strata_cols)
+    sel = ", ".join(select_cols)
+    return f"""
+    SELECT {sel} FROM (
+      SELECT *, row_number() OVER (PARTITION BY {part} ORDER BY {h}) AS _rn
+      FROM {table_expr}
+    ) t WHERE _rn <= {n_per_stratum}
+    """
+
+
 def sample_oracle_pred(key_exprs: Sequence[str], rate: float, salt: str = "sample") -> str:
     """DuckDB WHERE-clause twin of :func:`hash_sample`'s filter."""
     threshold = int(round(rate * TWO60))

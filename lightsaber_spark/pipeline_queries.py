@@ -606,3 +606,24 @@ def q_hash_split(spark, sf_dir):
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     s = hash_split(docs, [0.8, 0.1, 0.1], ["doc_id"])
     return s.groupBy("split_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+from lightsaber_spark.functions.sampling import (
+    stratified_oracle_sql,
+    stratified_sample_exact,
+)
+
+
+@query(
+    "stratified_sample_docs_per_lang",
+    stratified_oracle_sql(
+        "documents", 50, ["lang"], ["doc_id"], ["doc_id", "lang"]
+    ),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Exactly 50 docs per language (deterministic n-smallest-hash
+    selection): the eval-set construction primitive."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return stratified_sample_exact(docs, 50, ["lang"], ["doc_id"]).select(
+        "doc_id", "lang"
+    )

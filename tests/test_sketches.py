@@ -89,3 +89,23 @@ def test_hash_split_partitions_everything_once(spark, tables):
     assert sum(counts.values()) == n
     assert set(counts) <= {0, 1, 2}
     assert counts[0] > counts.get(1, 0) and counts[0] > counts.get(2, 0)
+
+
+def test_stratified_sample_exact_counts(spark, tables):
+    """Exactly n per stratum (capped by stratum size), stable under
+    input partitioning."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.sampling import stratified_sample_exact
+
+    docs = tables["documents"]
+    s = stratified_sample_exact(docs, 10, ["lang"], ["doc_id"])
+    counts = {r.lang: r.n for r in
+              s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {lang: min(10, sz) for lang, sz in sizes.items()}
+    a = sorted(r.doc_id for r in s.collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample_exact(docs.repartition(11), 10, ["lang"], ["doc_id"]).collect())
+    assert a == b
