@@ -381,3 +381,50 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     )
     ids = [r.id for r in got.collect()]
     assert sorted(ids) == list(range(50))
+
+
+def test_streaming_nbq5_post_window_argmax(spark, events, events_stream_src, tmp_path):
+    """NBQ5 as a stream: windowed count per key, then the per-window
+    argmax as a SECOND stateful aggregation over the first one's
+    window column (chained streaming aggregations; the reference
+    injects this as a post-window C++ reduction, NBQ5.cpp:73-103).
+    max_by keeps a single winner; the batch twin uses the same
+    keep_ties=False semantics."""
+    from lightsaber_spark.operators import post_window_argmax, windowed_agg
+
+    stream = _stream(spark, events_stream_src)
+    wm = stream.withWatermark("ts", "0 seconds")
+    counts = wm.groupBy(
+        F.window(F.col("ts"), "3600 seconds").alias("_w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # chained streaming aggregation: re-window on window_time so event
+    # time (and the watermark) propagate into the second stateful op
+    winners = counts.groupBy(
+        F.window(F.window_time("_w"), "3600 seconds").alias("_w2")
+    ).agg(
+        F.max_by(F.col("user_id"), F.struct(F.col("n"), -F.col("user_id"))).alias("user_id"),
+        F.max(F.col("n")).alias("n"),
+    )
+    s = winners.select(
+        F.unix_micros(F.col("_w2.start")).alias("us"), "user_id", "n"
+    ).withColumn("window_start", (F.col("us") / 1_000_000).cast("bigint")).drop("us")
+    # chained stateful ops only compose in append mode (complete mode
+    # re-emits closed windows, which would be late for the second agg)
+    got = {(r.window_start, r.user_id, r.n) for r in
+           run_available_now(s, str(tmp_path / "ck"), table_name="t_nbq5").collect()}
+
+    batch_counts = windowed_agg(events, "ts", 3600, 3600, [("count", None, "n")], ["user_id"])
+    # deterministic single winner: max n, then smallest user_id
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    want = {(r.window_start, r.user_id, r.n) for r in (
+        batch_counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("window_start", "user_id", "n")
+    ).collect()}
+    assert got.issubset(want)
+    held = want - got
+    # the trailing open window(s) stay in state (watermark lags a batch)
+    assert 0 < len(held) <= 3
+    assert min(w for w, _, _ in held) >= max(w for w, _, _ in got)
