@@ -990,6 +990,71 @@ def tpch_q18(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H q19 shape — disjunctive join predicate (OR of conjunct blocks
+# mixing both sides): Catalyst extracts the common equi key for the
+# hash join and keeps the disjunction as a residual filter; the part
+# dim broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    li, part = t["lineitem"], t["part"]
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    q = F.col("l_quantity")
+
+    def block(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & q.between(q_lo, q_hi)
+        )
+
+    j = j.filter(
+        block("Brand#12", 15, 1, 11)
+        | block("Brand#23", 25, 10, 20)
+        | block("Brand#34", 35, 20, 30)
+    )
+    return j.agg(
+        (F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))) / 10000.0)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations over two dims (completes the
+# rollup/cube/grouping-sets family; SURVEY §2.8).
+# ---------------------------------------------------------------------------
+@query(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark, sf_dir):
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Analytic window functions — lag over a per-key event-time ordering
 # (SURVEY §2.8: no ranking/analytic functions exist in the reference).
 # Exactness: deltas in integer cents; ties in ts broken by event_id so
