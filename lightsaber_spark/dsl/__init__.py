@@ -41,6 +41,7 @@ from lightsaber_spark.dsl.operators import (
     Aggregation,
     AggregationType,
     HavingClause,
+    PostWindowOperation,
     StaticHashJoin,
     ThetaJoin,
     NoOp,
@@ -56,6 +57,6 @@ __all__ = [
     "ComparisonPredicate", "ANDPredicate", "ORPredicate",
     "EQ", "NE", "LT", "LE", "GT", "GE",
     "Selection", "Projection", "Aggregation", "AggregationType",
-    "HavingClause", "StaticHashJoin", "ThetaJoin", "NoOp",
+    "HavingClause", "PostWindowOperation", "StaticHashJoin", "ThetaJoin", "NoOp",
     "Query", "QueryApplication",
 ]

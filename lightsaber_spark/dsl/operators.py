@@ -171,6 +171,45 @@ class Aggregation(Operator):
         return row_window_agg(df, order, w.size, w.slide, aggs, keys)
 
 
+class PostWindowOperation(Operator):
+    """Per-completed-window reduction over the aggregation output —
+    the reference's ``setPostWindowOperation`` (raw C++ strings injected
+    into the kernel, ``OperatorKernel.h:182-188``; NEXMark Q5 uses it as
+    'auction(s) with the max bid count per window',
+    ``test/.../Nexmark/NBQ5.cpp:42,73-103``).
+
+    Declarative form: argmax (``k=1``, ties kept to match the reference
+    post-op, which emits every key reaching the max) or general top-k
+    over ``value_col`` within each window of the upstream
+    ``Aggregation``'s output."""
+
+    def __init__(
+        self,
+        key_col: str,
+        value_col: str,
+        k: int = 1,
+        keep_ties: bool = True,
+        window_cols: Sequence[str] = ("window_start",),
+    ) -> None:
+        self.key_col = key_col
+        self.value_col = value_col
+        self.k = k
+        self.keep_ties = keep_ties
+        self.window_cols = list(window_cols)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from lightsaber_spark.operators.topk import post_window_argmax, window_topk
+
+        if self.k == 1:
+            return post_window_argmax(
+                df, self.window_cols, self.key_col, self.value_col, self.keep_ties
+            )
+        return window_topk(
+            df, self.window_cols, self.value_col, self.k,
+            tie_breakers=[self.key_col],
+        )
+
+
 class HavingClause(Operator):
     """Post-aggregation predicate (``OperatorKernel.h:176-180``,
     used e.g. in ``test/.../LRB1.cpp:41-51``)."""

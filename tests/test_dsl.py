@@ -168,3 +168,36 @@ def test_static_hash_join_dsl(tables):
     out = StaticHashJoin(dim, "user_id").apply(ev)
     assert "c_mktsegment" in out.columns
     assert out.count() > 0
+
+
+def test_post_window_operation_dsl(events):
+    """NBQ5 assembled exactly as the reference does (Aggregation with
+    setPostWindowOperation, NBQ5.cpp:20-44): windowed count per key →
+    per-window argmax, ties kept."""
+    from lightsaber_spark.dsl import (
+        Aggregation, AggregationType, ColumnReference, PostWindowOperation,
+        Query, WindowDefinition, WindowMeasure,
+    )
+
+    q = Query(0, [
+        Aggregation(
+            WindowDefinition(WindowMeasure.RANGE_BASED, 3600, 3600),
+            [AggregationType.CNT], [ColumnReference("event_id")],
+            [ColumnReference("user_id")], ts_column="ts",
+        ),
+        PostWindowOperation("user_id", "count_event_id"),
+    ])
+    out = q.compile(events)
+    rows = out.collect()
+    assert len(rows) > 0
+    # every emitted row is a per-window maximum
+    counts = (
+        events.groupBy(
+            F.floor(F.unix_micros("ts") / 3_600_000_000).alias("w"), "user_id"
+        ).count().collect()
+    )
+    best = {}
+    for r in counts:
+        best[r.w * 3600] = max(best.get(r.w * 3600, 0), r["count"])
+    for r in rows:
+        assert r["count_event_id"] == best[r["window_start"]]
