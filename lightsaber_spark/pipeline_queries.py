@@ -419,8 +419,8 @@ def q_sim_lsh(spark, sf_dir):
       FROM embeddings e CROSS JOIN cent
     ),
     cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, embedding AS vq, cid FROM cells
-          WHERE vec_id < 30),
+    q AS (SELECT vec_id AS query_id, embedding AS vq, cid FROM assign
+          WHERE vec_id < 30 AND rn <= 2),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
              {_COS.format(a='vq', b='c.embedding')} AS cosine
@@ -433,8 +433,11 @@ def q_sim_lsh(spark, sf_dir):
     """,
 )
 def q_sim_ivf(spark, sf_dir):
+    """Multi-probe IVF (n_probe=2): each query searches its two nearest
+    cells — the standard recall/cost knob; oracle probes rn <= 2 of the
+    same deterministic centroid ranking."""
     e = _embs(spark, sf_dir)
-    out = ivf_topk(e.filter(F.col("vec_id") < 30), e, k=5, n_cells=8)
+    out = ivf_topk(e.filter(F.col("vec_id") < 30), e, k=5, n_cells=8, n_probe=2)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
