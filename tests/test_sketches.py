@@ -109,3 +109,26 @@ def test_stratified_sample_exact_counts(spark, tables):
     b = sorted(r.doc_id for r in
                stratified_sample_exact(docs.repartition(11), 10, ["lang"], ["doc_id"]).collect())
     assert a == b
+
+
+def test_ivf_multiprobe_recall(spark, tables):
+    """ANN quality: recall@5 vs brute force must not decrease with
+    n_probe, and multi-probe must find strictly more (or equal)
+    ground-truth neighbors than single-probe on this corpus."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    e = tables["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(q, e, k=5).collect()}
+
+    def recall(n_probe):
+        got = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk(q, e, k=5, n_cells=8, n_probe=n_probe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 > 0.5  # probing half the cells should recover most
