@@ -1384,3 +1384,298 @@ def tpch_q6(spark, sf_dir):
         (F.sum(_cents("l_extendedprice") * _cents("l_discount")) / 10000.0).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q7 shape — volume shipping between a nation pair: the symmetric
+# two-nation join (two roles of the same dim table) with per-year
+# revenue. Both nation legs broadcast; the fact chain shuffles once per
+# equi key and AQE handles the rest.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
+           count(*) AS n
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    pair = t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+    n1 = pair.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = pair.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    supp = t["supplier"].join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust = t["customer"].join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        (F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))) / 10000.0)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q8 shape — national market share: conditional-numerator ratio
+# per year (two exact integer accumulators per group, one division at
+# the end, q14-style).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH e AS (
+      SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS dp
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           (100.0 * CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN dp ELSE 0 END)
+                         AS BIGINT))
+             / CAST(sum(dp) AS BIGINT) AS mkt_share_pct,
+           count(*) AS n
+    FROM e GROUP BY 1
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    t = load_tables(
+        spark, sf_dir,
+        ("part", "lineitem", "orders", "customer", "supplier", "nation", "region"),
+    )
+    cust_dim = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    e = (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_dim), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            "supp_nation",
+            (_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("dp"),
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_9", F.col("dp")).otherwise(F.lit(0)))
+    return e.groupBy("o_year").agg(
+        ((100.0 * num) / F.sum("dp")).alias("mkt_share_pct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q13 shape — customer order-count distribution: LEFT OUTER join
+# with a join-side (not post-join) predicate, count(col) null semantics,
+# then a second aggregation over the first's output.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    ) t
+    GROUP BY 1
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q15 shape — top supplier: an aggregate CTE consumed twice (once
+# as the relation, once reduced to its scalar max), equality on the
+# exact integer cents so the "= (SELECT max(...))" tie semantics are
+# identical cross-engine. The scalar max broadcasts; no driver action.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS total_revenue_c
+      FROM lineitem
+      WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue_c / 10000.0 AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM rev)
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    rev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount")))
+             .alias("total_revenue_c"))
+    )
+    mx = rev.agg(F.max("total_revenue_c").alias("mx"))
+    top = rev.join(F.broadcast(mx), F.col("total_revenue_c") == F.col("mx")).drop("mx")
+    return (
+        F.broadcast(t["supplier"])
+        .join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name",
+                (F.col("total_revenue_c") / 10000.0).alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q17 shape — small-quantity-order revenue: correlated per-part
+# AVG subquery. The fractional threshold is cross-multiplied into exact
+# integers (qty < 0.2·avg ⇔ qty_c·5·n < sum_qty_c), so the comparison
+# is bit-exact in both engines. At scale the per-part aggregate is
+# computed only over the brand's lineitems (semi-joined first), which
+# is semantics-preserving because the outer query only consults those
+# parts.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_q_c,
+             count(*) AS n_li
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 / 7.0 AS avg_yearly,
+           count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(round(l_quantity * 100) AS BIGINT) * n_li * 5 < sum_q_c
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = t["lineitem"].join(F.broadcast(brand_parts),
+                            F.col("l_partkey") == F.col("p_partkey"))
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_cents("l_quantity")).alias("sum_q_c"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = li.join(pa, F.col("l_partkey") == F.col("pk")).filter(
+        _cents("l_quantity") * F.col("n_li") * 5 < F.col("sum_q_c")
+    )
+    return small.agg(
+        (F.sum(_cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q22 shape — global-scalar threshold + anti join: customers with
+# above-average positive balance and no urgent order (the synthetic
+# data gives every customer at least one order, so the anti side is
+# "no '1-URGENT' order" to keep the query non-vacuous). The AVG
+# comparison is cross-multiplied to exact integers (bal_c·n > sum_c);
+# the scalar aggregate broadcasts into every partition.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    avgb AS (
+      SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n
+      FROM c WHERE bal_c > 0
+    )
+    SELECT c_nationkey AS nation_key, count(*) AS n_custs,
+           CAST(sum(bal_c) AS BIGINT) / 100.0 AS total_bal
+    FROM c, avgb
+    WHERE bal_c * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c")
+    )
+    # the global thresholds go in as SQL scalar subqueries: Catalyst
+    # executes each once and embeds the result as a literal — no join
+    # at all (a DataFrame cross-join formulation would plan a
+    # BroadcastNestedLoopJoin and trip the plan audit)
+    c.createOrReplaceTempView("q22_c")
+    t["orders"].filter(F.col("o_orderpriority") == "1-URGENT") \
+        .createOrReplaceTempView("q22_urgent")
+    return spark.sql(
+        """
+        SELECT c_nationkey AS nation_key, count(*) AS n_custs,
+               CAST(sum(bal_c) AS DOUBLE) / 100.0D AS total_bal
+        FROM q22_c
+        WHERE bal_c * (SELECT count(*) FROM q22_c WHERE bal_c > 0)
+              > (SELECT sum(bal_c) FROM q22_c WHERE bal_c > 0)
+          AND NOT EXISTS (SELECT 1 FROM q22_urgent
+                          WHERE o_custkey = c_custkey)
+        GROUP BY 1
+        """
+    )
