@@ -1679,3 +1679,353 @@ def tpch_q22(spark, sf_dir):
         GROUP BY 1
         """
     )
+
+# ---------------------------------------------------------------------------
+# TPC-H q2 shape — minimum-cost supplier: the correlated-min subquery
+# ("cost = (SELECT min(cost) ... WHERE same part)") decorrelated into a
+# per-part min aggregate joined back on equality. The testdata has no
+# partsupp table, so the part-supplier relation is derived from
+# lineitem (min extended price per pair = the supply cost), which keeps
+# the operator shape intact. Dims (region-filtered supplier chain,
+# size-filtered part) broadcast; the only shuffle is the pair aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'
+    ),
+    pc AS (SELECT pk, sk, cost_c, s_name, n_name FROM ps JOIN eu ON sk = s_suppkey),
+    m AS (SELECT pk AS mpk, min(cost_c) AS min_cost_c FROM pc GROUP BY 1)
+    SELECT p_partkey, p_brand, s_name, n_name, cost_c / 100.0 AS supply_cost
+    FROM part JOIN pc ON p_partkey = pk
+    JOIN m ON mpk = pk AND cost_c = min_cost_c
+    WHERE p_size >= 40
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    eu_nations = (
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    eu = (
+        t["supplier"]
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    ps = t["lineitem"].groupBy(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+    ).agg(F.min(_cents("l_extendedprice")).alias("cost_c"))
+    pc = ps.join(F.broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+    m = pc.groupBy(F.col("pk").alias("mpk")).agg(F.min("cost_c").alias("min_cost_c"))
+    return (
+        pc.join(m, (F.col("pk") == F.col("mpk")) & (F.col("cost_c") == F.col("min_cost_c")))
+        .join(F.broadcast(t["part"].filter(F.col("p_size") >= 40)),
+              F.col("p_partkey") == F.col("pk"))
+        .select("p_partkey", "p_brand", "s_name", "n_name",
+                (F.col("cost_c") / 100.0).alias("supply_cost"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q9 shape — product-type profit by nation and year: the 5-way
+# star join with a substring part filter and a two-term profit measure.
+# No partsupp in the testdata, so p_retailprice stands in for
+# ps_supplycost (same operator shape: cost comes from a joined dim).
+# Profit is computed in exact 10^-4-dollar integers
+# (cents×percent and cents×cents are the same scale), one division at
+# the end.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                  - CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS profit,
+           count(*) AS n
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "orders", "nation"))
+    widget_parts = (
+        t["part"].filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    profit_c = (
+        _cents("l_extendedprice") * (100 - _cents("l_discount"))
+        - _cents("p_retailprice") * _cents("l_quantity")
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(
+        (F.sum(profit_c) / 10000.0).alias("profit"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q11 shape — important stock value: a grouped aggregate filtered
+# against global scalars of the same aggregate (value > 2× the mean).
+# The scalars go in as SQL scalar subqueries (q22 pattern): Catalyst
+# runs each once and inlines the literal — no nested-loop join. The
+# part-supplier "stock value" is derived from lineitem (no partsupp).
+# Threshold is cross-multiplied to exact integers: val·groups > 2·total.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q11_important_stock",
+    """
+    WITH v AS (
+      SELECT n_name, l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val_c
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, pk AS p_partkey, val_c / 100.0 AS part_value
+    FROM v
+    WHERE val_c * (SELECT count(*) FROM v) > 2 * (SELECT sum(val_c) FROM v)
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", F.col("l_partkey").alias("pk"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("val_c"))
+    )
+    v.createOrReplaceTempView("q11_v")
+    return spark.sql(
+        """
+        SELECT n_name, pk AS p_partkey, CAST(val_c AS DOUBLE) / 100.0D AS part_value
+        FROM q11_v
+        WHERE val_c * (SELECT count(*) FROM q11_v)
+              > 2 * (SELECT sum(val_c) FROM q11_v)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q12 shape — late-shipment priority counts: join + two
+# conditional aggregates (sum of CASE) per group. l_returnflag stands
+# in for l_shipmode and shipdate>orderdate+30d for the
+# receipt/commit-date lateness chain (those columns don't exist in the
+# testdata); the operator shape — date-window join filter feeding
+# conditional counts — is identical.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q12_priority_shipments",
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return joined.groupBy(F.col("l_returnflag").alias("ship_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q16 shape — supplier count by part spec: DISTINCT aggregate over
+# a NOT IN exclusion (here: suppliers whose name contains '7' — the
+# testdata has no comment column for the "complaints" filter). NOT IN
+# over a non-null key compiles to a broadcast anti join; the distinct
+# count shuffles once on the (brand, type, size) group key.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q16_part_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    parts = t["part"].filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = t["supplier"].filter(F.col("s_name").like("%7%")).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q20 shape — excess-supply suppliers: nested IN-subqueries
+# (suppliers ⊇ qualifying pairs ⊇ name-filtered parts) decorrelated
+# into aggregate + semi join. "Availability > half the part's demand"
+# becomes share > 2× the per-supplier average for that part
+# (sq·ns > 2·tq, exact integers — scale-free, so it stays non-vacuous
+# at every sf). The part filter broadcasts; the semi join keeps the
+# supplier table un-duplicated.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q20_excess_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey AS sk, l_partkey AS pk,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sq
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pt AS (SELECT pk AS tpk, CAST(sum(sq) AS BIGINT) AS tq, count(*) AS ns
+           FROM sp GROUP BY 1)
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT sk FROM sp JOIN pt ON tpk = pk JOIN part ON p_partkey = pk
+      WHERE p_name LIKE 'small%' AND sq * ns > 2 * tq)
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
+    small_parts = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    sp = t["lineitem"].groupBy(
+        F.col("l_suppkey").alias("sk"), F.col("l_partkey").alias("pk")
+    ).agg(F.sum(_cents("l_quantity")).alias("sq"))
+    pt = sp.groupBy(F.col("pk").alias("tpk")).agg(
+        F.sum("sq").alias("tq"), F.count(F.lit(1)).alias("ns")
+    )
+    qualifying = (
+        sp.join(F.broadcast(small_parts), F.col("pk") == F.col("p_partkey"))
+        .join(pt, F.col("tpk") == F.col("pk"))
+        .filter(F.col("sq") * F.col("ns") > 2 * F.col("tq"))
+        .select("sk")
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H q21 shape — suppliers who kept orders waiting: the
+# EXISTS / NOT EXISTS self-join pair over per-(order, supplier) state.
+# The correlated pair decorrelates into ONE per-order aggregate
+# (ns = suppliers in order, nl = late suppliers) equi-joined back:
+# EXISTS(other supplier) ⇔ ns ≥ 2; NOT EXISTS(other late) ⇔ nl = 1 for
+# a row that is itself late — two shuffles total instead of two
+# self-joins. Lateness = shipped >30 days after order date (the
+# testdata has no receipt/commit dates).
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F' GROUP BY 1, 2
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM supplier JOIN (
+      SELECT a.ok, a.sk FROM l a
+      WHERE a.late = 1
+        AND EXISTS (SELECT 1 FROM l b WHERE b.ok = a.ok AND b.sk <> a.sk)
+        AND NOT EXISTS (SELECT 1 FROM l c
+                        WHERE c.ok = a.ok AND c.sk <> a.sk AND c.late = 1)
+    ) w ON s_suppkey = sk
+    GROUP BY 1
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
+    per_pair = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_pair.groupBy(F.col("ok").alias("ook")).agg(
+        F.count(F.lit(1)).alias("ns"), F.sum("late").alias("nl")
+    )
+    waiting = (
+        per_pair.filter(F.col("late") == 1)
+        .join(per_order, F.col("ok") == F.col("ook"))
+        .filter((F.col("ns") >= 2) & (F.col("nl") == 1))
+    )
+    return (
+        F.broadcast(t["supplier"])
+        .join(waiting, F.col("s_suppkey") == F.col("sk"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
