@@ -8,6 +8,7 @@ from lightsaber_spark.sources.sinks import (
     noop_sink,
     to_files,
 )
+from lightsaber_spark.sources.partitioning import assert_partition_pruned
 
 __all__ = [
     "read_table",
@@ -16,4 +17,5 @@ __all__ = [
     "to_files",
     "memory_sink",
     "noop_sink",
+    "assert_partition_pruned",
 ]

@@ -33,11 +33,19 @@ def test_partitioned_write_prunes(spark, tables, tmp_path):
     ev = tables["events"]
     path = str(tmp_path / "part")
     to_files(ev, path, partition_by=["event_type"])
+    from lightsaber_spark.sources import assert_partition_pruned
+
     one = read_table(spark, path).filter(F.col("event_type") == "click")
-    plan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() == ev.filter(F.col("event_type") == "click").count()
-    # the scan's partition filters must mention event_type
-    assert "event_type" in plan
+    # contract: the filter must reach the scan's PartitionFilters —
+    # a post-scan filter would read every directory
+    filt = assert_partition_pruned(one, "event_type")
+    assert "event_type" in filt
+    # and a non-pruning plan must fail the contract
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        assert_partition_pruned(read_table(spark, path), "event_type")
 
 
 def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
