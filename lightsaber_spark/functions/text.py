@@ -164,3 +164,64 @@ def doc_fingerprint(c: Column) -> Column:
     hex digits as bigint. Deterministic across engines
     (DuckDB: ``('0x'||substr(md5(x),1,15))::BIGINT``)."""
     return F.conv(F.substring(F.md5(normalize_text(c)), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# BM25-style relevance (logarithm-free, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+def bm25_select(relation: str, terms, k: int = 20,
+                k1: float = 1.2, b: float = 0.75) -> str:
+    """SQL computing a BM25-style score over ``relation(doc_id, dl,
+    tf0..tfN)`` — one tf column per query term, dl = document length.
+
+    The classic idf ``log((N-df+0.5)/(df+0.5))`` is used WITHOUT the
+    log: the ratio is monotone in the same direction, and dropping the
+    transcendental keeps every operation rational IEEE-double
+    arithmetic over exact integers — the same SQL text runs on Spark
+    and DuckDB and produces bit-identical doubles, so the top-k (ties
+    broken by doc_id) is strongly checkable. The scalar subqueries
+    (N, avgdl, per-term df) each execute once and inline as literals.
+    """
+    avgdl = (f"(SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+             f"FROM {relation})")
+    n_docs = f"(SELECT CAST(count(*) AS DOUBLE) FROM {relation})"
+    parts = []
+    for i, _ in enumerate(terms):
+        df_i = (f"(SELECT CAST(count(*) AS DOUBLE) FROM {relation} "
+                f"WHERE tf{i} > 0)")
+        idf = f"((({n_docs} - {df_i}) + 0.5) / ({df_i} + 0.5))"
+        tfn = (
+            f"((CAST(tf{i} AS DOUBLE) * {k1 + 1.0}) / "
+            f"(CAST(tf{i} AS DOUBLE) + ({k1} * ({1.0 - b} + ({b} * "
+            f"(CAST(dl AS DOUBLE) / {avgdl}))))))"
+        )
+        parts.append(f"({idf} * {tfn})")
+    score = " + ".join(parts)
+    return f"""
+    SELECT doc_id, score, rnk FROM (
+      SELECT doc_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM (SELECT doc_id, {score} AS score FROM {relation}) s
+    ) r WHERE rnk <= {k}
+    """
+
+
+def term_tf_table(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
+    """Per-document term frequencies for a fixed query-term list:
+    ``(doc_id, dl, tf0..tfN)``. Fixed columns instead of an exploded
+    posting list — the per-term sum order is then written in the plan,
+    which keeps double addition order-independent-by-construction."""
+    toks = tokens(F.col(text_col))
+    cols = [F.col("doc_id"), F.size(toks).cast("bigint").alias("dl")]
+
+    # one-arg lambda via factory: a two-parameter lambda would be
+    # interpreted by F.filter as (element, index)
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    for i, t in enumerate(terms):
+        cols.append(
+            F.size(F.filter(toks, _eq(t))).cast("bigint").alias(f"tf{i}")
+        )
+    return df.select(*cols)

@@ -630,3 +630,36 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample_exact(docs, 50, ["lang"], ["doc_id"]).select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25-style relevance ranking (log-free → cross-engine bit-exact)
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.text import bm25_select, term_tf_table
+
+BM25_TERMS = ("window", "spark", "dup")  # two common + one rare term
+_BM25_TF_DUCK = ",\n         ".join(
+    f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+    for i, t in enumerate(BM25_TERMS)
+)
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH bm25_base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {_BM25_TF_DUCK}
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+    )
+    {bm25_select("bm25_base", BM25_TERMS, 20)}
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """Top-20 documents for a fixed term query under log-free BM25.
+    The tf/dl table is one Catalyst projection; scoring + ranking run
+    as shared SQL text so Spark and DuckDB do identical IEEE double
+    ops (idf kept as a rational ratio — no transcendentals)."""
+    base = term_tf_table(_docs(spark, sf_dir), BM25_TERMS)
+    base.createOrReplaceTempView("bm25_base")
+    return spark.sql(bm25_select("bm25_base", BM25_TERMS, 20))

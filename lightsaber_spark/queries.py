@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — required so pandas-UDF type hints resolve
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from lightsaber_spark.session import load_tables
@@ -2028,4 +2029,176 @@ def tpch_q21(spark, sf_dir):
         .join(waiting, F.col("s_suppkey") == F.col("sk"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — the explicit-sets member of the rollup/cube family
+# (SURVEY §2.8): per-status totals and per-priority totals in one pass
+# over orders (one shuffle; Spark expands sets map-side).
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_order_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_order_revenue(spark, sf_dir):
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    orders.createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0D AS revenue,
+               count(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic functions: ntile + first/last_value (completes the §2.8
+# window-function family beyond lag). Per-user totals → revenue
+# quartiles via ntile(4) over a total order (ties broken by user_id);
+# per-quartile user count and exact-cents revenue. The global ntile
+# runs over the *aggregated* per-key relation (cardinality = #keys,
+# not #rows) — at extreme key counts you'd switch to approx
+# percentile cutpoints instead of a single-partition sort.
+# first/last_value need the full-partition frame — the default frame
+# stops at the current row and silently gives a running "last".
+# ---------------------------------------------------------------------------
+@query(
+    "ntile_user_revenue_quartiles",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+      FROM events GROUP BY 1
+    ),
+    q AS (SELECT user_id, total_c,
+                 ntile(4) OVER (ORDER BY total_c DESC, user_id) AS quartile
+          FROM per_user)
+    SELECT quartile, count(*) AS n_users,
+           CAST(sum(total_c) AS BIGINT) / 100.0 AS revenue
+    FROM q GROUP BY 1
+    """,
+)
+def ntile_user_revenue_quartiles(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _with_cents(_events(spark, sf_dir))
+    per_user = ev.groupBy("user_id").agg(F.sum("value_c").alias("total_c"))
+    w = Window.orderBy(F.col("total_c").desc(), "user_id")
+    q = per_user.select("user_id", "total_c", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("total_c") / 100.0).alias("revenue"),
+    )
+
+
+@query(
+    "first_last_value_per_user",
+    """
+    WITH e AS (SELECT user_id, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS value_c
+               FROM events),
+    fl AS (
+      SELECT user_id,
+             first_value(value_c) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS first_c,
+             last_value(value_c) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_c
+      FROM e
+    )
+    SELECT DISTINCT user_id,
+           first_c / 100.0 AS first_value_usd,
+           last_c / 100.0 AS last_value_usd,
+           (last_c - first_c) / 100.0 AS drift_usd
+    FROM fl
+    """,
+)
+def first_last_value_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _with_cents(_events(spark, sf_dir))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    fl = ev.select(
+        "user_id",
+        F.first("value_c").over(w).alias("first_c"),
+        F.last("value_c").over(w).alias("last_c"),
+    )
+    return fl.distinct().select(
+        "user_id",
+        (F.col("first_c") / 100.0).alias("first_value_usd"),
+        (F.col("last_c") / 100.0).alias("last_value_usd"),
+        ((F.col("last_c") - F.col("first_c")) / 100.0).alias("drift_usd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom UDAF via a grouped-agg pandas UDF — the Spark analog of the
+# reference's raw-code custom reductions (setPostWindowOperation /
+# setCustomHashTable, SURVEY §2.10): user logic runs over Arrow
+# batches per group, Catalyst handles grouping/shuffle. Exactness:
+# numpy int64 sums over integer cents (< 2^53), division once at the
+# end — same policy as the relational W_AVG path, so the DuckDB twin
+# is strong. Weight = (event_id % 10) + 1, a deterministic surrogate.
+# ---------------------------------------------------------------------------
+@query(
+    "udaf_weighted_avg_by_type",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_c,
+             (event_id % 10) + 1 AS w
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(value_c * w) AS DOUBLE)
+             / CAST(sum(w) AS DOUBLE) / 100.0 AS wavg_value,
+           count(*) AS n
+    FROM e GROUP BY 1
+    """,
+)
+def udaf_weighted_avg_by_type(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def wsum_c(v: pd.Series, w: pd.Series) -> int:
+        return int((v * w).sum())
+
+    @pandas_udf("bigint")
+    def wsum(w: pd.Series) -> int:
+        return int(w.sum())
+
+    @pandas_udf("bigint")
+    def pcount(w: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with built-in aggregates
+        # in one agg() — the count is a pandas UDF too
+        return len(w)
+
+    ev = _with_cents(_events(spark, sf_dir)).withColumn(
+        "w", (F.col("event_id") % 10 + 1).cast("bigint")
+    )
+    return ev.groupBy("event_type").agg(
+        (
+            wsum_c(F.col("value_c"), F.col("w")).cast("double")
+            / wsum(F.col("w")).cast("double") / 100.0
+        ).alias("wavg_value"),
+        pcount(F.col("w")).alias("n"),
     )
