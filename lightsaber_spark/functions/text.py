@@ -225,3 +225,24 @@ def term_tf_table(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
             F.size(F.filter(toks, _eq(t))).cast("bigint").alias(f"tf{i}")
         )
     return df.select(*cols)
+
+
+def feature_hash_vector(c: Column, k: int = 16) -> Column:
+    """Hashing-trick token-count vector (``array<bigint>`` of length
+    ``k``): bucket = 60-bit md5 hash of the token mod ``k``, value =
+    token count in the bucket. Deterministic across engines (DuckDB
+    twin: ``list_transform(range(k), i -> len(list_filter(toks, x ->
+    h60(x) % k = i)))``).
+
+    The nested higher-order-function form is O(k·tokens) interpreted —
+    fine for feature building at moderate k; for a hot 100 TB path
+    switch to an Arrow-batched pandas UDF that hashes each token once
+    (same pattern as ``winnow_fingerprints_udf``)."""
+    toks = tokens(c)
+    h = lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.size(
+            F.filter(toks, lambda x: h(x) % k == i.cast("bigint"))
+        ).cast("bigint"),
+    )

@@ -663,3 +663,71 @@ def q_bm25_topk(spark, sf_dir):
     base = term_tf_table(_docs(spark, sf_dir), BM25_TERMS)
     base.createOrReplaceTempView("bm25_base")
     return spark.sql(bm25_select("bm25_base", BM25_TERMS, 20))
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — fixed-width token-count
+# vectors for downstream ML featurization.
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.text import feature_hash_vector
+
+
+@query(
+    "text_feature_hash_vectors",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id, list_transform(range(16),
+             i -> len(list_filter(toks,
+                  x -> ('0x'||substr(md5(x),1,15))::BIGINT % 16 = i))) AS vec
+    FROM t
+    """,
+)
+def q_feature_hash(spark, sf_dir):
+    """16-bucket hashed count vector per document — md5-bucketed so
+    both engines build identical vectors."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", feature_hash_vector(F.col("text"), 16).alias("vec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with a document-frequency cutoff — the 100 TB valve.
+# The inverted-index self-join's work is Σ df(shingle)², which a
+# Zipfian corpus concentrates in a tiny hot head; dropping shingles
+# with df > cutoff bounds per-shingle work at cutoff² while near-dup
+# pairs (which share RARE shingles too) still collide. The cutoff is
+# part of the declared semantics here, applied identically in the
+# oracle — at small sf (max df 7) it's a no-op, so the correctness
+# gate still compares full Jaccard; at sf0.1 it prunes ~63% of the
+# pair work.
+# ---------------------------------------------------------------------------
+_JACCARD_CUT = 10
+
+_JACCARD_CUT_CTE = f"""
+  toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+  sh0 AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM toks),
+  kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY 1)
+           WHERE df <= {_JACCARD_CUT}),
+  sh AS (SELECT sh0.* FROM sh0 JOIN kept USING (s)),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  jacc AS (
+    SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common * 100000 >= 50000 * (sa.n + sb.n - n_common)
+  )
+"""
+
+
+@query(
+    "dedup_ngram_jaccard_df_cut",
+    f"WITH {_JACCARD_CUT_CTE} SELECT * FROM jacc",
+)
+def q_dedup_ngram_cut(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, k=3, max_doc_freq=_JACCARD_CUT
+    )

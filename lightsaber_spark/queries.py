@@ -2202,3 +2202,69 @@ def udaf_weighted_avg_by_type(spark, sf_dir):
         ).alias("wavg_value"),
         pcount(F.col("w")).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join — the last missing join flavor (SURVEY §2.7 lists
+# outer joins as absent in the reference): activity union of two
+# aggregated sides, neither side privileged. Both inputs pre-aggregate
+# to their key before joining, so the join is key-unique on both
+# sides and the nulls are pure "present in one side only" markers.
+# ---------------------------------------------------------------------------
+@query(
+    "full_outer_user_activity",
+    """
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+    o AS (SELECT o_custkey AS user_id, count(*) AS n_orders FROM orders GROUP BY 1)
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(n_events, 0) AS n_events,
+           coalesce(n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def full_outer_user_activity(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    e = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    o = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("ouser"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        e.join(o, e["user_id"] == o["ouser"], "full_outer")
+        .select(
+            F.coalesce(e["user_id"], o["ouser"]).alias("user_id"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — wide→long reshaping (inverse of the pivot query).
+# Spark expresses it as stack() (codegen'd, no shuffle beyond the
+# aggregation); sums stay exact integer cents per measure.
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag, measure,
+           CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS amount_c
+    FROM (SELECT * FROM lineitem
+          UNPIVOT (amount FOR measure IN (l_quantity, l_extendedprice, l_discount)))
+    GROUP BY 1, 2
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'l_quantity', l_quantity, "
+            "'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount) AS (measure, amount)"
+        ),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.round(F.col("amount") * 100).cast("bigint")).alias("amount_c")
+    )
