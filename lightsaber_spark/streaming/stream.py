@@ -88,10 +88,19 @@ def streaming_theta_join(
     right_ts: str,
     max_delta_sec: int,
     watermark: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream theta join — the reference's symmetric windowed
     nested-loop join (``ThetaJoin.h:18-819``, two ring buffers paired by
     ``JoinTaskDispatcher``) as a Structured Streaming join.
+
+    ``how`` may be any stream-stream join type Spark supports
+    (``inner``, ``left_outer``, ``right_outer``, ``full_outer``) — the
+    reference only implements inner (SURVEY §2.7), the outer flavors
+    come free here. Outer null rows are emitted only once the
+    watermark passes the row's join band (state-store eviction time),
+    so rows near the end of a bounded replay stay un-emitted — the
+    same final-window caveat as append-mode aggregation.
 
     The event-time band (±max_delta_sec) plus watermarks on BOTH sides
     is what lets the state store evict rows (the reference's per-side
@@ -124,7 +133,7 @@ def streaming_theta_join(
     cond = (l_wm["_tj_bkt"] == r_wm["_tj_bkt"]) & band
     if predicate is not None:
         cond = cond & predicate
-    return l_wm.join(r_wm, cond, "inner").drop("_tj_bkt")
+    return l_wm.join(r_wm, cond, how).drop("_tj_bkt")
 
 
 def streaming_dedup(

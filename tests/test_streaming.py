@@ -428,3 +428,83 @@ def test_streaming_nbq5_post_window_argmax(spark, events, events_stream_src, tmp
     # the trailing open window(s) stay in state (watermark lags a batch)
     assert 0 < len(held) <= 3
     assert min(w for w, _, _ in held) >= max(w for w, _, _ in got)
+
+
+def test_streaming_left_outer_theta_join(spark, events, tmp_path):
+    """LEFT OUTER stream-stream theta join (reference has inner only —
+    SURVEY §2.7): matched rows equal the batch join; null rows appear
+    exactly for unmatched left rows old enough that the watermark
+    passed their band (final-rows caveat: the tail is withheld).
+    Watermark advance lags one batch (CLAUDE.md), so the emission
+    bound uses the second-to-last batch's max event time."""
+    from lightsaber_spark.operators import theta_join
+    from lightsaber_spark.streaming.stream import streaming_theta_join
+
+    # three sequential in-order files => three micro-batches
+    rows = events.sort("ts").select("event_id", "ts", "event_type", "value").toPandas()
+    path = tmp_path / "ev3"
+    path.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    third = len(rows) // 3
+    splits = [rows.iloc[:third], rows.iloc[third : 2 * third], rows.iloc[2 * third :]]
+    for i, chunk in enumerate(splits):
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        # write µs timestamps — ns columns read back as bigint under
+        # the session's nanosAsLong conf
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl.column("ts").cast(pa.timestamp("us", tz="UTC")),
+        )
+        pq.write_table(tbl, str(path / f"{i:02d}.parquet"))
+    schema = spark.read.parquet(str(path)).schema
+    stream = read_stream(spark, str(path), schema, max_files_per_trigger=1)
+
+    def sides(df):
+        l = df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+        r = df.filter(F.col("event_type") == "click").select(
+            F.col("ts").alias("r_ts"), F.col("value").alias("r_value")
+        )
+        return l, r
+
+    sl, sr = sides(stream)
+    joined = streaming_theta_join(
+        sl, sr, F.col("r_value") > F.col("l_value"), "l_ts", "r_ts", 120,
+        how="left_outer",
+    ).select("err_id", "l_ts", "r_ts", "r_value")
+    got = run_available_now(joined, str(tmp_path / "ck"), table_name="t_loj").collect()
+
+    bl, br = sides(events)
+    want_inner = {
+        (r["err_id"], r["r_ts"], r["r_value"])
+        for r in theta_join(
+            bl, br, F.col("r_value") > F.col("l_value"),
+            left_ts="l_ts", right_ts="r_ts", max_delta_sec=120,
+        ).select("err_id", "r_ts", "r_value").collect()
+    }
+    got_inner = {(r["err_id"], r["r_ts"], r["r_value"]) for r in got if r["r_ts"] is not None}
+    assert got_inner == want_inner
+
+    # null rows: subset of batch-unmatched, and complete for rows whose
+    # band closed two batches before the end
+    matched_ids = {t[0] for t in want_inner}
+    batch_null_ids = {
+        r["err_id"] for r in bl.collect() if r["err_id"] not in matched_ids
+    }
+    got_nulls = {r["err_id"] for r in got if r["r_ts"] is None}
+    assert got_nulls <= batch_null_ids
+    import datetime as _dt
+
+    wm_bound = splits[0]["ts"].max().to_pydatetime() - _dt.timedelta(seconds=121)
+    must_emit = {
+        r["err_id"]
+        for r in bl.collect()
+        if r["err_id"] not in matched_ids and r["l_ts"] < wm_bound
+    }
+    assert must_emit <= got_nulls
+    assert len(got_nulls) > 0
