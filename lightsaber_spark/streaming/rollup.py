@@ -1,0 +1,129 @@
+"""Continuous pane rollup — a streaming materialized aggregate on a
+data lake, maintained exactly-once.
+
+The reference forwards completed window fragments downstream and merges
+them pairwise in memory (``src/result/PartialResultSlot.h:288-368``).
+At 100 TB the durable analog is a *partial-aggregate table*: each
+micro-batch appends its pane-level partials (sum/count/min/max are all
+mergeable), and readers finish the merge at query time. Two properties
+make this scale:
+
+* **Idempotent replay** — partials land in a ``_batch_id=<n>``
+  partition written with dynamic partition overwrite, so a replayed
+  micro-batch (checkpoint recovery) overwrites its own partition
+  instead of double-counting. Exactly-once without any transaction
+  log.
+* **Bounded merge cost** — the reader's final merge touches
+  O(panes × batches) partial rows, not raw events; periodic
+  ``compact`` folds history into one partition to keep that bounded.
+
+This is the ``foreachBatch`` sink pattern (SURVEY §2.6): everything
+the stream writes is also a normal parquet table for batch readers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+# measure spec: (fn, src_col, alias) with fn in sum/count/min/max —
+# exactly the mergeable subset (AVG = sum+count, SURVEY §2.4
+# "invertible" aggregates)
+_MERGE_FN = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
+def _pane_col(ts_col: str, pane_sec: int) -> Column:
+    us = pane_sec * 1_000_000
+    t = F.unix_micros(F.col(ts_col))
+    return ((t - (t % us)) / us).cast("bigint") * pane_sec
+
+
+def _partial_aggs(measures: Sequence[tuple[str, str | None, str]]) -> list[Column]:
+    out = []
+    for fn, col, alias in measures:
+        if fn == "count":
+            out.append(F.count(F.lit(1)).alias(alias))
+        elif fn in ("sum", "min", "max"):
+            out.append(getattr(F, fn)(col).alias(alias))
+        else:  # pragma: no cover - guarded by callers
+            raise ValueError(f"non-mergeable measure {fn!r}")
+    return out
+
+
+def _merge_aggs(measures: Sequence[tuple[str, str | None, str]]) -> list[Column]:
+    return [_MERGE_FN[fn](alias).alias(alias) for fn, _, alias in measures]
+
+
+def continuous_pane_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    pane_sec: int,
+    measures: Sequence[tuple[str, str | None, str]],
+    keys: Sequence[str],
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Start an availableNow foreachBatch query appending pane partials
+    to ``out_path`` (parquet, partitioned by ``_batch_id``). Returns the
+    StreamingQuery; await it, then read with :func:`rollup_view`."""
+    keys = list(keys)
+    paggs = _partial_aggs(measures)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = (
+            batch_df.withColumn("pane_start", _pane_col(ts_col, pane_sec))
+            .groupBy("pane_start", *keys)
+            .agg(*paggs)
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+        )
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            partial.write.mode("overwrite").partitionBy("_batch_id").parquet(out_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    return (
+        stream.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rollup_view(
+    spark: SparkSession,
+    out_path: str,
+    measures: Sequence[tuple[str, str | None, str]],
+    keys: Sequence[str],
+) -> DataFrame:
+    """Finish the merge: partial rows → one row per (pane, keys)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("pane_start", *list(keys))
+        .agg(*_merge_aggs(measures))
+    )
+
+
+def compact(
+    spark: SparkSession,
+    out_path: str,
+    measures: Sequence[tuple[str, str | None, str]],
+    keys: Sequence[str],
+) -> None:
+    """Fold all batch partitions into a single ``_batch_id=-1``
+    partition (run between streaming runs; readers see identical
+    results before and after)."""
+    merged = rollup_view(spark, out_path, measures, keys).withColumn(
+        "_batch_id", F.lit(-1)
+    )
+    tmp = out_path.rstrip("/") + ".compact.tmp"
+    merged.write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
+    fresh = spark.read.parquet(tmp)
+    fresh.write.mode("overwrite").partitionBy("_batch_id").parquet(out_path)
+    # best-effort cleanup of the staging dir
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -508,3 +508,56 @@ def test_streaming_left_outer_theta_join(spark, events, tmp_path):
     }
     assert must_emit <= got_nulls
     assert len(got_nulls) > 0
+
+
+def test_continuous_pane_rollup(spark, events, events_stream_src, tmp_path):
+    """foreachBatch materialized rollup: streamed pane partials merged
+    at read time equal the batch pane aggregate; a checkpointed re-run
+    adds nothing (idempotent replay); compaction preserves results."""
+    from lightsaber_spark.streaming.rollup import (
+        compact,
+        continuous_pane_rollup,
+        rollup_view,
+    )
+
+    measures = [("sum", "value", "sum_v"), ("count", None, "n"),
+                ("max", "value", "max_v")]
+    keys = ["event_type"]
+    out = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = continuous_pane_rollup(
+            _stream(spark, events_stream_src), "ts", 3600, measures, keys, out, ck
+        )
+        q.awaitTermination()
+
+    run()
+    got = rollup_view(spark, out, measures, keys)
+    pane = (
+        ((F.unix_micros("ts") - F.unix_micros("ts") % 3_600_000_000)
+         / 3_600_000_000).cast("bigint") * 3600
+    ).alias("pane_start")
+    want = events.groupBy(pane, *keys).agg(
+        F.sum("value").alias("sum_v"), F.count(F.lit(1)).alias("n"),
+        F.max("value").alias("max_v"),
+    )
+    cols = ["pane_start", "event_type", "sum_v", "n", "max_v"]
+    ok, msg = rows_match(got.select(*cols).collect(),
+                         want.select(*cols).collect(), float_tol=1e-9)
+    assert ok, msg
+
+    # restart from the same checkpoint: input already committed
+    run()
+    ok, msg = rows_match(
+        rollup_view(spark, out, measures, keys).select(*cols).collect(),
+        want.select(*cols).collect(), float_tol=1e-9,
+    )
+    assert ok, msg
+
+    compact(spark, out, measures, keys)
+    ok, msg = rows_match(
+        rollup_view(spark, out, measures, keys).select(*cols).collect(),
+        want.select(*cols).collect(), float_tol=1e-9,
+    )
+    assert ok, msg
