@@ -104,3 +104,107 @@ def kmv_oracle_sql(
     FROM _r WHERE _rn <= {k}
     {"GROUP BY " + groups if group_cols else ""}
     """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k hash sample quantiles
+# ---------------------------------------------------------------------------
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100),
+    ),
+) -> DataFrame:
+    """Per-group approximate quantiles from a deterministic bottom-k
+    hash sample — the strong-checkable alternative to
+    ``approx_percentile`` (whose t-digest no external oracle can
+    reproduce).
+
+    The k rows with the smallest 60-bit md5 hash of ``key_col`` form a
+    uniform row sample per group (exact when the group has ≤ k rows);
+    the bottom-k-by-hash selection is mergeable across partitions and
+    engines. Quantile ``num/den`` is the sample's order statistic at
+    0-based index ``floor(num·(n−1)/den)``, computed with INTEGER
+    division — a float index would disagree between engines at exact
+    multiples (e.g. 0.7·10). ``value_col`` should already be exact
+    (integer cents).
+    """
+    groups = list(group_cols)
+    h = df.select(
+        *groups,
+        F.col(value_col).alias("_v"),
+        shingle_hash(F.col(key_col).cast("string")).alias("_h"),
+    )
+    wh = (
+        Window.partitionBy(*groups).orderBy("_h")
+        if groups else Window.orderBy("_h")
+    )
+    sample = h.withColumn("_rn", F.row_number().over(wh)).filter(
+        F.col("_rn") <= k
+    )
+    wv = (
+        Window.partitionBy(*groups).orderBy("_v", "_h")
+        if groups else Window.orderBy("_v", "_h")
+    )
+    wn = (
+        Window.partitionBy(*groups) if groups else Window.partitionBy(F.lit(1))
+    )
+    r = sample.select(
+        *groups, "_v",
+        F.row_number().over(wv).alias("_vr"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("_vr")
+                == F.expr(f"({num} * (_n - 1)) div {den}") + 1,
+                F.col("_v"),
+            )
+        ).alias(name)
+        for name, num, den in quantiles
+    ]
+    return r.groupBy(*groups).agg(*aggs)
+
+
+def bottomk_quantiles_oracle_sql(
+    table_expr: str,
+    group_cols: Sequence[str],
+    value_expr: str,
+    key_expr: str,
+    k: int = 256,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100),
+    ),
+) -> str:
+    """DuckDB twin of :func:`bottomk_sample_quantiles` (same hash, same
+    rank arithmetic — bit-identical)."""
+    groups = ", ".join(group_cols)
+    part = f"PARTITION BY {groups}" if group_cols else ""
+    sel = ",\n           ".join(
+        f"max(CASE WHEN _vr = ({num} * (_n - 1)) // {den} + 1 "
+        f"THEN _v END) AS {name}"
+        for name, num, den in quantiles
+    )
+    return f"""
+    WITH h AS (
+      SELECT {groups}{"," if groups else ""} {value_expr} AS _v,
+             ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT AS _h
+      FROM {table_expr}
+    ),
+    s AS (SELECT * FROM (
+            SELECT *, row_number() OVER ({part} ORDER BY _h) AS _rn FROM h)
+          WHERE _rn <= {k}),
+    r AS (SELECT {groups}{"," if groups else ""} _v,
+                 row_number() OVER ({part} ORDER BY _v, _h) AS _vr,
+                 count(*) OVER ({part.replace("PARTITION BY", "PARTITION BY") if part else "PARTITION BY 1"}) AS _n
+          FROM s)
+    SELECT {groups}{"," if groups else ""}
+           {sel}
+    FROM r GROUP BY {groups if groups else "1"}
+    """

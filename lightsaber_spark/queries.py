@@ -2268,3 +2268,44 @@ def unpivot_lineitem_measures(spark, sf_dir):
     return long.groupBy("l_returnflag", "measure").agg(
         F.sum(F.round(F.col("amount") * 100).cast("bigint")).alias("amount_c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles via a deterministic bottom-k hash sample —
+# the strong-checkable stand-in for approx_percentile (whose t-digest
+# no oracle reproduces; SURVEY §2.8 approximate aggregates). Sample
+# selection and the order-statistic index are both exact integer
+# arithmetic, so the estimate is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.sketches import (  # noqa: E402
+    bottomk_quantiles_oracle_sql,
+    bottomk_sample_quantiles,
+)
+
+
+@query(
+    "sample_quantiles_value_by_type",
+    f"""
+    WITH q AS (
+    {bottomk_quantiles_oracle_sql(
+        "(SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c, "
+        "event_id FROM events)",
+        ["event_type"], "v_c", "event_id", k=256,
+    )}
+    )
+    SELECT event_type, p50 / 100.0 AS p50_value, p90 / 100.0 AS p90_value,
+           p99 / 100.0 AS p99_value
+    FROM q
+    """,
+)
+def sample_quantiles_value_by_type(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    q = bottomk_sample_quantiles(
+        ev, ["event_type"], "value_c", "event_id", k=256
+    )
+    return q.select(
+        "event_type",
+        (F.col("p50") / 100.0).alias("p50_value"),
+        (F.col("p90") / 100.0).alias("p90_value"),
+        (F.col("p99") / 100.0).alias("p99_value"),
+    )

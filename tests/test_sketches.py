@@ -132,3 +132,34 @@ def test_ivf_multiprobe_recall(spark, tables):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4
     assert r4 > 0.5  # probing half the cells should recover most
+
+
+def test_bottomk_quantiles_accuracy(tables, duck):
+    """The k=256 bottom-k sample p50 must land between the exact p35
+    and p65 of each group (rank error ~1/sqrt(k) ≈ 6%; the band is
+    generous so the test is drift-proof but still catches a broken
+    sampler or index arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.sketches import bottomk_sample_quantiles
+
+    ev = tables["events"].withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
+    got = {
+        r["event_type"]: r["p50"]
+        for r in bottomk_sample_quantiles(
+            ev, ["event_type"], "value_c", "event_id", k=256
+        ).collect()
+    }
+    bands = duck.execute(
+        """
+        SELECT event_type,
+               quantile_disc(CAST(round(value*100) AS BIGINT), 0.35) AS lo,
+               quantile_disc(CAST(round(value*100) AS BIGINT), 0.65) AS hi
+        FROM events GROUP BY 1
+        """
+    ).fetchall()
+    assert len(got) == len(bands) > 0
+    for event_type, lo, hi in bands:
+        assert lo <= got[event_type] <= hi, (event_type, lo, got[event_type], hi)
