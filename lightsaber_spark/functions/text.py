@@ -13,7 +13,7 @@ oracles can reproduce results exactly.
 from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — required so pandas-UDF type hints resolve
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # word tokens: ASCII alphanumerics (identical semantics in Java regex and
 # RE2); BPE-ish tokens additionally split digit runs and symbol runs
@@ -170,6 +170,27 @@ def doc_fingerprint(c: Column) -> Column:
 # BM25-style relevance (logarithm-free, cross-engine exact)
 # ---------------------------------------------------------------------------
 
+def _bm25_score_expr(terms, k1: float, b: float,
+                     n_docs: str, avgdl: str, df_fmt: str) -> str:
+    """The shared scoring expression. The arithmetic TREE is fixed here
+    — both engines must evaluate the same IEEE ops in the same order
+    for bit-identical doubles — while the corpus statistics (N, avgdl,
+    per-term df) are spliced in as whatever reference the caller uses
+    (scalar subqueries in the oracle, pre-joined stat columns in the
+    Spark plan)."""
+    parts = []
+    for i, _ in enumerate(terms):
+        df_i = df_fmt.format(i=i)
+        idf = f"((({n_docs} - {df_i}) + 0.5) / ({df_i} + 0.5))"
+        tfn = (
+            f"((CAST(tf{i} AS DOUBLE) * {k1 + 1.0}) / "
+            f"(CAST(tf{i} AS DOUBLE) + ({k1} * ({1.0 - b} + ({b} * "
+            f"(CAST(dl AS DOUBLE) / {avgdl}))))))"
+        )
+        parts.append(f"({idf} * {tfn})")
+    return " + ".join(parts)
+
+
 def bm25_select(relation: str, terms, k: int = 20,
                 k1: float = 1.2, b: float = 0.75) -> str:
     """SQL computing a BM25-style score over ``relation(doc_id, dl,
@@ -178,26 +199,19 @@ def bm25_select(relation: str, terms, k: int = 20,
     The classic idf ``log((N-df+0.5)/(df+0.5))`` is used WITHOUT the
     log: the ratio is monotone in the same direction, and dropping the
     transcendental keeps every operation rational IEEE-double
-    arithmetic over exact integers — the same SQL text runs on Spark
-    and DuckDB and produces bit-identical doubles, so the top-k (ties
-    broken by doc_id) is strongly checkable. The scalar subqueries
-    (N, avgdl, per-term df) each execute once and inline as literals.
+    arithmetic over exact integers — so the top-k (ties broken by
+    doc_id) is strongly checkable against :func:`bm25_topk`. Corpus
+    statistics are scalar subqueries here (fine for an oracle; each
+    rescans the relation — the Spark side uses the one-pass form).
     """
-    avgdl = (f"(SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
-             f"FROM {relation})")
-    n_docs = f"(SELECT CAST(count(*) AS DOUBLE) FROM {relation})"
-    parts = []
-    for i, _ in enumerate(terms):
-        df_i = (f"(SELECT CAST(count(*) AS DOUBLE) FROM {relation} "
-                f"WHERE tf{i} > 0)")
-        idf = f"((({n_docs} - {df_i}) + 0.5) / ({df_i} + 0.5))"
-        tfn = (
-            f"((CAST(tf{i} AS DOUBLE) * {k1 + 1.0}) / "
-            f"(CAST(tf{i} AS DOUBLE) + ({k1} * ({1.0 - b} + ({b} * "
-            f"(CAST(dl AS DOUBLE) / {avgdl}))))))"
-        )
-        parts.append(f"({idf} * {tfn})")
-    score = " + ".join(parts)
+    score = _bm25_score_expr(
+        terms, k1, b,
+        n_docs=f"(SELECT CAST(count(*) AS DOUBLE) FROM {relation})",
+        avgdl=(f"(SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+               f"FROM {relation})"),
+        df_fmt=(f"(SELECT CAST(count(*) AS DOUBLE) FROM {relation} "
+                "WHERE tf{i} > 0)"),
+    )
     return f"""
     SELECT doc_id, score, rnk FROM (
       SELECT doc_id, score,
@@ -205,6 +219,46 @@ def bm25_select(relation: str, terms, k: int = 20,
       FROM (SELECT doc_id, {score} AS score FROM {relation}) s
     ) r WHERE rnk <= {k}
     """
+
+
+def bm25_topk(base: DataFrame, terms, k: int = 20,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Scale-path BM25 top-k over a ``term_tf_table`` frame.
+
+    One aggregation pass computes ALL corpus statistics (N, Σdl,
+    per-term df) and broadcasts the single stat row back on a constant
+    key (a broadcast HASH join — never a nested loop); the scoring
+    expression is the same arithmetic tree as :func:`bm25_select`, so
+    results stay bit-identical to the scalar-subquery oracle. Top-k is
+    ``ORDER BY … LIMIT k`` (TakeOrderedAndProject: per-partition heaps
+    + one driver merge, no single-partition window sort)."""
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"_df{i}")
+            for i, _ in enumerate(terms)
+        ],
+    ).withColumn("_k", F.when(F.col("_n") >= 0, F.lit(0)).cast("bigint"))
+    score = _bm25_score_expr(
+        terms, k1, b,
+        n_docs="CAST(_n AS DOUBLE)",
+        avgdl="(CAST(_sumdl AS DOUBLE) / CAST(_n AS DOUBLE))",
+        df_fmt="CAST(_df{i} AS DOUBLE)",
+    )
+    # the constant key must survive constant folding on BOTH sides or
+    # Catalyst rewrites the equality into a one-sided filter and plans
+    # a nested loop: nullable expressions (dl*0 here, the when() above)
+    # are opaque to the x*0→0 simplification, so this stays a broadcast
+    # HASH join on _k
+    scored = (
+        base.withColumn("_k", F.col("dl") * F.lit(0))
+        .join(F.broadcast(stats), "_k")
+        .select("doc_id", F.expr(score).alias("score"))
+    )
+    topk = scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return topk.withColumn("rnk", F.row_number().over(w))
 
 
 def term_tf_table(df: DataFrame, terms, text_col: str = "text") -> DataFrame:

@@ -657,12 +657,15 @@ _BM25_TF_DUCK = ",\n         ".join(
 )
 def q_bm25_topk(spark, sf_dir):
     """Top-20 documents for a fixed term query under log-free BM25.
-    The tf/dl table is one Catalyst projection; scoring + ranking run
-    as shared SQL text so Spark and DuckDB do identical IEEE double
-    ops (idf kept as a rational ratio — no transcendentals)."""
+    One corpus pass for all statistics (broadcast back on a constant
+    key) + TakeOrderedAndProject top-k; the scoring arithmetic tree is
+    shared with the scalar-subquery oracle so the IEEE doubles are
+    bit-identical (idf kept as a rational ratio — no
+    transcendentals)."""
+    from lightsaber_spark.functions.text import bm25_topk
+
     base = term_tf_table(_docs(spark, sf_dir), BM25_TERMS)
-    base.createOrReplaceTempView("bm25_base")
-    return spark.sql(bm25_select("bm25_base", BM25_TERMS, 20))
+    return bm25_topk(base, BM25_TERMS, 20)
 
 
 # ---------------------------------------------------------------------------

@@ -34,14 +34,11 @@ def test_feature_hash_mass_conservation(tables):
 
 def test_bm25_rank_contract(tables):
     """Ranks are 1..k unique and scores are non-increasing in rank."""
+    from lightsaber_spark.functions.text import bm25_topk
+
     terms = ("window", "spark", "dup")
     base = term_tf_table(tables["documents"], terms)
-    base.createOrReplaceTempView("bm25_base")
-    rows = (
-        base.sparkSession.sql(bm25_select("bm25_base", terms, 20))
-        .orderBy("rnk")
-        .collect()
-    )
+    rows = bm25_topk(base, terms, 20).orderBy("rnk").collect()
     assert [r["rnk"] for r in rows] == list(range(1, 21))
     scores = [r["score"] for r in rows]
     assert all(a >= b for a, b in zip(scores, scores[1:]))
