@@ -1833,14 +1833,23 @@ def tpch_q11(spark, sf_dir):
         .groupBy("n_name", F.col("l_partkey").alias("pk"))
         .agg(F.sum(_cents("l_extendedprice")).alias("val_c"))
     )
-    v.createOrReplaceTempView("q11_v")
-    return spark.sql(
-        """
-        SELECT n_name, pk AS p_partkey, CAST(val_c AS DOUBLE) / 100.0D AS part_value
-        FROM q11_v
-        WHERE val_c * (SELECT count(*) FROM q11_v)
-              > 2 * (SELECT sum(val_c) FROM q11_v)
-        """
+    # both global scalars in ONE pass over v (scalar subqueries would
+    # recompute the lineitem aggregate once each), broadcast back on a
+    # constant key. The key must be nullable on both sides — a
+    # non-nullable expr constant-folds and Catalyst degrades the
+    # equality to a nested-loop join (see functions/text.py bm25_topk).
+    stats = v.agg(
+        F.count(F.lit(1)).alias("_g"), F.sum("val_c").alias("_t")
+    ).withColumn("_k", F.when(F.col("_g") >= 0, F.lit(0)).cast("bigint"))
+    return (
+        v.withColumn("_k", F.col("val_c") * F.lit(0))
+        .join(F.broadcast(stats), "_k")
+        .filter(F.col("val_c") * F.col("_g") > 2 * F.col("_t"))
+        .select(
+            "n_name",
+            F.col("pk").alias("p_partkey"),
+            (F.col("val_c").cast("double") / 100.0).alias("part_value"),
+        )
     )
 
 
