@@ -189,7 +189,8 @@ def sg1(spark, sf_dir):
                    cc - coalesce(lag(cc, 3600) OVER (ORDER BY pane), 0) AS wc
             FROM cum)
     SELECT pane - 3599 AS window_start,
-           CAST(ws AS BIGINT) / 100.0 / wc AS avg_value, wc AS n
+           CAST(ws AS BIGINT) / 100.0 / CAST(wc AS BIGINT) AS avg_value,
+           CAST(wc AS BIGINT) AS n
     FROM win WHERE wc > 0 AND (pane - 3599) % 60 = 0
     """,
 )
@@ -1177,8 +1178,10 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "pivot_event_counts_by_day",
     f"""
     SELECT epoch_us(ts) // 86400000000 AS day_id,
-           {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
-                      for t in _EVENT_TYPES)}
+           {", ".join(
+               f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS {t}"
+               for t in _EVENT_TYPES)}
     FROM events GROUP BY 1
     """,
 )
