@@ -119,12 +119,34 @@ def shingle_arrays(
     it is ``persist()``-ed (lazy — populated on first evaluation,
     MEMORY_AND_DISK via default level) rather than recomputed per
     branch. At corpus scale this is the 'build the shingle index once'
-    step a real pipeline would materialize anyway."""
+    step a real pipeline would materialize anyway.
+
+    Lifecycle: every persisted frame is registered; callers that run
+    many queries in one long-lived session (parity gate, bench) call
+    :func:`release_shingle_caches` after materializing a query so
+    caches don't accumulate across queries."""
     out = df.select(
         F.col(id_col).alias("_id"),
         word_shingles_udf(k)(F.col(text_col)).alias("_shs"),
     )
-    return out.persist() if persist else out
+    if persist:
+        out = out.persist()
+        _SHINGLE_CACHES.append(out)
+    return out
+
+
+_SHINGLE_CACHES: list[DataFrame] = []
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle cache created since the last release;
+    returns how many were dropped. Safe to call any time — consuming
+    plans recompute from source if re-evaluated later."""
+    n = len(_SHINGLE_CACHES)
+    for df in _SHINGLE_CACHES:
+        df.unpersist()
+    _SHINGLE_CACHES.clear()
+    return n
 
 
 def _shingle_index(
@@ -552,7 +574,80 @@ def embedding_neardup_pairs(
     one BLAS matmul (``similarity.blocked_allpairs_cosine`` — float64
     GEMM on integer values is exact below 2^53, so results match the
     bigint-fold DuckDB oracle bit-for-bit). At extreme scale route
-    candidates through LSH buckets first and verify only those."""
+    candidates through LSH buckets first and verify only those —
+    :func:`embedding_lsh_pairs` is that route."""
     from lightsaber_spark.functions.similarity import blocked_allpairs_cosine
 
     return blocked_allpairs_cosine(df, threshold, id_col, vec_col, n_blocks)
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+    salt: str = "nd",
+) -> DataFrame:
+    """LSH-prefiltered embedding near-dup pairs — the 100 TB route that
+    replaces :func:`embedding_neardup_pairs`' O(n²) GEMM with a
+    candidate equi-join (same structure as :func:`minhash_lsh_pairs`:
+    band → bucket join → exact verification of candidates only).
+
+    Each of ``bands`` independent random-hyperplane signatures
+    (``n_planes`` md5-derived ±1 planes per band — deterministic, no
+    stored plane matrix) is a bucket key; a pair is a candidate iff it
+    collides in ≥1 band, and only candidates get the exact
+    integer-scaled cosine (recall rises with ``bands``, candidate count
+    with ``n_planes`` down). All signature work is one Arrow-batched
+    matmul per band per batch; the join is a shuffle hash join on
+    (band, sig) — linear shuffle volume, no pairwise scan.
+    """
+    from lightsaber_spark.functions.similarity import (
+        _prep,
+        _scaled_dot,
+        hyperplane_signature_udf,
+    )
+
+    base = _prep(df, id_col, vec_col, "_id")
+    band_sigs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            hyperplane_signature_udf(
+                n_planes, dim, salt=f"{salt}{b}", scaled=True
+            )(F.col("_sv")).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    sigs = base.select(
+        "_id", F.explode(F.array(*band_sigs)).alias("_bs")
+    ).select("_id", "_bs.band", "_bs.sig")
+    cands = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("_id").alias("id_a"), F.col("_sv").alias("_va"), F.col("_norm").alias("_na")
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"), F.col("_sv").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            _scaled_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

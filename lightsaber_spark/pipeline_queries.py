@@ -32,6 +32,7 @@ from lightsaber_spark.functions.dedup import (
     X_BITS,
     _lcg_constants,
     duplicate_groups,
+    embedding_lsh_pairs,
     embedding_neardup_pairs,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -407,6 +408,42 @@ def q_sim_lsh(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+# LSH-prefiltered embedding near-dup — the scale path completing the
+# dedup ladder (removes its last O(n²) default; the blocked-GEMM
+# `dedup_embedding_cosine` above stays as the exact verifier).
+_ND_BANDS = 4
+
+
+@query(
+    "dedup_embedding_lsh",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding,
+             {", ".join(f"{_hyperplane_sig_sql('embedding', 8, salt=f'nd{b}')} AS s{b}"
+                        for b in range(_ND_BANDS))}
+      FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS va, b.embedding AS vb
+      FROM sigs a JOIN sigs b
+        ON a.vec_id < b.vec_id
+       AND ({" OR ".join(f"a.s{b} = b.s{b}" for b in range(_ND_BANDS))}))
+    SELECT id_a, id_b, {_COS.format(a='va', b='vb')} AS cosine
+    FROM cand
+    WHERE {_COS.format(a='va', b='vb')} >= 0.35
+    """,
+)
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """4 independent 8-plane md5-derived signature bands → candidate
+    equi-join on (band, sig) → exact integer-scaled cosine verify of
+    candidates only (mirrors ``minhash_lsh_pairs``' band→bucket→verify
+    structure). The oracle reproduces the banding exactly, so recall
+    differences can never show up in the compare."""
+    return embedding_lsh_pairs(
+        _embs(spark, sf_dir), threshold=0.35, n_planes=8, bands=_ND_BANDS
+    )
+
+
 @query(
     "sim_ivf_topk",
     f"""
@@ -672,7 +709,7 @@ def q_bm25_topk(spark, sf_dir):
 # Feature hashing (the hashing trick) — fixed-width token-count
 # vectors for downstream ML featurization.
 # ---------------------------------------------------------------------------
-from lightsaber_spark.functions.text import feature_hash_vector
+from lightsaber_spark.functions.text import feature_hash_vector_udf
 
 
 @query(
@@ -687,9 +724,11 @@ from lightsaber_spark.functions.text import feature_hash_vector
 )
 def q_feature_hash(spark, sf_dir):
     """16-bucket hashed count vector per document — md5-bucketed so
-    both engines build identical vectors."""
+    both engines build identical vectors. Arrow-batched hot path
+    (``feature_hash_vector_udf``); the interpreted-HOF twin
+    ``feature_hash_vector`` stays as the in-repo reference form."""
     return _docs(spark, sf_dir).select(
-        "doc_id", feature_hash_vector(F.col("text"), 16).alias("vec")
+        "doc_id", feature_hash_vector_udf(16)(F.col("text")).alias("vec")
     )
 
 

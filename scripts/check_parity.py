@@ -61,6 +61,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures, checked, weak = [], 0, []
 
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -73,6 +75,8 @@ def main() -> int:
             failures.append((name, f"spark error: {ex}"))
             print(f"[FAIL] {name}: spark error: {ex}")
             continue
+        finally:
+            release_shingle_caches()
         if name not in oracles:
             weak.append(name)
             print(f"[weak] {name}: {len(srows)} rows (no oracle, rows-only)")
