@@ -65,6 +65,80 @@ class ThroughputListener(StreamingQueryListener):
         return sum(m.num_input_rows for m in self.metrics)
 
 
+@dataclass
+class LatencyStats:
+    """Running end-to-end latency aggregate — the analog of the
+    reference's ``LatencyMonitor.h:17-24`` (m_avg/m_min/m_max over
+    latency marks)."""
+
+    n_batches: int = 0
+    avg_ms: float = 0.0
+    min_ms: float = float("inf")
+    max_ms: float = 0.0
+
+    def update(self, latency_ms: float) -> None:
+        self.n_batches += 1
+        self.avg_ms += (latency_ms - self.avg_ms) / self.n_batches
+        self.min_ms = min(self.min_ms, latency_ms)
+        self.max_ms = max(self.max_ms, latency_ms)
+
+
+LATENCY_MARK = "latency_mark"
+
+
+def with_latency_mark(df: DataFrame, mark_col: str = "_mark_us") -> DataFrame:
+    """Multiplex a latency mark into the stream — the analog of the
+    reference stamping a dispatch timestamp into the first tuple of
+    each batch (``TaskDispatcher.cpp:342-352``). ``current_timestamp``
+    is the micro-batch's fixed batch timestamp, so the mark is 'when
+    this batch entered the engine'; sink-side observation closes the
+    end-to-end interval."""
+    return df.withColumn(mark_col, F.unix_micros(F.current_timestamp()))
+
+
+def observe_latency(df: DataFrame, mark_col: str = "_mark_us") -> DataFrame:
+    """Attach the sink-side latency observation (min mark + row count)
+    computed inline with each micro-batch — no second scan. Pair with
+    :class:`LatencyListener` to turn observed marks into avg/min/max
+    end-to-end latency."""
+    return df.observe(
+        LATENCY_MARK,
+        F.min(F.col(mark_col)).alias("mark_us"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+class LatencyListener(StreamingQueryListener):
+    """Turns per-batch observed latency marks into running avg/min/max
+    latency (``LatencyMonitor.h:17-24`` analog): when a progress event
+    carries the ``latency_mark`` observation, latency = progress-event
+    wall clock − batch mark. Attach with
+    ``spark.streams.addListener(listener)``; read ``stats`` after (or
+    during) the run."""
+
+    def __init__(self) -> None:
+        self.stats = LatencyStats()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        import time
+
+        om = event.progress.observedMetrics or {}
+        row = om.get(LATENCY_MARK)
+        if row is None or row["mark_us"] is None or row["rows"] == 0:
+            return
+        now_us = time.time_ns() // 1_000
+        self.stats.update((now_us - row["mark_us"]) / 1000.0)
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+
 def observed(df: DataFrame, name: str = "metrics"):
     """Attach exact row/byte counters to a batch plan; returns
     ``(df, observation)``. After any action on ``df``, read

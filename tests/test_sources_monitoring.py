@@ -9,7 +9,13 @@ from pyspark.sql import functions as F
 
 from tests.conftest import rows_match
 
-from lightsaber_spark.monitoring import ThroughputListener, observed
+from lightsaber_spark.monitoring import (
+    LatencyListener,
+    ThroughputListener,
+    observe_latency,
+    observed,
+    with_latency_mark,
+)
 from lightsaber_spark.sources import noop_sink, rate_source, read_table, to_files
 
 
@@ -125,5 +131,36 @@ def test_throughput_listener(spark, tables, tmp_path):
             time.sleep(0.2)
         assert listener.total_rows == 500
         assert all(m.duration_ms for m in listener.metrics if m.num_input_rows)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_latency_listener(spark, tables, tmp_path):
+    """Latency-mark pattern (ref LatencyMonitor.h:17-24): mark at
+    ingest, observe at sink, listener aggregates avg/min/max."""
+    listener = LatencyListener()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        tables["events"].limit(400).write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        marked = with_latency_mark(stream)
+        q = (
+            observe_latency(marked)
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        for _ in range(50):
+            if listener.stats.n_batches >= 1:
+                break
+            time.sleep(0.2)
+        s = listener.stats
+        assert s.n_batches >= 1
+        assert 0.0 <= s.min_ms <= s.avg_ms <= s.max_ms
+        # end-to-end latency of a local availableNow batch is bounded
+        assert s.max_ms < 120_000
     finally:
         spark.streams.removeListener(listener)
