@@ -185,7 +185,16 @@ def ngram_jaccard_pairs(
     """Document pairs with k-word-shingle Jaccard >= threshold, via the
     inverted-index join (never an all-pairs scan). The threshold test is
     exact integer arithmetic: |A∩B| >= τ(|A|+|B|-|A∩B|) evaluated as
-    100000·i >= τ·100000·(na+nb-i)."""
+    100000·i >= τ·100000·(na+nb-i).
+
+    SCALE WARNING — ``max_doc_freq=None`` (the uncut form) is
+    test-scale-only: the self-join's work is Σ df(shingle)², which a
+    Zipfian corpus turns quadratic on its head shingles. Production
+    runs at corpus scale MUST set ``max_doc_freq`` (the stop-shingle
+    cutoff — a shingle shared by more than N docs carries no dedup
+    signal and is dropped before the join; Jaccard is then computed on
+    the post-cut sets on both engines, so the oracle still matches
+    exactly). ``minhash_lsh_pairs`` is the other scale-safe route."""
     arr = shingle_arrays(df, text_col, id_col, k)
     ex = _index_from_arrays(arr, max_doc_freq)
     sizes = _sizes_from_arrays(arr, ex, max_doc_freq)

@@ -131,6 +131,7 @@ def windowed_agg(
     use_panes: bool | None = None,
     use_prefix: bool | None = None,
     prefix_panes_per_chunk: int | None = None,
+    float32_output: bool = False,
 ) -> DataFrame:
     """Event-time (RANGE_BASED) windowed aggregation.
 
@@ -151,6 +152,12 @@ def windowed_agg(
       cost is span/slide spine rows, independent of the ratio, where the
       pane path would replicate every pane size/slide times (3600× for
       SG1's window(3600,1), ``SG1.cpp:17-24``).
+
+    ``float32_output=True`` casts every aggregate output column to
+    float32 — the reference's output type for ALL aggregates
+    (``Aggregation.h:53-87`` emits float regardless of input width);
+    default keeps Spark-native widths (bigint/double), which the
+    DuckDB oracle policy expects.
     """
     _check_aggs(aggs)
     slide_sec = slide_sec or size_sec
@@ -159,7 +166,8 @@ def windowed_agg(
     keys = list(keys)
 
     if slide_sec == size_sec:
-        return _tumbling(df, ts_col, size_sec, aggs, keys)
+        out = _tumbling(df, ts_col, size_sec, aggs, keys)
+        return _cast_outputs(out, aggs, float32_output)
     ratio = size_sec / slide_sec
     prefix_ok = (
         not keys
@@ -173,14 +181,20 @@ def windowed_agg(
             "prefix path needs global (no keys), invertible aggs, slide | size"
         )
     if use_prefix:
-        return _sliding_prefix(
+        out = _sliding_prefix(
             df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=prefix_panes_per_chunk
         )
-    if use_panes is None:
-        use_panes = ratio >= pane_threshold
-    if use_panes:
-        return _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys)
-    return _sliding_native(df, ts_col, size_sec, slide_sec, aggs, keys)
+    elif use_panes if use_panes is not None else ratio >= pane_threshold:
+        out = _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys)
+    else:
+        out = _sliding_native(df, ts_col, size_sec, slide_sec, aggs, keys)
+    return _cast_outputs(out, aggs, float32_output)
+
+
+def _cast_outputs(out: DataFrame, aggs: Sequence[AggSpec], float32_output: bool) -> DataFrame:
+    if not float32_output:
+        return out
+    return out.withColumns({a: F.col(a).cast("float") for _f, _c, a in aggs})
 
 
 def _tumbling(df, ts_col, size_sec, aggs, keys):

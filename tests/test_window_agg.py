@@ -76,3 +76,25 @@ def test_multi_key_grouping(events, duck):
     """).fetchall()
     ok, msg = rows_match([tuple(x) for x in r.collect()], d, float_tol=1e-6)
     assert ok, msg
+
+
+def test_float32_output_parity_mode(events):
+    """Reference output-type parity (Aggregation.h:53-87: every
+    aggregate emits float32): the flag casts all agg outputs — and only
+    them — to FloatType on every strategy path."""
+    from pyspark.sql.types import FloatType, LongType
+
+    aggs = [("sum", "value", "s"), ("count", None, "n")]
+    for size, slide in ((3600, 3600), (3600, 1200), (3600, 60)):
+        out = windowed_agg(events, "ts", size, slide, aggs, float32_output=True)
+        types = dict(out.dtypes)
+        assert types["s"] == "float" and types["n"] == "float"
+        assert isinstance(out.schema["window_start"].dataType, LongType)
+        ref = windowed_agg(events, "ts", size, slide, aggs)
+        got = {r[0]: r[1] for r in out.select("window_start", "s").collect()}
+        want = {r[0]: float(r[1]) for r in ref.select("window_start", "s").collect()}
+        assert got.keys() == want.keys()
+        # float32 narrowing keeps values within relative ulp (~1.2e-7)
+        assert all(
+            abs(got[k] - want[k]) <= 1e-5 * max(1.0, abs(want[k])) for k in want
+        )
