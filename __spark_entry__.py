@@ -40,6 +40,7 @@ _UNVERIFIED_R01 = [
     "session_windows_per_user",
     "udaf_weighted_avg_by_type",
     "text_stats_per_doc",
+    "text_repetition_stats",
     "text_langid",
     "text_fingerprint",
     "text_token_count_by_source",
@@ -58,6 +59,7 @@ _UNVERIFIED_R01 = [
     "sim_brute_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
     "multimodal_decode_stub",
     "multimodal_features",
     "multimodal_resize_stub",

@@ -289,18 +289,25 @@ def hyperplane_signature_udf(
     return _sig
 
 
-def ivf_cell_udf(centroids: list[tuple[int, list[float]]]):
+def _centroid_matrix(centroids, centroids_scaled: bool):
+    cents = sorted(centroids)
+    ids = np.array([c for c, _ in cents], dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    if not centroids_scaled:
+        y = m * SCALE
+        m = np.sign(y) * np.floor(np.abs(y) + 0.5)
+    return ids, m, np.sqrt((m * m).sum(axis=1))
+
+
+def ivf_cell_udf(centroids: list[tuple[int, list[float]]], centroids_scaled: bool = False):
     """Cell assigner: exact argmax-cosine against a small centroid set
     (ties → lowest centroid id, matching a ``row_number() ... ORDER BY
     cos DESC, cid ASC`` oracle). One GEMM per Arrow batch; the centroid
     matrix is embedded in the UDF closure (centroids are small by
-    definition — driver-side collect is bounded)."""
-    cents = sorted(centroids)
-    ids = np.array([c for c, _ in cents], dtype=np.int64)
-    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
-    y = m * SCALE
-    cm = np.sign(y) * np.floor(np.abs(y) + 0.5)
-    cnorm = np.sqrt((cm * cm).sum(axis=1))
+    definition — driver-side collect is bounded).
+    ``centroids_scaled=True`` means centroid vectors are already exact
+    scaled integers (e.g. from :func:`kmeans_fit_scaled`)."""
+    ids, cm, cnorm = _centroid_matrix(centroids, centroids_scaled)
 
     @F.pandas_udf("bigint")
     def _cell(vecs: pd.Series) -> pd.Series:
@@ -314,19 +321,14 @@ def ivf_cell_udf(centroids: list[tuple[int, list[float]]]):
     return _cell
 
 
-def ivf_cells_udf(centroids: list[tuple[int, list[float]]], n_probe: int):
+def ivf_cells_udf(
+    centroids: list[tuple[int, list[float]]], n_probe: int, centroids_scaled: bool = False
+):
     """Multi-probe cell assigner: the ``n_probe`` nearest centroid ids
     per vector (cosine desc, centroid id asc on ties — stable argsort
     over the id-ordered centroid matrix). Same exact integer-scaled
     arithmetic as :func:`ivf_cell_udf`, so probe 1 equals its argmax."""
-    import numpy as np
-
-    cents = sorted(centroids)
-    ids = np.array([c for c, _ in cents], dtype=np.int64)
-    m = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
-    y = m * SCALE
-    cm = np.sign(y) * np.floor(np.abs(y) + 0.5)
-    cnorm = np.sqrt((cm * cm).sum(axis=1))
+    ids, cm, cnorm = _centroid_matrix(centroids, centroids_scaled)
 
     @F.pandas_udf("array<bigint>")
     def _cells(vecs: pd.Series) -> pd.Series:
@@ -341,6 +343,60 @@ def ivf_cells_udf(centroids: list[tuple[int, list[float]]], n_probe: int):
     return _cells
 
 
+def _half_up_div(s: int, n: int) -> int:
+    """round(s / n) with HALF_UP (away-from-zero) on exact integers —
+    the same rounding Spark and DuckDB apply, reproducible as
+    ``(2·|s| + n) // (2·n)`` with the sign restored."""
+    q = (2 * abs(s) + n) // (2 * n)
+    return q if s >= 0 else -q
+
+
+def kmeans_fit_scaled(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[int]]]:
+    """Deterministic Lloyd k-means over integer-scaled vectors — the
+    trained-centroid fit for :func:`ivf_topk` (replacing the lowest-id
+    stand-in). Every step is exact integer arithmetic, so an unrolled
+    SQL oracle reproduces the fit bit-for-bit:
+
+    - init: the ``k`` lowest-id vectors (deterministic seed set);
+    - assign: argmax cosine via one Arrow GEMM per batch (float64 on
+      integers < 2^53 — exact; ties → lowest centroid id);
+    - update: per-dimension mean as HALF_UP(Σcomponent / members),
+      computed by a (cell, dim) aggregation — k·dim output rows, the
+      only driver-side state (documented bounded collect, like the
+      centroid set itself). Empty cells drop out, exactly as a
+      GROUP BY emits no row for them.
+
+    Iteration count is fixed (no convergence test) so the computation
+    is a static dataflow — at 100 TB each round is one shuffle of
+    k·dim partial sums, the standard scalable k-means shape."""
+    sv = corpus.select(
+        F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_sv")
+    )
+    init = sv.filter(F.col("_id") < k).collect()
+    cents = sorted((r["_id"], [int(x) for x in r["_sv"]]) for r in init)
+    for _ in range(iters):
+        cell = ivf_cell_udf(cents, centroids_scaled=True)
+        parts = (
+            sv.select(cell(F.col("_sv")).alias("_cid"),
+                      F.posexplode("_sv").alias("_pos", "_x"))
+            .groupBy("_cid", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        )
+        acc: dict[int, dict[int, int]] = {}
+        for r in parts.collect():
+            acc.setdefault(r["_cid"], {})[r["_pos"]] = _half_up_div(r["_s"], r["_n"])
+        cents = sorted(
+            (cid, [dims[p] for p in range(len(dims))]) for cid, dims in acc.items()
+        )
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -349,6 +405,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_probe: int = 1,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus is partitioned
     into cells by nearest centroid; a query probes its ``n_probe``
@@ -356,19 +413,24 @@ def ivf_topk(
     is the standard IVF recall/cost knob (candidates grow ~linearly
     with it; recall approaches brute force).
 
-    Centroids here are the corpus vectors with the ``n_cells`` lowest
-    ids — a deterministic stand-in for trained k-means centroids (at
-    scale, plug a sampled k-means fit into the same cell assigner).
+    Default centroids are the corpus vectors with the ``n_cells``
+    lowest ids — a deterministic stand-in; pass ``centroids`` (scaled
+    integer vectors, e.g. a :func:`kmeans_fit_scaled` fit) to search
+    trained cells with the same assigner.
     The scale shape: assignment is a per-row GEMM against a broadcast
     centroid matrix (no shuffle), search is an equi-join on cell id —
     the pair space shrinks by ~n_cells/n_probe versus brute force."""
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col), F.col(vec_col))
-        .collect()
-    )
-    cents = [(r[0], list(r[1])) for r in cent_rows]
-    cell = ivf_cell_udf(cents)
+    if centroids is None:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col), F.col(vec_col))
+            .collect()
+        )
+        cents = [(r[0], list(r[1])) for r in cent_rows]
+        scaled_cents = False
+    else:
+        cents, scaled_cents = centroids, True
+    cell = ivf_cell_udf(cents, centroids_scaled=scaled_cents)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -383,7 +445,7 @@ def ivf_topk(
             qcell,
         )
     else:
-        cells = ivf_cells_udf(cents, n_probe)
+        cells = ivf_cells_udf(cents, n_probe, centroids_scaled=scaled_cents)
         q = queries.select(
             F.col(id_col).alias("query_id"),
             scaled_vec(F.col(vec_col)).alias("_qv"),

@@ -281,6 +281,59 @@ def term_tf_table(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
     return df.select(*cols)
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    type-token ratio (distinct/total tokens), most-frequent-token
+    fraction, most-frequent-bigram fraction — the standard filters for
+    degenerate/boilerplate text in pretraining corpora.
+
+    All three are exact integer ratios (max-count / total-count), so a
+    DuckDB oracle reproduces them bit-for-bit; the plan is two
+    explode+aggregate pipelines joined on doc id — map-side-combinable
+    aggregations, no UDFs, scales linearly in corpus tokens."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_t"))
+
+    ex = base.select(id_col, F.explode("_t").alias("_tok"))
+    tok_counts = ex.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_c").alias("_mc"),
+    )
+
+    big = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("_t", i + 1), F.element_at("_t", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg"),
+    )
+    bg_counts = big.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    bg_stats = bg_counts.groupBy(id_col).agg(
+        F.sum("_c").alias("_nb"), F.max("_c").alias("_mb")
+    )
+
+    return (
+        tok_stats.join(bg_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_distinct") / F.col("n_tokens")).alias("type_token_ratio"),
+            (F.col("_mc") / F.col("n_tokens")).alias("top_token_ratio"),
+            (F.col("_mb") / F.col("_nb")).alias("top_bigram_ratio"),
+        )
+    )
+
+
 def feature_hash_vector(c: Column, k: int = 16) -> Column:
     """Hashing-trick token-count vector (``array<bigint>`` of length
     ``k``): bucket = 60-bit md5 hash of the token mod ``k``, value =

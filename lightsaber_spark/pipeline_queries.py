@@ -23,6 +23,7 @@ from lightsaber_spark.functions.text import (
     WORD_RE,
     doc_fingerprint,
     language_id,
+    repetition_stats,
     text_stats,
     token_count,
     winnow_fingerprints_udf,
@@ -44,6 +45,7 @@ from lightsaber_spark.functions.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
     ivf_topk,
+    kmeans_fit_scaled,
 )
 from lightsaber_spark.functions.multimodal import (
     decode_media,
@@ -113,6 +115,37 @@ _JACCARD_CTE = f"""
 def q_text_stats(spark, sf_dir):
     d = text_stats(_docs(spark, sf_dir))
     return d.select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len")
+
+
+@query(
+    "text_repetition_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+    ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS mc
+           FROM tc GROUP BY 1),
+    bg0 AS (SELECT doc_id,
+                   CASE WHEN len(toks) >= 2 THEN
+                     list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                   ELSE [] END AS bgs
+            FROM t),
+    bk AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bk GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb, CAST(max(c) AS BIGINT) AS mb
+           FROM bc GROUP BY 1)
+    SELECT ts.doc_id, n_tokens,
+           n_distinct * 1.0 / n_tokens AS type_token_ratio,
+           mc * 1.0 / n_tokens AS top_token_ratio,
+           mb * 1.0 / nb AS top_bigram_ratio
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (type/token ratio, top-token and
+    top-bigram fractions) — exact integer ratios, explode+agg plan."""
+    return repetition_stats(_docs(spark, sf_dir))
 
 
 @query(
@@ -475,6 +508,71 @@ def q_sim_ivf(spark, sf_dir):
     same deterministic centroid ranking."""
     e = _embs(spark, sf_dir)
     out = ivf_topk(e.filter(F.col("vec_id") < 30), e, k=5, n_cells=8, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# integer-integer cosine over two already-scaled bigint vectors
+_COS_II = (
+    "(list_sum(list_transform({a}, (x,i) -> x * {b}[i])) / "
+    "(sqrt(list_sum(list_transform({a}, (x,i) -> x * {a}[i]))) * "
+    "sqrt(list_sum(list_transform({b}, (x,i) -> x * {b}[i])))))"
+)
+
+# one Lloyd round in SQL: assign (argmax cosine, ties -> lowest cid),
+# then per-dimension HALF_UP integer mean — mirrors kmeans_fit_scaled
+_KM_ASSIGN = """
+    {out} AS (SELECT e.vec_id, e.sv, cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY {cos} DESC, cid ASC) AS rn
+       FROM e CROSS JOIN {cents})"""
+_KM_UPDATE = """
+    {sums} AS (SELECT cid, i, sum(sv[i]) AS s, count(*) AS n
+       FROM {assign}, range(1, 65) t(i) WHERE rn = 1 GROUP BY 1, 2),
+    {out} AS (SELECT cid,
+              list(CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                             ELSE -((2*(-s) + n) // (2*n)) END AS BIGINT)
+                   ORDER BY i) AS cv
+       FROM {sums} GROUP BY cid)"""
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> round(x::DOUBLE * {SCALE})::BIGINT) AS sv
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, sv AS cv FROM e WHERE vec_id < 4),
+    {_KM_ASSIGN.format(out='a0', cents='c0', cos=_COS_II.format(a='e.sv', b='cv'))},
+    {_KM_UPDATE.format(sums='m0', assign='a0', out='c1')},
+    {_KM_ASSIGN.format(out='a1', cents='c1', cos=_COS_II.format(a='e.sv', b='cv'))},
+    {_KM_UPDATE.format(sums='m1', assign='a1', out='c2')},
+    {_KM_ASSIGN.format(out='assign', cents='c2', cos=_COS_II.format(a='e.sv', b='cv'))},
+    cells AS (SELECT vec_id, sv, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, sv AS qv, cid FROM assign
+          WHERE vec_id < 20 AND rn = 1),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {_COS_II.format(a='qv', b='c.sv')} AS cosine
+      FROM q JOIN cells c ON q.cid = c.cid AND query_id != c.vec_id)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_sim_ivf_kmeans(spark, sf_dir):
+    """IVF over TRAINED centroids: deterministic integer Lloyd k-means
+    (k=4, 2 fixed rounds, lowest-id seeds) fit on the corpus, then the
+    standard cell-join search. The oracle unrolls both Lloyd rounds in
+    SQL — assignment, per-dimension HALF_UP integer means, re-assign —
+    so the fit itself is verified bit-for-bit, not just the search."""
+    e = _embs(spark, sf_dir)
+    cents = kmeans_fit_scaled(e, k=4, iters=2)
+    out = ivf_topk(
+        e.filter(F.col("vec_id") < 20), e, k=5, n_probe=1, centroids=cents
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

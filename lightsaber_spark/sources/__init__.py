@@ -1,4 +1,5 @@
 from lightsaber_spark.sources.readers import (
+    kafka_source,
     rate_source,
     read_table,
     socket_source,
@@ -12,6 +13,7 @@ from lightsaber_spark.sources.partitioning import assert_partition_pruned
 
 __all__ = [
     "read_table",
+    "kafka_source",
     "rate_source",
     "socket_source",
     "to_files",
