@@ -68,6 +68,9 @@ _UNVERIFIED_R01 = [
     "sample_events_by_user_10pct",
     "split_documents_train_val_test",
     "stratified_sample_docs_per_lang",
+    "mixture_sample_by_source",
+    "pack_sequences_ctx512",
+    "decontaminate_vs_eval_set",
     "sample_quantiles_value_by_type",
     "grouping_sets_order_revenue",
     "ntile_user_revenue_quartiles",

@@ -590,6 +590,46 @@ def embedding_neardup_pairs(
     return blocked_allpairs_cosine(df, threshold, id_col, vec_col, n_blocks)
 
 
+def contamination_check(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many of its
+    distinct k-word shingles appear in ANY eval-set document, plus the
+    contaminated fraction — the standard pre-training hygiene check
+    (drop or flag docs overlapping the eval benchmarks).
+
+    Scale shape: the eval shingle set is small by definition →
+    ``broadcast`` semi-side; the corpus is exploded once and hits are
+    counted with one map-side-combinable aggregation. No self-join, no
+    pair space. Documents with fewer than ``k`` tokens have no
+    shingles and are absent from the output (mirrored by the oracle)."""
+    c = shingle_arrays(corpus, text_col, id_col, k, persist=False)
+    e = shingle_arrays(eval_set, text_col, id_col, k, persist=False)
+    eval_sh = e.select(F.explode("_shs").alias("_sh")).distinct()
+    ex = c.select("_id", F.explode("_shs").alias("_sh"))
+    sizes = c.select("_id", F.size("_shs").cast("bigint").alias("n_shingles")).filter(
+        F.col("n_shingles") > 0
+    )
+    hits = ex.join(F.broadcast(eval_sh), "_sh").groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        sizes.join(hits, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias("n_shared"),
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     threshold: float,

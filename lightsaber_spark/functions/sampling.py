@@ -79,6 +79,49 @@ def hash_split(
     return df.withColumn(split_col, expr.cast("int"))
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    key_cols: Sequence[str],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Dataset-mixture sampling: keep each row with its group's rate —
+    the deterministic re-weighting step that turns raw source corpora
+    into a training mixture (e.g. wiki ×0.5, web ×0.05). Same md5-hash
+    keep rule as :func:`hash_sample`, so the mixture is partition- and
+    retry-stable and each group's sample is a superset of any
+    lower-rate sample of the same group (rates can be tuned without
+    resampling unrelated rows). Groups not in ``rates`` fall back to
+    ``default_rate``. One shuffle-free filter at any scale."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0, 1]")
+    h = _key_hash(key_cols, salt)
+    thr = F.lit(int(round(default_rate * TWO60)))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(int(round(r * TWO60)))).otherwise(thr)
+    return df.filter(h < thr)
+
+
+def mixture_oracle_pred(
+    key_exprs: Sequence[str],
+    rates: dict[str, float],
+    group_col: str,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`mixture_sample`."""
+    joined = " || ',' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    h = f"('0x'||substr(md5('{salt}' || ',' || {joined}),1,15))::BIGINT"
+    cases = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {int(round(r * TWO60))}"
+        for g, r in sorted(rates.items())
+    )
+    return f"{h} < (CASE {cases} ELSE {int(round(default_rate * TWO60))} END)"
+
+
 def stratified_sample_exact(
     df: DataFrame,
     n_per_stratum: int,

@@ -767,6 +767,103 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+from lightsaber_spark.functions.sampling import mixture_oracle_pred, mixture_sample
+
+# training-mixture weights: upsampled "curated" sources, a default
+# floor for the long tail — the standard corpus re-weighting shape
+_MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+
+
+@query(
+    "mixture_sample_by_source",
+    f"""
+    SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+    FROM documents
+    WHERE {mixture_oracle_pred(["doc_id"], _MIX_RATES, "source", default_rate=0.1)}
+    GROUP BY 1
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic dataset-mixture sampling: per-source keep rates
+    (md5-keyed → partition/retry-stable; lower-rate samples are subsets
+    of higher-rate ones, so mixture weights can be retuned without
+    resampling unrelated rows)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    s = mixture_sample(docs, _MIX_RATES, "source", ["doc_id"], default_rate=0.1)
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) — the pretraining assembly step;
+# chunk-parallel distributed prefix sum, not a global-sort window
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.packing import pack_sequences
+from lightsaber_spark.functions.text import token_count as _tok_count
+
+
+@query(
+    "pack_sequences_ctx512",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+           CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+    FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing into 512-token context windows. The
+    oracle is the one-line global-window cumsum; the Spark side is the
+    chunk-parallel prefix sum (range partition → per-chunk totals →
+    broadcast offsets) that never sorts the corpus into one task."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_counts = docs.select(
+        "doc_id", _tok_count(F.col("text")).alias("_n_toks")
+    )
+    return pack_sequences(with_counts, 512, "_n_toks", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — shingle overlap against an eval set
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.dedup import contamination_check
+
+
+@query(
+    "decontaminate_vs_eval_set",
+    f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM toks),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+    corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+    hits AS (SELECT corp.doc_id, count(*) AS n_shared
+             FROM corp JOIN ev USING (s) GROUP BY 1)
+    SELECT sizes.doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(n_shared, 0) * 1.0 / n_shingles AS contamination
+    FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Per-document k-shingle overlap with the (broadcast) eval set —
+    the pre-training hygiene check that keeps benchmarks out of the
+    training mixture. Eval set here = doc_id < 10 (deterministic)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return contamination_check(
+        docs.filter(F.col("doc_id") >= 10), docs.filter(F.col("doc_id") < 10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25-style relevance ranking (log-free → cross-engine bit-exact)
 # ---------------------------------------------------------------------------
