@@ -80,6 +80,44 @@ def streaming_windowed_agg(
      .drop("window_start_us")
 
 
+def streaming_post_window_argmax(
+    stream: DataFrame,
+    ts_col: str,
+    size_sec: int,
+    key_col: str,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming NBQ5 shape: two CHAINED stateful aggregations — count
+    per (window, key), then the key with the max count per window — as
+    one streaming query (Spark's multiple-stateful-operator support;
+    the reference runs its post-window op inside the same streaming
+    pipeline, ``NBQ5.cpp:42,73-103``).
+
+    Stage 2 groups by the SAME event-time window struct stage 1 emitted,
+    which is what lets the engine propagate the watermark through and
+    GC both state stores. Ties break deterministically to the highest
+    key (max over (n, key) pairs — mirror any batch comparison with the
+    same rule). Append mode only: a window emits once, when the
+    watermark passes its end."""
+    wm = stream.withWatermark(ts_col, watermark)
+    per_key = wm.groupBy(
+        F.window(F.col(ts_col), f"{size_sec} seconds").alias("_w"),
+        F.col(key_col),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    winners = per_key.groupBy("_w").agg(
+        F.max(F.struct(F.col("n"), F.col(key_col).alias("_k"))).alias("_win")
+    )
+    return winners.select(
+        F.unix_micros(F.col("_w.start")).alias("_us"),
+        F.col("_win._k").alias(key_col),
+        F.col("_win.n").alias("n"),
+    ).select(
+        (F.col("_us") / 1_000_000).cast("bigint").alias("window_start"),
+        key_col,
+        "n",
+    )
+
+
 def streaming_theta_join(
     left: DataFrame,
     right: DataFrame,

@@ -561,3 +561,39 @@ def test_continuous_pane_rollup(spark, events, events_stream_src, tmp_path):
         want.select(*cols).collect(), float_tol=1e-9,
     )
     assert ok, msg
+
+
+def test_streaming_chained_stateful_argmax(spark, events, events_stream_src, tmp_path):
+    """NBQ5 as a true stream: two chained stateful aggregations (count
+    per window+user, then per-window argmax) in ONE streaming query —
+    emitted windows must equal the batch computation with the same
+    deterministic tie rule (max over (n, key))."""
+    from lightsaber_spark.streaming.stream import streaming_post_window_argmax
+
+    stream = _stream(spark, events_stream_src, max_files=1)
+    s = streaming_post_window_argmax(stream, "ts", 3600, "user_id")
+    got = run_available_now(s, str(tmp_path / "ck"), "append", table_name="t_nbq5s")
+
+    per_key = events.groupBy(
+        F.window(F.col("ts"), "3600 seconds").alias("_w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    want = (
+        per_key.groupBy("_w")
+        .agg(F.max(F.struct("n", F.col("user_id").alias("_k"))).alias("_win"))
+        .select(
+            F.unix_micros(F.col("_w.start")).alias("_us"),
+            F.col("_win._k").alias("user_id"),
+            F.col("_win.n").alias("n"),
+        )
+        .select((F.col("_us") / 1_000_000).cast("bigint").alias("window_start"),
+                "user_id", "n")
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    # append mode holds un-closed tail windows in state; everything
+    # emitted must be correct and only tail windows may be missing
+    assert got_rows <= want_rows
+    missing = {r[0] for r in want_rows - got_rows}
+    emitted = {r[0] for r in got_rows}
+    assert not emitted or all(m > min(emitted) for m in missing)
+    assert len(got_rows) >= len(want_rows) - 2

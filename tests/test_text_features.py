@@ -60,3 +60,92 @@ def test_jaccard_df_cutoff_noop_below_cutoff(tables):
         for r in ngram_jaccard_pairs(docs, 0.5, k=3, max_doc_freq=10**9).collect()
     }
     assert exact == cut
+
+
+def test_feature_hash_udf_matches_hof(tables):
+    """The Arrow-batched hot path and the interpreted-HOF reference
+    form are bit-identical (same md5 buckets, same counts)."""
+    from lightsaber_spark.functions.text import feature_hash_vector_udf
+
+    docs = tables["documents"].limit(200)
+    both = docs.select(
+        feature_hash_vector(F.col("text"), 16).alias("a"),
+        feature_hash_vector_udf(16)(F.col("text")).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_pack_sequences_invariants(tables):
+    """Packed stream is gapless and ordered: offsets are the exclusive
+    cumsum of token counts in id order; sequence spans are consistent;
+    total stream length = sum of token counts."""
+    from lightsaber_spark.functions.packing import pack_sequences
+    from lightsaber_spark.functions.text import token_count
+
+    docs = tables["documents"].select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    )
+    out = pack_sequences(docs, 512, "n", "doc_id", n_chunks=7).orderBy("doc_id")
+    rows = out.collect()
+    assert rows, "non-empty corpus must pack"
+    expect_off = 0
+    for r in rows:
+        assert r.tok_offset == expect_off
+        assert r.seq_first == r.tok_offset // 512
+        assert r.seq_last == (r.tok_offset + r.n_tokens - 1) // 512
+        assert r.seq_first <= r.seq_last
+        expect_off += r.n_tokens
+    total = docs.filter(F.col("n") > 0).agg(F.sum("n")).collect()[0][0]
+    assert expect_off == total
+    # chunk count must not change the packing (pure function of data)
+    alt = pack_sequences(docs, 512, "n", "doc_id", n_chunks=3).orderBy("doc_id")
+    assert [tuple(r) for r in alt.collect()] == [tuple(r) for r in rows]
+
+
+def test_mixture_sample_subset_property(tables):
+    """Raising a group's rate only ADDS rows (hash keep-sets nest), so
+    mixture weights can be retuned without resampling other groups."""
+    from lightsaber_spark.functions.sampling import mixture_sample
+
+    docs = tables["documents"]
+    lo = mixture_sample(docs, {"src0": 0.2, "src1": 0.5}, "source", ["doc_id"], 0.1)
+    hi = mixture_sample(docs, {"src0": 0.6, "src1": 0.5}, "source", ["doc_id"], 0.1)
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids
+    # untouched groups are byte-identical between the two mixtures
+    lo_other = {r.doc_id for r in lo.filter(F.col("source") != "src0").collect()}
+    hi_other = {r.doc_id for r in hi.filter(F.col("source") != "src0").collect()}
+    assert lo_other == hi_other
+
+
+def test_contamination_bounds_and_self_overlap(tables):
+    """Contamination is in [0,1]; eval docs checked against themselves
+    are fully contaminated."""
+    from lightsaber_spark.functions.dedup import contamination_check
+
+    docs = tables["documents"]
+    ev = docs.filter(F.col("doc_id") < 10)
+    out = contamination_check(docs.filter(F.col("doc_id") >= 10), ev)
+    assert out.filter(
+        (F.col("contamination") < 0) | (F.col("contamination") > 1)
+    ).count() == 0
+    self_out = contamination_check(ev, ev)
+    assert self_out.filter(F.col("contamination") != 1.0).count() == 0
+
+
+def test_kmeans_centroids_deterministic_and_bounded(tables):
+    """Same fit twice -> identical centroids; centroid count <= k and
+    never exceeds the corpus; components stay in the scaled range."""
+    from lightsaber_spark.functions.similarity import SCALE, kmeans_fit_scaled
+
+    emb = tables["embeddings"]
+    c1 = kmeans_fit_scaled(emb, k=4, iters=2)
+    c2 = kmeans_fit_scaled(emb, k=4, iters=2)
+    assert c1 == c2
+    assert 1 <= len(c1) <= 4
+    lo = emb.agg(F.min(F.array_min("embedding"))).collect()[0][0] * SCALE
+    hi = emb.agg(F.max(F.array_max("embedding"))).collect()[0][0] * SCALE
+    for _cid, vec in c1:
+        assert len(vec) == 64
+        assert all(lo - 1 <= x <= hi + 1 for x in vec)
