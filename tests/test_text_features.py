@@ -149,3 +149,14 @@ def test_kmeans_centroids_deterministic_and_bounded(tables):
     for _cid, vec in c1:
         assert len(vec) == 64
         assert all(lo - 1 <= x <= hi + 1 for x in vec)
+
+
+def test_text_stats_arrow_matches_expression(tables):
+    """The one-pass Arrow counter and the Catalyst expression form are
+    bit-identical (same integer counts -> same ratio doubles)."""
+    from lightsaber_spark.functions.text import text_stats
+
+    cols = ["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len"]
+    a = text_stats(tables["documents"], arrow=True).select(cols)
+    b = text_stats(tables["documents"], arrow=False).select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
