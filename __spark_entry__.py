@@ -71,6 +71,7 @@ _UNVERIFIED_R01 = [
     "mixture_sample_by_source",
     "pack_sequences_ctx512",
     "decontaminate_vs_eval_set",
+    "pipeline_quality_dedup_split_pack",
     "sample_quantiles_value_by_type",
     "grouping_sets_order_revenue",
     "ntile_user_revenue_quartiles",

@@ -865,6 +865,67 @@ def q_decontaminate(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end training-data pipeline: quality gate → exact dedup →
+# train split → sequence packing, as ONE lazy composed plan
+# ---------------------------------------------------------------------------
+_QUALITY_PRED = f"""
+      len({TOKS}) >= 20
+      AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1000 <= 150 * length(text)
+      AND len(list_filter({TOKS}, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+            * 1000 <= 600 * len({TOKS})"""
+
+
+@query(
+    "pipeline_quality_dedup_split_pack",
+    f"""
+    WITH q AS (SELECT doc_id, text FROM documents WHERE {_QUALITY_PRED}),
+    d AS (SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY md5({NORM})) AS rep
+          FROM q),
+    s AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+          FROM d
+          WHERE doc_id = rep
+            AND ({split_oracle_expr(["doc_id"], [0.9, 0.05, 0.05])}) = 0),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+          FROM s WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS tok_offset,
+           CAST(off // 512 AS BIGINT) AS seq_first,
+           CAST((off + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+    FROM c
+    """,
+)
+def q_pipeline_end_to_end(spark, sf_dir):
+    """The whole training-data assembly line as one composed lazy plan:
+    quality gate (exact integer thresholds) → exact-dedup survivors
+    (min-id representative per normalized-text digest) → deterministic
+    90% train split (md5-keyed) → packing into 512-token context
+    windows. Every stage is an operator this repo ships individually;
+    the composition stays one Catalyst plan — filters push to the scan,
+    the only shuffles are the dedup digest partition and the packing
+    prefix sum."""
+    from pyspark.sql import Window
+
+    from lightsaber_spark.functions.text import normalize_text, quality_filter
+    from lightsaber_spark.functions.sampling import hash_split
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    q = quality_filter(docs)
+    w = Window.partitionBy("_dg")
+    kept = (
+        q.withColumn("_dg", F.md5(normalize_text(F.col("text"))))
+        .withColumn("_rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_rep"))
+    )
+    train = hash_split(kept, [0.9, 0.05, 0.05], ["doc_id"]).filter(
+        F.col("split_id") == 0
+    )
+    counts = train.select("doc_id", _tok_count(F.col("text")).alias("_n"))
+    return pack_sequences(counts, 512, "_n", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # BM25-style relevance ranking (log-free → cross-engine bit-exact)
 # ---------------------------------------------------------------------------
 from lightsaber_spark.functions.text import bm25_select, term_tf_table
