@@ -64,6 +64,24 @@ class ThroughputListener(StreamingQueryListener):
     def total_rows(self) -> int:
         return sum(m.num_input_rows for m in self.metrics)
 
+    def mon_lines(self, bytes_per_tuple: int | None = None) -> list[str]:
+        """Per-batch report lines in the shape of the reference's
+        ``[MON]`` output (``Measurement.cpp:42-54`` prints MB/s and
+        tuples/s per interval; here the interval is the micro-batch).
+        ``bytes_per_tuple`` (e.g. the input schema width) enables the
+        MB/s column; without it only tuples/s is reported."""
+        out = []
+        for m in self.metrics:
+            tps = m.process_rows_per_second or 0.0
+            if bytes_per_tuple:
+                mbs = tps * bytes_per_tuple / 1e6
+                out.append(
+                    f"[MON] batch {m.batch_id}: {mbs:.2f} MB/s ({tps:.0f} t/sec)"
+                )
+            else:
+                out.append(f"[MON] batch {m.batch_id}: {tps:.0f} t/sec")
+        return out
+
 
 @dataclass
 class LatencyStats:

@@ -2,6 +2,7 @@ from lightsaber_spark.streaming.sessions import session_window_agg
 from lightsaber_spark.streaming.stream import (
     read_stream,
     streaming_dedup,
+    streaming_post_window_argmax,
     streaming_windowed_agg,
     run_available_now,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "session_window_agg",
     "read_stream",
     "streaming_dedup",
+    "streaming_post_window_argmax",
     "streaming_windowed_agg",
     "run_available_now",
     "streaming_row_window_agg",

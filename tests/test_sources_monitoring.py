@@ -131,6 +131,8 @@ def test_throughput_listener(spark, tables, tmp_path):
             time.sleep(0.2)
         assert listener.total_rows == 500
         assert all(m.duration_ms for m in listener.metrics if m.num_input_rows)
+        lines = listener.mon_lines(bytes_per_tuple=64)
+        assert lines and all(l.startswith("[MON]") and "MB/s" in l for l in lines)
     finally:
         spark.streams.removeListener(listener)
 
