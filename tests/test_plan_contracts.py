@@ -1,0 +1,73 @@
+"""Plan-shape contracts for flagship queries.
+
+PLANS.md (scripts/explain_audit.py) is the generated evidence; these
+tests pin the load-bearing plan properties in CI form so a regression
+fails the suite, not just the audit: no nested-loop joins, filters
+reaching the parquet scan, and exchange-count ceilings (every exchange
+is a shuffle of the full stream at 100 TB — adding one is a design
+change, not noise).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF_DIR)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# max SHUFFLE Exchange nodes in the initial (pre-AQE) plan; broadcast
+# exchanges are excluded (small-side, no full-stream shuffle). Ceilings
+# are the measured counts — any increase means a new shuffle appeared.
+_EXCHANGE_CEILINGS = {
+    "cm1_sliding_sum_by_type": 2,      # pane agg + window merge
+    "sg1_ref_window_3600_1": 2,        # pane agg + 1-row bounds (tiny)
+    "ysb_static_join_tumbling": 2,     # window agg (join is broadcast)
+    "nbq5_post_window_argmax": 3,      # count agg ×2 subplans (AQE reuses) + max join
+    "text_bm25_topk": 1,               # corpus stats agg (scoring join is broadcast)
+    "dedup_minhash_lsh": 8,            # signature agg + band join + verify
+    "pack_sequences_ctx512": 5,        # range part ×2 subplans (AQE reuses) + chunk agg + tiny offsets + window
+    "tpch_q1_pricing_summary": 1,      # single hash agg
+}
+
+_LAZY_FLAGSHIPS = sorted(_EXCHANGE_CEILINGS)
+
+
+@pytest.mark.parametrize("name", _LAZY_FLAGSHIPS)
+def test_no_nested_loop_join(spark, name):
+    p = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", _LAZY_FLAGSHIPS)
+def test_exchange_ceiling(spark, name):
+    p = _plan(spark, name)
+    n = len(re.findall(r"\(\d+\) Exchange\b", p))
+    assert n <= _EXCHANGE_CEILINGS[name], (
+        f"{name}: {n} exchanges > ceiling {_EXCHANGE_CEILINGS[name]} — a new "
+        "shuffle appeared; re-justify in PLANS.md and raise deliberately"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """cm2's event_type filter must land in PushedFilters, not a
+    post-scan Filter only (at 100 TB this is the difference between
+    reading one column-chunk subset and the whole table)."""
+    p = _plan(spark, "cm2_filter_sliding_sum_by_user")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("event_type" in x or "IsNotNull" in x for x in pushed), p[:500]
+
+
+def test_static_join_is_broadcast(spark):
+    p = _plan(spark, "ysb_static_join_tumbling")
+    assert "BroadcastHashJoin" in p
