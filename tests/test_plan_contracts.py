@@ -63,6 +63,9 @@ def test_filter_pushdown_reaches_scan(spark):
     """cm2's event_type filter must land in PushedFilters, not a
     post-scan Filter only (at 100 TB this is the difference between
     reading one column-chunk subset and the whole table)."""
+    # a cached relation from an earlier test would replace the parquet
+    # scan (InMemoryTableScan has no pushdown to show) — clear first
+    spark.catalog.clearCache()
     p = _plan(spark, "cm2_filter_sliding_sum_by_user")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
     assert any("event_type" in x or "IsNotNull" in x for x in pushed), p[:500]

@@ -160,3 +160,38 @@ def test_text_stats_arrow_matches_expression(tables):
     a = text_stats(tables["documents"], arrow=True).select(cols)
     b = text_stats(tables["documents"], arrow=False).select(cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_sample_partition_stability(tables):
+    """The md5 keep-set is a pure function of the data: identical under
+    any repartitioning (the property df.sample() lacks)."""
+    from lightsaber_spark.functions.sampling import hash_sample
+
+    ev = tables["events"].select("event_id", "user_id")
+    a = {r.event_id for r in hash_sample(ev.repartition(3), 0.2, ["user_id"]).collect()}
+    b = {r.event_id for r in hash_sample(ev.repartition(11), 0.2, ["user_id"]).collect()}
+    assert a == b and a
+    # keyed: every kept user keeps ALL their events (leakage-safe)
+    kept_users = {r.user_id for r in hash_sample(ev, 0.2, ["user_id"]).select("user_id").distinct().collect()}
+    n_kept = hash_sample(ev, 0.2, ["user_id"]).count()
+    n_all_of_kept = ev.filter(F.col("user_id").isin(*kept_users)).count()
+    assert n_kept == n_all_of_kept
+
+
+def test_scaled_dot_udf_matches_fold(tables):
+    """The Arrow dot and the JVM fold are bit-identical on scaled
+    integer vectors (the exactness argument both GEMM kernels rest on)."""
+    from lightsaber_spark.functions.similarity import (
+        _scaled_dot,
+        scaled_dot_udf,
+        scaled_vec,
+    )
+
+    e = tables["embeddings"].limit(300).select(
+        scaled_vec(F.col("embedding")).alias("v")
+    )
+    both = e.select(
+        _scaled_dot(F.col("v"), F.col("v")).cast("double").alias("a"),
+        scaled_dot_udf()(F.col("v"), F.col("v")).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0
