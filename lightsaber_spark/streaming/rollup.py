@@ -107,6 +107,49 @@ def rollup_view(
     )
 
 
+def sliding_view(
+    spark: SparkSession,
+    out_path: str,
+    measures: Sequence[tuple[str, str | None, str]],
+    keys: Sequence[str],
+    size_sec: int,
+    slide_sec: int,
+    pane_sec: int,
+) -> DataFrame:
+    """Serve a SLIDING window aggregate from the maintained pane table —
+    the streaming answer to the reference's high-ratio sliding windows
+    (its raison d'être, window(3600,1)): the stream maintains O(panes)
+    state once, and ANY window whose size and slide are multiples of
+    ``pane_sec`` is reconstructed at read time by pane expansion + merge
+    (LightSaber's slicing, ``WindowDefinition.h:80-90``, as a lakehouse
+    read pattern — no per-window streaming state, no re-ingestion).
+
+    Returns one row per (window_start, keys) over windows fully covered
+    by panes containing data."""
+    if size_sec % pane_sec or slide_sec % pane_sec:
+        raise ValueError("size and slide must be multiples of pane_sec")
+    panes = rollup_view(spark, out_path, measures, keys)
+    p = F.col("pane_start")
+    # window starts s (multiples of slide) whose [s, s+size) fully
+    # contains pane [p, p+pane): p + pane - size <= s <= p
+    lo = p + F.lit(pane_sec - size_sec)
+    s_min = -F.floor(-lo / F.lit(slide_sec)) * F.lit(slide_sec)  # ceil to slide
+    s_max = F.floor(p / F.lit(slide_sec)) * F.lit(slide_sec)
+    expanded = panes.withColumn(
+        "window_start",
+        F.explode(
+            F.sequence(
+                s_min.cast("bigint"), s_max.cast("bigint"),
+                F.lit(slide_sec).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        expanded.groupBy("window_start", *list(keys))
+        .agg(*_merge_aggs(measures))
+    )
+
+
 def compact(
     spark: SparkSession,
     out_path: str,

@@ -597,3 +597,33 @@ def test_streaming_chained_stateful_argmax(spark, events, events_stream_src, tmp
     emitted = {r[0] for r in got_rows}
     assert not emitted or all(m > min(emitted) for m in missing)
     assert len(got_rows) >= len(want_rows) - 2
+
+
+def test_sliding_view_from_pane_rollup(spark, events, events_stream_src, tmp_path):
+    """High-ratio sliding windows served from the maintained pane
+    table: stream panes once (600 s), reconstruct window(3600, 600) at
+    read time — must equal the batch sliding aggregate. The streaming
+    state is O(panes); no per-window state, no re-ingestion."""
+    from lightsaber_spark.streaming.rollup import (
+        continuous_pane_rollup,
+        sliding_view,
+    )
+
+    measures = [("sum", "value", "sum_v"), ("count", None, "n")]
+    keys = ["event_type"]
+    out = str(tmp_path / "rollup_s")
+    ck = str(tmp_path / "ck_s")
+    q = continuous_pane_rollup(
+        _stream(spark, events_stream_src), "ts", 600, measures, keys, out, ck
+    )
+    q.awaitTermination()
+
+    got = sliding_view(spark, out, measures, keys, 3600, 600, 600)
+    want = windowed_agg(
+        events, "ts", 3600, 600,
+        [("sum", "value", "sum_v"), ("count", None, "n")], keys,
+    )
+    cols = ["window_start", "event_type", "sum_v", "n"]
+    ok, msg = rows_match(got.select(*cols).collect(),
+                         want.select(*cols).collect(), float_tol=1e-9)
+    assert ok, msg
