@@ -91,6 +91,27 @@ _JACCARD_CTE = f"""
   )
 """
 
+_JACCARD_CUT = 10
+
+_JACCARD_CUT_CTE = f"""
+  toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+  sh0 AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM toks),
+  kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY 1)
+           WHERE df <= {_JACCARD_CUT}),
+  sh AS (SELECT sh0.* FROM sh0 JOIN kept USING (s)),
+  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+  jacc AS (
+    SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common * 100000 >= 50000 * (sa.n + sb.n - n_common)
+  )
+"""
+
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -337,7 +358,7 @@ def q_dedup_simhash(spark, sf_dir):
 @query(
     "dedup_duplicate_groups",
     f"""
-    WITH RECURSIVE {_JACCARD_CTE},
+    WITH RECURSIVE {_JACCARD_CUT_CTE},
     edges AS (SELECT id_a AS v, id_b AS u FROM jacc
               UNION SELECT id_b, id_a FROM jacc),
     walk(v, l) AS (
@@ -353,8 +374,13 @@ def q_dup_groups(spark, sf_dir):
     """Pairs → connected components → representative per member (the
     keep/drop decision step of a dedup pipeline). Oracle is the exact
     transitive closure via recursive CTE; the Spark side converges by
-    min-label propagation + pointer jumping."""
-    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
+    min-label propagation + pointer jumping. Pairs come from the
+    df-cut inverted index (the scale-safe default — the cutoff is part
+    of the declared semantics, mirrored in the oracle; a no-op at
+    small sf where max shingle df < the cutoff)."""
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, k=3, max_doc_freq=_JACCARD_CUT
+    )
     return duplicate_groups(pairs)
 
 
@@ -999,26 +1025,6 @@ def q_feature_hash(spark, sf_dir):
 # gate still compares full Jaccard; at sf0.1 it prunes ~63% of the
 # pair work.
 # ---------------------------------------------------------------------------
-_JACCARD_CUT = 10
-
-_JACCARD_CUT_CTE = f"""
-  toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
-  sh0 AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM toks),
-  kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY 1)
-           WHERE df <= {_JACCARD_CUT}),
-  sh AS (SELECT sh0.* FROM sh0 JOIN kept USING (s)),
-  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-  pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-  jacc AS (
-    SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
-           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
-    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
-               JOIN sizes sb ON id_b = sb.doc_id
-    WHERE n_common * 100000 >= 50000 * (sa.n + sb.n - n_common)
-  )
-"""
 
 
 @query(
