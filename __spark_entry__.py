@@ -65,6 +65,7 @@ _UNVERIFIED_R01 = [
     "multimodal_resize_stub",
     "multimodal_frame_sample",
     "asof_event_last_order",
+    "asof_event_next_order",
     "sample_events_by_user_10pct",
     "split_documents_train_val_test",
     "stratified_sample_docs_per_lang",

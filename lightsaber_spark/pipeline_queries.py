@@ -724,6 +724,31 @@ def q_asof(spark, sf_dir):
     )
 
 
+@query(
+    "asof_event_next_order",
+    """
+    SELECT e.event_id, epoch_us(o.o_orderdate) AS next_order_us
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    """,
+)
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: the first order at or after each event — the
+    other half of the carry-scan (same union + window plan, reversed
+    ordering). DuckDB's ASOF JOIN with `>=` is the oracle."""
+    t = load_tables(spark, sf_dir, ("orders", "events"))
+    left = t["events"].select("event_id", F.col("user_id").alias("cust"), "ts")
+    right = t["orders"].select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderdate",
+        F.col("o_orderdate").cast("timestamp").alias("_od"),
+    ).withColumn("next_order_us", F.unix_micros("_od")).drop("_od")
+    out = asof_join(left, right, "ts", "o_orderdate", by=["cust"], direction="forward")
+    return out.filter(F.col("next_order_us").isNotNull()).select(
+        "event_id", "next_order_us"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / dataset splitting (functions/sampling.py) —
 # the reproducible-training-data primitives: the keep/route decision is
