@@ -172,6 +172,104 @@ def bottomk_sample_quantiles(
     return r.groupBy(*groups).agg(*aggs)
 
 
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch
+# ---------------------------------------------------------------------------
+
+def count_min_table(
+    df: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch table ``(d, b, cell)`` over ``value_col``
+    frequencies (Cormode & Muthukrishnan '05): row ``d``'s bucket for
+    value x is ``md5('{salt}{d}_' || x) % width``; a cell is the sum of
+    counts hashing into it. Estimates (:func:`count_min_lookup`) are
+    ``min`` over rows — always ≥ the true count, within εN with
+    ε = e/width at confidence 1−(1/e)^depth.
+
+    Scale shape: counts are pre-aggregated per distinct value first
+    (one map-side-combinable shuffle — the sketch of a sum equals the
+    sum of sketches), then the depth×width table is a TINY relation
+    regardless of input size; md5 bucketing makes every cell bit-equal
+    in the DuckDB oracle. Unlike exact top-k frequency, the table is
+    mergeable across table partitions/days (cell-wise add)."""
+    vc = df.groupBy(F.col(value_col).alias("_x")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    expanded = vc.select("_x", "_c", d).withColumn(
+        "b",
+        shingle_hash(
+            F.concat(F.lit(salt), F.col("d").cast("string"), F.lit("_"),
+                     F.col("_x").cast("string"))
+        ) % width,
+    )
+    return expanded.groupBy("d", "b").agg(F.sum("_c").alias("cell"))
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+    out_col: str = "cm_count",
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`count_min_table`:
+    ``min`` cell across the ``depth`` rows for each queried value. The
+    sketch is tiny → broadcast join; absent cells mean a true count of
+    zero."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    qb = queries.select(F.col(value_col), d).withColumn(
+        "b",
+        shingle_hash(
+            F.concat(F.lit(salt), F.col("d").cast("string"), F.lit("_"),
+                     F.col(value_col).cast("string"))
+        ) % width,
+    )
+    return (
+        qb.join(F.broadcast(sketch), ["d", "b"], "left")
+        .groupBy(value_col)
+        .agg(
+            F.coalesce(F.min("cell"), F.lit(0)).cast("bigint").alias(out_col)
+        )
+    )
+
+
+def count_min_oracle_sql(
+    table_expr: str,
+    value_expr: str,
+    query_pred: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+    out_col: str = "cm_count",
+    value_name: str = "value",
+) -> str:
+    """DuckDB twin of sketch-build + lookup (same md5 buckets, same
+    integer cell sums — bit-identical estimates)."""
+    h = (
+        f"('0x' || substr(md5('{salt}' || d || '_' || "
+        f"CAST({{v}} AS VARCHAR)), 1, 15))::BIGINT % {width}"
+    )
+    return f"""
+    WITH vc AS (SELECT {value_expr} AS _x, count(*) AS _c
+                FROM {table_expr} GROUP BY 1),
+    cells AS (SELECT d, {h.format(v='_x')} AS b, sum(_c) AS cell
+              FROM vc, range({depth}) t(d) GROUP BY 1, 2),
+    q AS (SELECT _x FROM vc WHERE {query_pred}),
+    qb AS (SELECT _x, d, {h.format(v='_x')} AS b FROM q, range({depth}) t(d))
+    SELECT qb._x AS {value_name},
+           CAST(coalesce(min(cell), 0) AS BIGINT) AS {out_col}
+    FROM qb LEFT JOIN cells ON qb.d = cells.d AND qb.b = cells.b
+    GROUP BY 1
+    """
+
+
 def bottomk_quantiles_oracle_sql(
     table_expr: str,
     group_cols: Sequence[str],

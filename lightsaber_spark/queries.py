@@ -563,7 +563,11 @@ def window_approx_distinct(spark, sf_dir):
 # estimator branch actually fires at the driver's sf0.01 gate (150
 # distinct users per event_type there); below 64 distinct it is exact.
 # ---------------------------------------------------------------------------
-from lightsaber_spark.functions.sketches import kmv_distinct, kmv_oracle_sql  # noqa: E402
+from lightsaber_spark.functions.sketches import (  # noqa: E402
+    count_min_oracle_sql,
+    kmv_distinct,
+    kmv_oracle_sql,
+)
 
 
 @query(
@@ -574,6 +578,30 @@ from lightsaber_spark.functions.sketches import kmv_distinct, kmv_oracle_sql  # 
 def kmv_distinct_users(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return kmv_distinct(ev, ["event_type"], "user_id", k=64, out_col="n_users_kmv")
+
+
+@query(
+    "cm_sketch_user_counts",
+    count_min_oracle_sql(
+        "events", "user_id", "_x < 20", width=256, depth=4,
+        value_name="user_id",
+    ),
+)
+def cm_sketch_user_counts(spark, sf_dir):
+    """Count-Min frequency estimates (the sketch family's frequency
+    member, next to KMV-distinct and bottom-k quantiles): build the
+    256×4 md5-bucketed sketch over events.user_id, then point-estimate
+    the counts of user_ids < 20. Cells are bit-equal in the oracle, so
+    the (over)estimates compare exactly."""
+    from lightsaber_spark.functions.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    ev = _events(spark, sf_dir)
+    sk = count_min_table(ev, "user_id", width=256, depth=4)
+    q = ev.select("user_id").filter(F.col("user_id") < 20).distinct()
+    return count_min_lookup(sk, q, "user_id", width=256, depth=4)
 
 
 # ---------------------------------------------------------------------------

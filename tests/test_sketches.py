@@ -163,3 +163,34 @@ def test_bottomk_quantiles_accuracy(tables, duck):
     assert len(got) == len(bands) > 0
     for event_type, lo, hi in bands:
         assert lo <= got[event_type] <= hi, (event_type, lo, got[event_type], hi)
+
+
+def test_count_min_overestimates_and_merges(tables):
+    """CM guarantees: estimate >= exact count for every value; the
+    sketch of a union equals the cell-wise sum of the parts' sketches."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.sketches import (
+        count_min_lookup,
+        count_min_table,
+    )
+
+    ev = tables["events"]
+    sk = count_min_table(ev, "user_id", width=64, depth=4)
+    q = ev.select("user_id").distinct().limit(50)
+    est = count_min_lookup(sk, q, "user_id", width=64, depth=4)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    j = est.join(exact, "user_id")
+    assert j.filter(F.col("cm_count") < F.col("n")).count() == 0
+
+    # mergeability: sketch(A ∪ B) == sketch(A) ⊕ sketch(B)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        count_min_table(a, "user_id", width=64, depth=4)
+        .unionByName(count_min_table(b, "user_id", width=64, depth=4))
+        .groupBy("d", "b").agg(F.sum("cell").alias("cell"))
+    )
+    whole = count_min_table(ev, "user_id", width=64, depth=4)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
