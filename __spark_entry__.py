@@ -75,6 +75,7 @@ _UNVERIFIED_R01 = [
     "pipeline_quality_dedup_split_pack",
     "sample_quantiles_value_by_type",
     "cm_sketch_user_counts",
+    "window_kmv_distinct_users",
     "grouping_sets_order_revenue",
     "ntile_user_revenue_quartiles",
     "first_last_value_per_user",

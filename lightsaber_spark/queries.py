@@ -581,6 +581,27 @@ def kmv_distinct_users(spark, sf_dir):
 
 
 @query(
+    "window_kmv_distinct_users",
+    kmv_oracle_sql(
+        "(SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start, "
+        "user_id FROM events)",
+        ["window_start"], "user_id", k=64, out_col="n_users_kmv",
+    ),
+)
+def window_kmv_distinct_users(spark, sf_dir):
+    """Sketches compose with windows: KMV distinct-user estimate per 6h
+    tumbling window (exact below k=64) — the bounded-state windowed
+    distinct for 100 TB, strong-checked where HLL can only be
+    rows-checked."""
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ev = _events(spark, sf_dir)
+    w = ev.withColumn("window_start", _exact_bucket(epoch_us(ev, "ts"), 21600))
+    return kmv_distinct(w, ["window_start"], "user_id", k=64,
+                        out_col="n_users_kmv")
+
+
+@query(
     "cm_sketch_user_counts",
     count_min_oracle_sql(
         "events", "user_id", "_x < 20", width=256, depth=4,
