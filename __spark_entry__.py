@@ -71,6 +71,8 @@ _UNVERIFIED_R01 = [
     "stratified_sample_docs_per_lang",
     "mixture_sample_by_source",
     "pack_sequences_ctx512",
+    "pack_sequences_shuffled_ctx512",
+    "asof_event_last_order_3d",
     "decontaminate_vs_eval_set",
     "pipeline_quality_dedup_split_pack",
     "sample_quantiles_value_by_type",

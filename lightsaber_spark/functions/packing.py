@@ -29,28 +29,46 @@ def pack_sequences(
     token_count_col: str,
     id_col: str = "doc_id",
     n_chunks: int = 64,
+    order_col=None,
 ) -> DataFrame:
     """Assign each document its place in the packed token stream.
 
     Returns ``(id_col, n_tokens, tok_offset, seq_first, seq_last)``:
-    ``tok_offset`` = tokens before this document in ``id_col`` order,
+    ``tok_offset`` = tokens before this document in stream order,
     ``seq_first``/``seq_last`` = the first/last ctx-window index the
     document lands in (a document spans multiple sequences when it
     crosses a ``ctx_len`` boundary). Zero-token documents are dropped
     (they occupy no stream position).
 
-    Deterministic: a pure function of (id order, token counts) — stable
+    Stream order defaults to ``id_col``; pass ``order_col`` (a Column,
+    e.g. a 60-bit md5 of the id — see the shuffled-packing query) to
+    pack in a deterministic SHUFFLED order, the standard pretraining
+    practice (adjacent corpus documents are correlated; hashing the
+    order decorrelates batches while staying a pure function of the
+    data). ``id_col`` stays the tiebreaker so equal order keys are
+    stable.
+
+    Deterministic: a pure function of (order, token counts) — stable
     under partitioning and retries, reproducible in a one-line SQL
     window oracle."""
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
-    base = (
+    ordered = (
         df.select(
             F.col(id_col),
             F.col(token_count_col).cast("bigint").alias("n_tokens"),
         )
-        .filter(F.col("n_tokens") > 0)
-        .repartitionByRange(n_chunks, id_col)
+        if order_col is None
+        else df.select(
+            F.col(id_col),
+            F.col(token_count_col).cast("bigint").alias("n_tokens"),
+            order_col.alias("_ord"),
+        )
+    )
+    sort_cols = [id_col] if order_col is None else ["_ord", id_col]
+    base = (
+        ordered.filter(F.col("n_tokens") > 0)
+        .repartitionByRange(n_chunks, *sort_cols)
         .withColumn("_chunk", F.spark_partition_id())
     )
     totals = base.groupBy("_chunk").agg(F.sum("n_tokens").alias("_chunk_total"))
@@ -59,7 +77,7 @@ def pack_sequences(
         "_chunk",
         F.coalesce(F.sum("_chunk_total").over(w_chunks), F.lit(0)).alias("_chunk_off"),
     )
-    w_in = Window.partitionBy("_chunk").orderBy(id_col)
+    w_in = Window.partitionBy("_chunk").orderBy(*sort_cols)
     packed = (
         base.join(F.broadcast(offsets), "_chunk")
         .withColumn(

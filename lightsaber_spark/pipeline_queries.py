@@ -725,6 +725,37 @@ def q_asof(spark, sf_dir):
 
 
 @query(
+    "asof_event_last_order_3d",
+    """
+    SELECT event_id, last_order_us FROM (
+      SELECT e.event_id, epoch_us(o.o_orderdate) AS last_order_us,
+             epoch_us(e.ts) AS ev_us
+      FROM events e ASOF JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+    WHERE ev_us - last_order_us <= 259200000000
+    """,
+)
+def q_asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of: last order within 3 days before each
+    event (matches beyond the tolerance are nulled and dropped) — the
+    staleness-capped enrichment shape."""
+    t = load_tables(spark, sf_dir, ("orders", "events"))
+    left = t["events"].select("event_id", F.col("user_id").alias("cust"), "ts")
+    right = t["orders"].select(
+        F.col("o_custkey").alias("cust"),
+        "o_orderdate",
+        F.col("o_orderdate").cast("timestamp").alias("_od"),
+    ).withColumn("last_order_us", F.unix_micros("_od")).drop("_od")
+    out = asof_join(
+        left, right, "ts", "o_orderdate", by=["cust"],
+        direction="backward", tolerance_sec=259_200,
+    )
+    return out.filter(F.col("last_order_us").isNotNull()).select(
+        "event_id", "last_order_us"
+    )
+
+
+@query(
     "asof_event_next_order",
     """
     SELECT e.event_id, epoch_us(o.o_orderdate) AS next_order_us
@@ -880,6 +911,40 @@ def q_pack_sequences(spark, sf_dir):
         "doc_id", _tok_count(F.col("text")).alias("_n_toks")
     )
     return pack_sequences(with_counts, 512, "_n_toks", "doc_id")
+
+
+@query(
+    "pack_sequences_shuffled_ctx512",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+                      ('0x'||substr(md5('pk' || ',' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                        AS _ord
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY _ord, doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, CAST(off AS BIGINT) AS tok_offset,
+           CAST(off // 512 AS BIGINT) AS seq_first,
+           CAST((off + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+    FROM c
+    """,
+)
+def q_pack_sequences_shuffled(spark, sf_dir):
+    """Shuffle-then-pack: documents packed in deterministic md5-hash
+    order (the pretraining practice — decorrelates adjacent corpus
+    docs across batches) while staying a pure function of the data;
+    same chunk-parallel prefix plan, ordered by the hash key."""
+    from lightsaber_spark.functions.sampling import _key_hash
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    with_counts = docs.select(
+        "doc_id", _tok_count(F.col("text")).alias("_n_toks")
+    )
+    return pack_sequences(
+        with_counts, 512, "_n_toks", "doc_id",
+        order_col=_key_hash(["doc_id"], salt="pk"),
+    )
 
 
 # ---------------------------------------------------------------------------
