@@ -78,17 +78,36 @@ def main() -> None:
             release_shingle_caches()
     total = round(time.time() - t_all, 3)
 
-    payload = json.dumps({
+    # Full per-query detail goes to BENCH.json; the single stdout line
+    # must stay COMPACT (the harness captures only a tail of stdout and
+    # parses the final line — a ~3.5 KB line with all 100+ timings gets
+    # truncated and fails to parse).  The stdout "queries" dict therefore
+    # carries only the 13 canonical reference-benchmark queries.
+    full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    })
+    }
     with open(os.path.join(_REPO, "BENCH.json"), "w") as f:
-        f.write(payload + "\n")
+        f.write(json.dumps(full) + "\n")
+
+    headline = {n: timings[n] for n in entrymod._CANONICAL if n in timings}
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": headline,
+            "n_queries_total": len(timings),
+            "detail": "BENCH.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
     spark.stop()
-    os.write(real_stdout, (payload + "\n").encode())
+    os.write(real_stdout, (line + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -66,10 +66,20 @@ def pack_sequences(
         )
     )
     sort_cols = [id_col] if order_col is None else ["_ord", id_col]
+    # `_chunk` is spark_partition_id() after a range exchange, and `base`
+    # feeds TWO subplans (chunk totals + the final join). Range-boundary
+    # SAMPLING is nondeterministic across separate instantiations, so the
+    # chunk ids the totals were computed under must be the chunk ids the
+    # join sees: pin one materialization with a lazy localCheckpoint —
+    # both consumers then read the same checkpointed partitions instead
+    # of relying on ReuseExchange to deduplicate the scan. (Lazy: nothing
+    # runs at build time; on executor loss the job fails rather than
+    # silently recomputing with different boundaries.)
     base = (
         ordered.filter(F.col("n_tokens") > 0)
         .repartitionByRange(n_chunks, *sort_cols)
         .withColumn("_chunk", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     totals = base.groupBy("_chunk").agg(F.sum("n_tokens").alias("_chunk_total"))
     w_chunks = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)

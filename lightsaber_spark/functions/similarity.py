@@ -328,21 +328,32 @@ def _centroid_matrix(centroids, centroids_scaled: bool):
     return ids, m, np.sqrt((m * m).sum(axis=1))
 
 
-def ivf_cell_udf(centroids: list[tuple[int, list[float]]], centroids_scaled: bool = False):
+def ivf_cell_udf(
+    centroids: list[tuple[int, list[float]]],
+    centroids_scaled: bool = False,
+    vecs_scaled: bool = False,
+):
     """Cell assigner: exact argmax-cosine against a small centroid set
     (ties → lowest centroid id, matching a ``row_number() ... ORDER BY
     cos DESC, cid ASC`` oracle). One GEMM per Arrow batch; the centroid
     matrix is embedded in the UDF closure (centroids are small by
     definition — driver-side collect is bounded).
     ``centroids_scaled=True`` means centroid vectors are already exact
-    scaled integers (e.g. from :func:`kmeans_fit_scaled`)."""
+    scaled integers (e.g. from :func:`kmeans_fit_scaled`);
+    ``vecs_scaled=True`` means the INPUT vectors are too — rescaling
+    them again would push dot-product terms past 2^53 and silently
+    forfeit the exact-integer-GEMM guarantee (cosine is scale-invariant,
+    so only exactness, i.e. tie-breaking, is at stake)."""
     ids, cm, cnorm = _centroid_matrix(centroids, centroids_scaled)
 
     @F.pandas_udf("bigint")
     def _cell(vecs: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        y = x * SCALE
-        s = np.sign(y) * np.floor(np.abs(y) + 0.5)
+        if vecs_scaled:
+            s = x
+        else:
+            y = x * SCALE
+            s = np.sign(y) * np.floor(np.abs(y) + 0.5)
         norms = np.sqrt((s * s).sum(axis=1))
         cos = (s @ cm.T) / (norms[:, None] * cnorm[None, :])
         return pd.Series(ids[np.argmax(cos, axis=1)])
@@ -351,7 +362,10 @@ def ivf_cell_udf(centroids: list[tuple[int, list[float]]], centroids_scaled: boo
 
 
 def ivf_cells_udf(
-    centroids: list[tuple[int, list[float]]], n_probe: int, centroids_scaled: bool = False
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    centroids_scaled: bool = False,
+    vecs_scaled: bool = False,
 ):
     """Multi-probe cell assigner: the ``n_probe`` nearest centroid ids
     per vector (cosine desc, centroid id asc on ties — stable argsort
@@ -362,8 +376,11 @@ def ivf_cells_udf(
     @F.pandas_udf("array<bigint>")
     def _cells(vecs: pd.Series) -> pd.Series:
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        y = x * SCALE
-        s = np.sign(y) * np.floor(np.abs(y) + 0.5)
+        if vecs_scaled:
+            s = x
+        else:
+            y = x * SCALE
+            s = np.sign(y) * np.floor(np.abs(y) + 0.5)
         norms = np.sqrt((s * s).sum(axis=1))
         cos = (s @ cm.T) / (norms[:, None] * cnorm[None, :])
         order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
@@ -410,7 +427,7 @@ def kmeans_fit_scaled(
     init = sv.filter(F.col("_id") < k).collect()
     cents = sorted((r["_id"], [int(x) for x in r["_sv"]]) for r in init)
     for _ in range(iters):
-        cell = ivf_cell_udf(cents, centroids_scaled=True)
+        cell = ivf_cell_udf(cents, centroids_scaled=True, vecs_scaled=True)
         parts = (
             sv.select(cell(F.col("_sv")).alias("_cid"),
                       F.posexplode("_sv").alias("_pos", "_x"))

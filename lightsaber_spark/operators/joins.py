@@ -198,7 +198,11 @@ def asof_join(
             Window.unboundedPreceding, 0
         )
     else:
-        w = Window.partitionBy(*by).orderBy(F.col("_t").desc(), F.col("_side").desc()).rowsBetween(
+        # _side ASC here too: at equal _t the right row must scan BEFORE
+        # the left row so an exactly-at-timestamp match is carried —
+        # `>=` semantics, matching DuckDB ASOF (caught by
+        # tests/test_asof.py::test_asof_forward_includes_equality).
+        w = Window.partitionBy(*by).orderBy(F.col("_t").desc(), F.col("_side").asc()).rowsBetween(
             Window.unboundedPreceding, 0
         )
     carried = unioned

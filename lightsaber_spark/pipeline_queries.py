@@ -724,30 +724,58 @@ def q_asof(spark, sf_dir):
     )
 
 
+# TPC-H o_orderdate (1995-2001) never overlaps events.ts (2024-01),
+# so a raw tolerance-bounded or forward as-of is vacuously empty
+# (ADVICE r2). Both queries below therefore join against a SYNTHETIC
+# order timestamp that folds o_orderdate into the events month with
+# exact integer-µs arithmetic — deterministic, identical in both
+# engines, and (thanks to the o_orderkey intra-day spread) dense enough
+# that tolerance nulling and the forward scan both do real work.
+# 1_704_067_200_000_000 µs = 2024-01-01T00:00:00Z; 2_592_000_000_000 µs
+# = 30 days.
+_SYNTH_ORDER_TS_SQL = """(SELECT o_custkey,
+        make_timestamp(1704067200000000
+          + (epoch_us(o_orderdate) % 2592000000000)
+          + (o_orderkey % 86400000) * 1000) AS o_ts
+      FROM orders)"""
+
+
+def _synth_orders(spark, sf_dir):
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    synth_us = (
+        F.lit(1_704_067_200_000_000)
+        + F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        % F.lit(2_592_000_000_000)
+        + (F.col("o_orderkey") % F.lit(86_400_000)) * F.lit(1000)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("cust"), F.timestamp_micros(synth_us).alias("o_ts")
+    )
+
+
 @query(
     "asof_event_last_order_3d",
-    """
+    f"""
     SELECT event_id, last_order_us FROM (
-      SELECT e.event_id, epoch_us(o.o_orderdate) AS last_order_us,
+      SELECT e.event_id, epoch_us(o.o_ts) AS last_order_us,
              epoch_us(e.ts) AS ev_us
-      FROM events e ASOF JOIN orders o
-        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+      FROM events e ASOF JOIN {_SYNTH_ORDER_TS_SQL} o
+        ON e.user_id = o.o_custkey AND o.o_ts <= e.ts)
     WHERE ev_us - last_order_us <= 259200000000
     """,
 )
 def q_asof_tolerance(spark, sf_dir):
-    """Tolerance-bounded as-of: last order within 3 days before each
-    event (matches beyond the tolerance are nulled and dropped) — the
-    staleness-capped enrichment shape."""
-    t = load_tables(spark, sf_dir, ("orders", "events"))
+    """Tolerance-bounded as-of: last (synthetic-ts) order within 3 days
+    before each event — matches beyond the tolerance are nulled and
+    dropped: the staleness-capped enrichment shape, non-vacuous by
+    construction (events and synthetic orders interleave)."""
+    t = load_tables(spark, sf_dir, ("events",))
     left = t["events"].select("event_id", F.col("user_id").alias("cust"), "ts")
-    right = t["orders"].select(
-        F.col("o_custkey").alias("cust"),
-        "o_orderdate",
-        F.col("o_orderdate").cast("timestamp").alias("_od"),
-    ).withColumn("last_order_us", F.unix_micros("_od")).drop("_od")
+    right = _synth_orders(spark, sf_dir).withColumn(
+        "last_order_us", F.unix_micros("o_ts")
+    )
     out = asof_join(
-        left, right, "ts", "o_orderdate", by=["cust"],
+        left, right, "ts", "o_ts", by=["cust"],
         direction="backward", tolerance_sec=259_200,
     )
     return out.filter(F.col("last_order_us").isNotNull()).select(
@@ -757,24 +785,23 @@ def q_asof_tolerance(spark, sf_dir):
 
 @query(
     "asof_event_next_order",
-    """
-    SELECT e.event_id, epoch_us(o.o_orderdate) AS next_order_us
-    FROM events e ASOF JOIN orders o
-      ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+    f"""
+    SELECT e.event_id, epoch_us(o.o_ts) AS next_order_us
+    FROM events e ASOF JOIN {_SYNTH_ORDER_TS_SQL} o
+      ON e.user_id = o.o_custkey AND o.o_ts >= e.ts
     """,
 )
 def q_asof_forward(spark, sf_dir):
-    """Forward as-of: the first order at or after each event — the
-    other half of the carry-scan (same union + window plan, reversed
-    ordering). DuckDB's ASOF JOIN with `>=` is the oracle."""
-    t = load_tables(spark, sf_dir, ("orders", "events"))
+    """Forward as-of: the first (synthetic-ts) order at or after each
+    event — the other half of the carry-scan (same union + window plan,
+    reversed ordering), non-vacuous by construction. DuckDB's ASOF JOIN
+    with `>=` is the oracle."""
+    t = load_tables(spark, sf_dir, ("events",))
     left = t["events"].select("event_id", F.col("user_id").alias("cust"), "ts")
-    right = t["orders"].select(
-        F.col("o_custkey").alias("cust"),
-        "o_orderdate",
-        F.col("o_orderdate").cast("timestamp").alias("_od"),
-    ).withColumn("next_order_us", F.unix_micros("_od")).drop("_od")
-    out = asof_join(left, right, "ts", "o_orderdate", by=["cust"], direction="forward")
+    right = _synth_orders(spark, sf_dir).withColumn(
+        "next_order_us", F.unix_micros("o_ts")
+    )
+    out = asof_join(left, right, "ts", "o_ts", by=["cust"], direction="forward")
     return out.filter(F.col("next_order_us").isNotNull()).select(
         "event_id", "next_order_us"
     )
@@ -1088,9 +1115,9 @@ from lightsaber_spark.functions.text import feature_hash_vector_udf
     "text_feature_hash_vectors",
     f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
-    SELECT doc_id, list_transform(range(16),
+    SELECT doc_id, array_to_string(list_transform(range(16),
              i -> len(list_filter(toks,
-                  x -> ('0x'||substr(md5(x),1,15))::BIGINT % 16 = i))) AS vec
+                  x -> ('0x'||substr(md5(x),1,15))::BIGINT % 16 = i))), ',') AS vec
     FROM t
     """,
 )
@@ -1098,9 +1125,16 @@ def q_feature_hash(spark, sf_dir):
     """16-bucket hashed count vector per document — md5-bucketed so
     both engines build identical vectors. Arrow-batched hot path
     (``feature_hash_vector_udf``); the interpreted-HOF twin
-    ``feature_hash_vector`` stays as the in-repo reference form."""
+    ``feature_hash_vector`` stays as the in-repo reference form.
+
+    The vector is emitted CSV-serialized (``array_join``) because the
+    driver's canonicalizer hashes scalar cells — a raw ``array<bigint>``
+    column is unhashable there (CORRECTNESS_r02). The array-returning
+    functions stay the internal API."""
+    vec = feature_hash_vector_udf(16)(F.col("text"))
     return _docs(spark, sf_dir).select(
-        "doc_id", feature_hash_vector_udf(16)(F.col("text")).alias("vec")
+        "doc_id",
+        F.array_join(vec.cast("array<string>"), ",").alias("vec"),
     )
 
 

@@ -128,6 +128,11 @@ def sliding_view(
     by panes containing data."""
     if size_sec % pane_sec or slide_sec % pane_sec:
         raise ValueError("size and slide must be multiples of pane_sec")
+    if slide_sec > size_sec:
+        # with slide > size some panes belong to NO window (s_min > s_max
+        # below) and F.sequence with a positive step throws at runtime;
+        # hopping-with-gaps is not a supported view shape.
+        raise ValueError("slide_sec must be <= size_sec")
     panes = rollup_view(spark, out_path, measures, keys)
     p = F.col("pane_start")
     # window starts s (multiples of slide) whose [s, s+size) fully

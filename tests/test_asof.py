@@ -1,0 +1,99 @@
+"""As-of join unit tests on synthetic interleaved timestamps (ADVICE
+r2: the TPC-H-backed queries were vacuous, so forward direction and
+tolerance nulling had no non-trivial coverage).
+
+Timeline per key (seconds): rights at 10, 20, 20, 40; lefts at 5, 10,
+15, 25, 40, 50 — exercises before-any-right, exact-equality ties,
+between-rights, and after-all-rights for both directions, plus the
+tolerance cutoff.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from lightsaber_spark.operators.joins import asof_join
+
+
+def _ts(sec: int) -> datetime:
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(i, "k", _ts(s)) for i, s in enumerate([5, 10, 15, 25, 40, 50])]
+        + [(100, "other", _ts(15))],
+        "lid bigint, key string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(10), 1), ("k", _ts(20), 2), ("k", _ts(20), 3), ("k", _ts(40), 4)],
+        "key string, rts timestamp, rval bigint",
+    )
+    return left, right
+
+
+def _vals(out):
+    return {r.lid: r.rval for r in out.collect()}
+
+def test_asof_backward(frames):
+    left, right = frames
+    got = _vals(asof_join(left, right, "lts", "rts", by=["key"]))
+    # lid0 @5: no right yet -> null; lid1 @10: equality included -> 1;
+    # lid3 @25: one of the tied pair @20 (tie order between equal right
+    # timestamps is unspecified, as in DuckDB ASOF); lid5 @50 -> 4
+    assert got[0] is None
+    assert got[1] == 1
+    assert got[2] == 1
+    assert got[3] in (2, 3)
+    assert got[4] == 4
+    assert got[5] == 4
+    assert got[100] is None
+
+
+def test_asof_forward_includes_equality(frames):
+    left, right = frames
+    got = _vals(asof_join(left, right, "lts", "rts", by=["key"], direction="forward"))
+    assert got[0] == 1
+    assert got[1] == 1  # right AT the left timestamp must match (>=)
+    assert got[2] in (2, 3)  # tied pair @20, tie order unspecified
+    assert got[3] == 4
+    assert got[4] == 4  # equality again, at 40
+    assert got[5] is None  # nothing after 50
+    assert got[100] is None
+
+
+def test_asof_tolerance_exact_boundaries(frames):
+    left, right = frames
+    got = _vals(asof_join(left, right, "lts", "rts", by=["key"], tolerance_sec=5))
+    # lid0 @5: no match -> null
+    # lid1 @10: match @10, delta 0 -> 1
+    # lid2 @15: match @10, delta 5 -> kept (inclusive)
+    # lid3 @25: match @20, delta 5 -> kept
+    # lid4 @40: match @40, delta 0 -> 4
+    # lid5 @50: match @40, delta 10 -> nulled
+    assert got[0] is None
+    assert got[1] == 1
+    assert got[2] == 1
+    assert got[3] == 3
+    assert got[4] == 4
+    assert got[5] is None
+
+
+def test_asof_forward_tolerance(frames):
+    left, right = frames
+    got = _vals(
+        asof_join(
+            left, right, "lts", "rts", by=["key"],
+            direction="forward", tolerance_sec=5,
+        )
+    )
+    # lid0 @5 -> @10, delta 5 kept; lid3 @25 -> @40, delta 15 nulled
+    assert got[0] == 1
+    assert got[1] == 1
+    assert got[3] is None
+    assert got[4] == 4
+    assert got[5] is None

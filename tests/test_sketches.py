@@ -194,3 +194,54 @@ def test_count_min_overestimates_and_merges(tables):
     whole = count_min_table(ev, "user_id", width=64, depth=4)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_ivf_assigner_scaled_input_exactness(spark):
+    """ADVICE r2: kmeans_fit_scaled feeds already-scaled vectors into the
+    cell assigner — with vecs_scaled=True the second ×SCALE rescale is
+    skipped, keeping dot terms < 2^53 (exact). The assignment must agree
+    with the raw-vector path, and an EXACT cosine tie must break to the
+    lowest centroid id even at large scaled magnitudes (where the
+    double-scaled path loses integer exactness)."""
+    from lightsaber_spark.functions.similarity import (
+        SCALE,
+        ivf_cell_udf,
+        ivf_cells_udf,
+        scaled_vec,
+    )
+
+    # centroids: two exactly-opposite-ordered axes + one diagonal that
+    # ties with itself when the input IS the diagonal
+    cents_raw = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.5, 0.5, 0.0])]
+    cents_scaled = [(cid, [int(round(x * SCALE)) for x in v]) for cid, v in cents_raw]
+    # vecs: near each axis, plus the exact diagonal (ties cid 2 at cos=1
+    # ... but also collinear with neither axis) and an exact tie between
+    # cid 0 and cid 1 ([1,1,0] has equal cosine to both axes AND to cid 2)
+    vecs = [
+        (10, [0.9, 0.1, 0.0]),
+        (11, [0.1, 0.9, 0.0]),
+        (12, [0.7, 0.7, 0.0]),  # exact tie 0-vs-1; cid 2 wins outright (cos=1)
+        (13, [1.0, 0.0, 0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    sv = df.select("vec_id", scaled_vec("embedding").alias("sv"), "embedding")
+
+    raw_cell = ivf_cell_udf(cents_raw)
+    scl_cell = ivf_cell_udf(cents_scaled, centroids_scaled=True, vecs_scaled=True)
+    got_raw = {r.vec_id: r.c for r in sv.select("vec_id", raw_cell("embedding").alias("c")).collect()}
+    got_scl = {r.vec_id: r.c for r in sv.select("vec_id", scl_cell("sv").alias("c")).collect()}
+    assert got_raw == got_scl
+
+    # exact-tie case: drop the diagonal centroid so [0.7,0.7,0] ties
+    # 0-vs-1 exactly; lowest cid must win on BOTH paths
+    two_raw, two_scaled = cents_raw[:2], cents_scaled[:2]
+    t_raw = ivf_cell_udf(two_raw)
+    t_scl = ivf_cell_udf(two_scaled, centroids_scaled=True, vecs_scaled=True)
+    tr = {r.vec_id: r.c for r in sv.select("vec_id", t_raw("embedding").alias("c")).collect()}
+    ts = {r.vec_id: r.c for r in sv.select("vec_id", t_scl("sv").alias("c")).collect()}
+    assert tr[12] == 0 and ts[12] == 0
+
+    # multi-probe twin agrees on probe-1
+    mp = ivf_cells_udf(cents_scaled, 2, centroids_scaled=True, vecs_scaled=True)
+    first = {r.vec_id: r.cs[0] for r in sv.select("vec_id", mp("sv").alias("cs")).collect()}
+    assert first == got_scl
