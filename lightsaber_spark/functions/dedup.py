@@ -190,11 +190,12 @@ def ngram_jaccard_pairs(
     SCALE WARNING — ``max_doc_freq=None`` (the uncut form) is
     test-scale-only: the self-join's work is Σ df(shingle)², which a
     Zipfian corpus turns quadratic on its head shingles. Production
-    runs at corpus scale MUST set ``max_doc_freq`` (the stop-shingle
-    cutoff — a shingle shared by more than N docs carries no dedup
-    signal and is dropped before the join; Jaccard is then computed on
-    the post-cut sets on both engines, so the oracle still matches
-    exactly). ``minhash_lsh_pairs`` is the other scale-safe route."""
+    runs at corpus scale MUST either set ``max_doc_freq`` (the
+    stop-shingle cutoff — changes the declared semantics to post-cut
+    Jaccard, identically in the oracle) or use
+    :func:`ngram_jaccard_pairs_prefix`, which returns EXACTLY the same
+    pairs as the uncut form but prunes the join with the lossless
+    prefix filter. ``minhash_lsh_pairs`` is the approximate route."""
     arr = shingle_arrays(df, text_col, id_col, k)
     ex = _index_from_arrays(arr, max_doc_freq)
     sizes = _sizes_from_arrays(arr, ex, max_doc_freq)
@@ -221,6 +222,91 @@ def ngram_jaccard_pairs(
         )
     )
     return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b",
+        (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity join via PREFIX FILTERING — same result
+    set as uncut :func:`ngram_jaccard_pairs` (the DuckDB oracle is the
+    plain all-pairs Jaccard SQL, so the parity gate proves the filter
+    lossless), but the candidate join is pruned to scale.
+
+    The published All-Pairs/PPJoin idea (Chaudhuri et al. ICDE'06,
+    Bayardo et al. WWW'07, Xiao et al. WWW'08): impose one global total
+    order on shingles — ascending document frequency, ties by shingle —
+    and index only each document's first ⌊(1−τ)·n⌋+1 shingles in that
+    order (its *prefix*). Two documents with Jaccard ≥ τ must share at
+    least one prefix shingle, so the equi-join over prefixes finds every
+    qualifying pair; candidates are then verified exactly on the full
+    shingle sets.
+
+    Why this kills the Zipf head: the total order puts RARE shingles in
+    prefixes, so a head shingle shared by millions of documents sits at
+    the back of every document's ordering and never enters the index —
+    candidate work concentrates on low-df shingles where df² is small.
+    A ±length filter (τ·n_a ≤ n_b ≤ n_a/τ, both sides integer-scaled)
+    prunes candidates further before verification. All threshold tests
+    use the same exact integer arithmetic as the uncut form.
+
+    Plan shape at 100 TB: one df aggregation, one per-doc top-(1−τ)n
+    window (partitioned by doc — no global sort), one equi-join on
+    prefix shingles, and an ``array_intersect`` verify on candidate
+    pairs only."""
+    tau = int(round(threshold * 100000))
+    arr = shingle_arrays(df, text_col, id_col, k)
+    ex = arr.select("_id", F.explode("_shs").alias("_sh"))
+    freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = arr.select("_id", F.size("_shs").cast("bigint").alias("_n"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_sh").asc())
+    # pos ≤ ⌊(1−τ)·n⌋ + 1  ⇔  (pos−1)·100000 ≤ (100000−τ)·n  (exact ints)
+    pref = (
+        ex.join(freq, "_sh")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "_id")
+        .filter(
+            (F.col("_pos") - 1) * 100000 <= F.lit(100000 - tau) * F.col("_n")
+        )
+        .select("_id", "_sh", "_n")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.lit(tau) * F.col("a._n") <= F.lit(100000) * F.col("b._n"))
+            & (F.lit(tau) * F.col("b._n") <= F.lit(100000) * F.col("a._n")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ver = (
+        cand.join(arr.select(F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
+        .join(arr.select(F.col("_id").alias("id_b"), F.col("_shs").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("bigint").alias("n_common"),
+            F.size("_sa").cast("bigint").alias("n_a"),
+            F.size("_sb").cast("bigint").alias("n_b"),
+        )
+        .filter(
+            F.col("n_common") * 100000
+            >= F.lit(tau) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+    )
+    return ver.select(
         "id_a", "id_b", "n_common", "n_a", "n_b",
         (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("jaccard"),
     )

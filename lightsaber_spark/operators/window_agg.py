@@ -172,7 +172,7 @@ def windowed_agg(
     prefix_ok = (
         not keys
         and size_sec % slide_sec == 0
-        and all(f in _INVERTIBLE for f, _c, _a in aggs)
+        and all(f in _INVERTIBLE or f in ("min", "max") for f, _c, _a in aggs)
     )
     if use_prefix is None:
         use_prefix = prefix_ok and ratio >= prefix_threshold
@@ -302,31 +302,55 @@ def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
 
 
 def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None):
-    """Prefix-sum sliding aggregation for very high size/slide ratios
-    (global, invertible aggs, slide | size).
+    """Prefix-scan sliding aggregation for very high size/slide ratios
+    (global, slide | size; invertible aggs plus MIN/MAX).
 
     stage 1: pane pre-aggregation at slide granularity (map-side
              combinable; ≤ span/slide rows out).
-    stage 2: dense spine of panes from (first −) to (last + size −
-             slide), zero-filled; cumulative sums ordered by pane;
+    stage 2: dense spine of panes from (first) to (last + size − slide);
+             invertible aggs (sum/count/avg/w_avg) use cumulative sums:
              window value at end-pane e = cum[e] − cum[e − k] with
-             k = size/slide (row-based lag on the dense spine — exact).
+             k = size/slide — the reference's subtract-on-evict
+             incremental path (``Aggregation.h:89-94``).
+             MIN/MAX are non-invertible (no subtract); they use the
+             van Herk–Gil–Werman two-level decomposition instead: panes
+             are grouped into blocks of k, R[p] = running max from the
+             block start and L[p] = running max to the block end, and
+             the window ending at pane e (starting at s = e−k+1) is
+             ``greatest(L[s], R[e])`` — any k-pane window spans at most
+             two blocks, split exactly at a block boundary. This is the
+             relational form of the reference's AggregationTree
+             (``src/utils/AggregationTree.h``, its non-invertible
+             sliding path): O(1) merges per window instead of the pane
+             path's k-way explode.
 
     Cost is span/slide spine rows regardless of the ratio; the spine is
     time-bound, not data-bound, so a 100× data scale-up does not grow
-    it. The cumulative pass is **chunk-parallel**, not a global sort:
-    the spine is cut into chunks of ``panes_per_chunk`` panes, each
-    chunk also receives the previous chunk's last k panes as carry rows,
-    and cum − lag(k) is evaluated per chunk partition (every own row has
-    its full k-pane history locally, so the per-chunk difference equals
-    the global one — offsets cancel). One shuffle, parallel across
-    chunks, exact for any span.
+    it. Spine GENERATION is distributed too: a tiny chunk-id relation
+    fans out first and each chunk task emits only its own
+    ``panes_per_chunk`` panes — no single task ever materializes the
+    whole span (previously one ``sequence()`` row did).
+
+    The scan pass is **chunk-parallel**, not a global sort: each chunk
+    also receives the previous chunk's last k panes as carry rows, and
+    cum − lag(k) / greatest(R, lag(L, k−1)) are evaluated per chunk
+    partition (every own row has its full k-pane history locally, so
+    the per-chunk result equals the global one). ``panes_per_chunk`` is
+    rounded up to a multiple of k so block boundaries align with chunk
+    boundaries — the k carry panes are then exactly the previous
+    chunk's last block, and every L/R a window needs is chunk-local.
+    One shuffle, parallel across chunks, exact for any span.
     """
     k = size_sec // slide_sec
-    # carry must come from the immediately-previous chunk only
+    # carry must come from the immediately-previous chunk only, and
+    # chunks must contain whole k-pane blocks (see docstring)
     panes_per_chunk = max(k, panes_per_chunk or 1 << 16)
+    panes_per_chunk = ((panes_per_chunk + k - 1) // k) * k
+
+    has_minmax = any(f in ("min", "max") for f, _c, _a in aggs)
 
     partials: dict[str, Column] = {}
+    mm_partials: dict[str, str] = {}  # partial name -> min|max
     for func, col, _alias in aggs:
         if func in ("sum", "avg"):
             partials[f"_sum_{col}"] = F.sum(F.col(col))
@@ -339,10 +363,16 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
             v, w = col
             partials[f"_wv_{v}_{w}"] = F.sum(F.col(w) * F.col(v))
             partials[f"_ww_{w}"] = F.sum(F.col(w))
+        if func in ("min", "max"):
+            name = f"_{func}_{col}"
+            partials[name] = getattr(F, func)(F.col(col))
+            mm_partials[name] = func
+    inv_partials = [n for n in partials if n not in mm_partials]
     # emission filter: reuse an existing count(*) partial if present
     rows_key = "_cnt_all" if "_cnt_all" in partials else "_cnt__rows"
     if rows_key == "_cnt__rows":
         partials["_cnt__rows"] = F.count(F.lit(1))
+        inv_partials.append("_cnt__rows")
 
     us = epoch_us(df, ts_col)
     stage1 = df.groupBy(_exact_bucket(us, slide_sec).alias("_pane")).agg(
@@ -353,17 +383,48 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
     # Bounds come from stage1 (min/max pane), not a second scan of the
     # base table: the two stage1 occurrences are identical subplans, so
     # Catalyst's ReuseExchange evaluates the pre-aggregation once.
+    # (Reuse is a perf optimization only — stage1 is deterministic, so
+    # divergent instantiations still agree.)
     bounds = stage1.agg(F.min("_pane").alias("_lo"), F.max("_pane").alias("_hi"))
-    first = F.col("_lo")
-    last = F.col("_hi") + F.lit(size_sec - slide_sec)
-    spine = bounds.select(
-        F.explode(F.sequence(first, last, F.lit(slide_sec).cast("bigint"))).alias("_pane")
+
+    # distributed spine: pane-INDEX space i = pane/slide; chunk c owns
+    # i ∈ [c·ppc, (c+1)·ppc). The chunk relation is span/ppc rows (tiny),
+    # shuffled so each chunk's sequence() runs in its own task.
+    # The spine starts at a BLOCK-ALIGNED index (≤ k−1 extra empty
+    # panes): empty panes are nulls min/max skip and zeros sums ignore,
+    # but they keep every lag() offset positionally exact — without the
+    # extension, a leading window spanning the partial first block and
+    # the second block would see a null lag(L, k−1) and silently miss
+    # the first block's panes. Windows ending in the extension have
+    # zero rows and are filtered by the emission check.
+    ppc = F.lit(panes_per_chunk).cast("bigint")
+    i_lo = (F.col("_lo") / F.lit(slide_sec)).cast("bigint")
+    a_lo = (F.floor(i_lo / F.lit(k)) * F.lit(k)).cast("bigint")
+    i_hi = (F.col("_hi") / F.lit(slide_sec)).cast("bigint") + F.lit(k - 1)
+    chunk_rows = bounds.select(
+        a_lo.alias("_ilo"),
+        i_hi.alias("_ihi"),
+        F.explode(
+            F.sequence(F.floor(i_lo / ppc).cast("bigint"), F.floor(i_hi / ppc).cast("bigint"))
+        ).alias("_cid"),
+    )
+    spine = (
+        chunk_rows.repartition("_cid")
+        .select(
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_ilo"), F.col("_cid") * ppc),
+                    F.least(F.col("_ihi"), (F.col("_cid") + 1) * ppc - 1),
+                )
+            ).alias("_pidx")
+        )
+        .select((F.col("_pidx") * F.lit(slide_sec)).cast("bigint").alias("_pane"))
     )
 
     from pyspark.sql import Window
 
     dense = spine.join(stage1, "_pane", "left")
-    # chunk-parallel prefix: pane index → chunk; the last k panes of each
+    # chunk-parallel scan: pane index → chunk; the last k panes of each
     # chunk are duplicated into the next chunk as carry (non-own) rows
     p_idx = (F.col("_pane") / F.lit(slide_sec)).cast("bigint")
     own_chunk = F.floor(p_idx / F.lit(panes_per_chunk)).cast("bigint")
@@ -372,33 +433,58 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
         F.array(own_chunk, own_chunk + 1),
     ).otherwise(F.array(own_chunk))
     ext = dense.withColumn("_chunk", F.explode(assigns))
+    if has_minmax:
+        # van Herk block id — aligned to chunk boundaries by construction
+        ext = ext.withColumn("_blk", F.floor(p_idx / F.lit(k)).cast("bigint"))
 
     w_cum = (
         Window.partitionBy("_chunk").orderBy("_pane").rowsBetween(Window.unboundedPreceding, 0)
     )
-    cums = {}
-    for n in partials:
-        cums[n] = F.sum(F.coalesce(F.col(n), F.lit(0))).over(w_cum)
+    scan_cols: list[Column] = []
+    for n in inv_partials:
+        scan_cols.append(
+            F.sum(F.coalesce(F.col(n), F.lit(0))).over(w_cum).alias(f"_c{n}")
+        )
+    if has_minmax:
+        w_blk_fwd = (
+            Window.partitionBy("_chunk", "_blk")
+            .orderBy(F.col("_pane").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_blk_bwd = (
+            Window.partitionBy("_chunk", "_blk")
+            .orderBy(F.col("_pane").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for n, func in mm_partials.items():
+            agg_f = getattr(F, func)
+            scan_cols.append(agg_f(F.col(n)).over(w_blk_fwd).alias(f"_R{n}"))
+            scan_cols.append(agg_f(F.col(n)).over(w_blk_bwd).alias(f"_L{n}"))
     cum = ext.select(
         "_chunk",
         "_pane",
         (own_chunk == F.col("_chunk")).alias("_own"),
-        *[c.alias(f"_c{n}") for n, c in cums.items()],
+        *scan_cols,
     )
 
     # every own row has >= k local predecessors (its chunk's carry rows),
-    # except in chunk 0 where the global cumulative IS the local one — in
-    # both cases cum − coalesce(lag(k), 0) equals the exact window value
+    # except in chunk 0 where the global scan IS the local one — in both
+    # cases cum − coalesce(lag(k), 0) / greatest(R[e], lag(L, k−1))
+    # equals the exact window value (least/greatest skip nulls, so a
+    # clipped leading window degrades to its available panes)
     w_lag = Window.partitionBy("_chunk").orderBy("_pane")
-    win = cum.select(
-        "_pane",
-        "_own",
-        *[
+    win_cols: list[Column] = []
+    for n in inv_partials:
+        win_cols.append(
             (F.col(f"_c{n}") - F.coalesce(F.lag(f"_c{n}", k).over(w_lag), F.lit(0)))
             .alias(f"_w{n}")
-            for n in partials
-        ],
-    ).filter(F.col("_own"))
+        )
+    for n, func in mm_partials.items():
+        merge = F.greatest if func == "max" else F.least
+        win_cols.append(
+            merge(F.col(f"_R{n}"), F.lag(f"_L{n}", k - 1).over(w_lag)).alias(f"_w{n}")
+        )
+    win = cum.select("_pane", "_own", *win_cols).filter(F.col("_own"))
 
     finals: list[Column] = []
     for func, col, alias in aggs:
@@ -412,6 +498,8 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
         elif func == "w_avg":
             v, wt = col
             finals.append((F.col(f"_w_wv_{v}_{wt}") / F.col(f"_w_ww_{wt}")).alias(alias))
+        elif func in ("min", "max"):
+            finals.append(F.col(f"_w_{func}_{col}").alias(alias))
 
     return (
         win.filter(F.col(f"_w{rows_key}") > 0)
@@ -426,16 +514,20 @@ def window_spine(
     ts_col: str,
     size_sec: int,
     slide_sec: int | None = None,
+    *,
+    starts_per_chunk: int = 1 << 16,
 ) -> DataFrame:
     """All window starts from the first to the last data point — the
     reference's empty-window emission (gap fill,
     ``OperatorKernel.h:3830-3988`` / ``:4374-4608``), which Spark's
     native windowing does not do.
 
-    One-column DataFrame ``window_start`` (bigint). Generated from a
-    single (min, max) row + ``sequence``/``explode``: cardinality is
-    span/slide, independent of input rows — scale-safe; repartition
-    downstream if the spine is huge.
+    One-column DataFrame ``window_start`` (bigint). Cardinality is
+    span/slide, independent of input rows — scale-safe. Generation is
+    DISTRIBUTED: a tiny chunk relation (span/``starts_per_chunk`` rows)
+    fans out over a shuffle and each task emits only its own chunk's
+    ``sequence()`` — a year-long 1s-slide spine (31M starts) lands as
+    ~480 parallel 65k-row tasks instead of one 31M-row task.
     """
     slide_sec = slide_sec or size_sec
     bounds = df.agg(
@@ -446,8 +538,28 @@ def window_spine(
     shifted = lo - F.lit(size_sec * US).cast("bigint")
     first = (((shifted - (shifted % step_us)) / step_us).cast("bigint") + 1) * F.lit(slide_sec)
     last = (((hi - (hi % step_us)) / step_us)).cast("bigint") * F.lit(slide_sec)
-    return bounds.select(
-        F.explode(F.sequence(first, last, F.lit(slide_sec).cast("bigint"))).alias("window_start")
+    # index space i = window_start / slide; chunk c owns i ∈ [c·spc, (c+1)·spc)
+    spc = F.lit(starts_per_chunk).cast("bigint")
+    i_lo = (first / F.lit(slide_sec)).cast("bigint")
+    i_hi = (last / F.lit(slide_sec)).cast("bigint")
+    chunk_rows = bounds.select(
+        i_lo.alias("_ilo"),
+        i_hi.alias("_ihi"),
+        F.explode(
+            F.sequence(F.floor(i_lo / spc).cast("bigint"), F.floor(i_hi / spc).cast("bigint"))
+        ).alias("_cid"),
+    )
+    return (
+        chunk_rows.repartition("_cid")
+        .select(
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_ilo"), F.col("_cid") * spc),
+                    F.least(F.col("_ihi"), (F.col("_cid") + 1) * spc - 1),
+                )
+            ).alias("_i")
+        )
+        .select((F.col("_i") * F.lit(slide_sec)).cast("bigint").alias("window_start"))
     )
 
 

@@ -296,6 +296,19 @@ def q_dedup_ngram(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
 
 
+@query(
+    "dedup_ngram_jaccard_prefix",
+    # IDENTICAL oracle to the uncut form — prefix filtering is lossless,
+    # and this parity row is the proof: the pruned join must reproduce
+    # the full all-pairs Jaccard result bit-for-bit.
+    f"WITH {_JACCARD_CTE} SELECT * FROM jacc",
+)
+def q_dedup_ngram_prefix(spark, sf_dir):
+    from lightsaber_spark.functions.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.5, k=3)
+
+
 def _minhash_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
     consts = _lcg_constants(n_hashes, seed)
     r = n_hashes // bands

@@ -205,6 +205,55 @@ def sg1_ref(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SG1 shape with NON-INVERTIBLE aggregates — min/max over the same true
+# window(3600, 1). No subtract-on-evict exists for min/max; the prefix
+# path switches to the van Herk–Gil–Werman two-level block maxima (the
+# relational analog of the reference's AggregationTree,
+# ``src/utils/AggregationTree.h``): O(1) merges per window on the pane
+# spine instead of a 3600× pane explode. The DuckDB oracle is the
+# positional frame max/min over the same dense pane spine.
+# ---------------------------------------------------------------------------
+@query(
+    "sg1_ref_window_3600_1_minmax",
+    f"""
+    WITH e AS (SELECT ts, {CENTS} AS value_c FROM events),
+    p AS (SELECT epoch_us(ts) // 1000000 AS pane, max(value_c) AS mx,
+                 min(value_c) AS mn, count(*) AS c
+          FROM e GROUP BY 1),
+    b AS (SELECT min(epoch_us(ts)) // 1000000 AS lo,
+                 max(epoch_us(ts)) // 1000000 AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(lo, hi + 3599, 1)) AS pane FROM b),
+    d AS (SELECT spine.pane, mx, mn, coalesce(c, 0) AS c
+          FROM spine LEFT JOIN p USING (pane)),
+    win AS (SELECT pane,
+                   max(mx) OVER w AS wmx, min(mn) OVER w AS wmn,
+                   sum(c) OVER w AS wc
+            FROM d
+            WINDOW w AS (ORDER BY pane
+                         ROWS BETWEEN 3599 PRECEDING AND CURRENT ROW))
+    SELECT pane - 3599 AS window_start,
+           CAST(wmx AS BIGINT) / 100.0 AS max_value,
+           CAST(wmn AS BIGINT) / 100.0 AS min_value,
+           CAST(wc AS BIGINT) AS n
+    FROM win WHERE wc > 0 AND (pane - 3599) % 60 = 0
+    """,
+)
+def sg1_ref_minmax(spark, sf_dir):
+    ev = _with_cents(_events(spark, sf_dir))
+    r = windowed_agg(
+        ev, "ts", 3600, 1,
+        [("max", "value_c", "max_c"), ("min", "value_c", "min_c"),
+         ("count", None, "n")],
+    )
+    return r.filter(F.col("window_start") % 60 == 0).select(
+        "window_start",
+        (F.col("max_c") / 100.0).alias("max_value"),
+        (F.col("min_c") / 100.0).alias("min_value"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CM1 at the TRUE reference parameters — window(60, 1), grouped: the
 # pane path at ratio 60 (grouped windows can't use the global prefix
 # scan; panes explode 60× but pane count ≪ row count).

@@ -31,7 +31,13 @@ def _plan(spark, name):
 # are the measured counts — any increase means a new shuffle appeared.
 _EXCHANGE_CEILINGS = {
     "cm1_sliding_sum_by_type": 2,      # pane agg + window merge
-    "sg1_ref_window_3600_1": 2,        # pane agg + 1-row bounds (tiny)
+    # pane agg + 1-row bounds (tiny) + distributed-spine chunk fan-out
+    # (span/65k rows — tiny) + spine↔panes join; the two extra
+    # exchanges vs r2 move spine generation off a single task and only
+    # ever shuffle the time-bound spine, never the stream
+    "sg1_ref_window_3600_1": 4,
+    "sg1_ref_window_3600_1_minmax": 4,  # same spine scaffold, van Herk scan
+    "dedup_ngram_jaccard_prefix": 7,   # df agg + prefix window + candidate join + 2 verify joins
     "ysb_static_join_tumbling": 2,     # window agg (join is broadcast)
     "nbq5_post_window_argmax": 3,      # count agg ×2 subplans (AQE reuses) + max join
     "text_bm25_topk": 1,               # corpus stats agg (scoring join is broadcast)

@@ -141,3 +141,40 @@ def test_prefix_path_rejects_grouped(spark, events):
             events, "ts", 3600, 60, [("count", None, "n")], ["event_type"],
             use_prefix=True,
         )
+
+
+def test_prefix_path_minmax_equals_pane_path(spark, events):
+    """The van Herk block-decomposed MIN/MAX on the prefix path (the
+    reference's AggregationTree non-invertible sliding, relationally)
+    must equal the pane path exactly, mixed with invertible aggs in the
+    same call."""
+    from pyspark.sql import functions as F
+
+    ev = events.withColumn("vc", F.round(F.col("value") * 100).cast("bigint"))
+    aggs = [
+        ("max", "vc", "mx"),
+        ("min", "vc", "mn"),
+        ("count", None, "n"),
+        ("sum", "vc", "s"),
+    ]
+    pre = windowed_agg(ev, "ts", 3600, 60, aggs, use_prefix=True)
+    pane = windowed_agg(ev, "ts", 3600, 60, aggs, use_prefix=False, use_panes=True)
+    ok, msg = rows_match(pre.collect(), pane.collect(), float_tol=1e-9)
+    assert ok, msg
+
+
+def test_prefix_path_minmax_small_chunks(spark, events):
+    """Chunk-parallelism must not change results: tiny chunks force many
+    carry blocks (chunk size rounds up to a multiple of k, carries are
+    whole blocks), including clipped leading windows at the aligned
+    spine start."""
+    from pyspark.sql import functions as F
+
+    ev = events.withColumn("vc", F.round(F.col("value") * 100).cast("bigint"))
+    aggs = [("max", "vc", "mx"), ("min", "vc", "mn"), ("count", None, "n")]
+    small = windowed_agg(
+        ev, "ts", 600, 10, aggs, use_prefix=True, prefix_panes_per_chunk=64
+    )
+    big = windowed_agg(ev, "ts", 600, 10, aggs, use_prefix=True)
+    ok, msg = rows_match(small.collect(), big.collect(), float_tol=1e-9)
+    assert ok, msg
