@@ -34,41 +34,68 @@ _CANONICAL = [
     "nbq5_post_window_argmax",
 ]
 
-# Queries without an ever-green driver CORRECTNESS row (union of r01+r02
-# sweeps, both capped at 50) — checked right after the canonical set so
-# every query earns a green row under any sweep cap. Round 3: the r02
-# fail (feature hash, output reshaped), the r01 hash-fail fixed in r02
-# but never re-swept (pivot), the two as-of queries whose r02 green was
-# vacuous (0 rows — now non-empty by construction), the 14 post-cap
-# stragglers, then every NEW round-3 query.
-_UNVERIFIED = [
-    "text_feature_hash_vectors",
-    "pivot_event_counts_by_day",
+# Queries whose past green row no longer vouches for the current code —
+# force a fresh check regardless of history. Round 3: the two as-of
+# queries whose r02 green was vacuous (0 rows on both engines —
+# rewritten to be non-empty by construction), and the Jaccard join,
+# repointed from the uncut all-pairs impl to lossless prefix filtering.
+_FORCE_RECHECK = {
     "asof_event_last_order_3d",
     "asof_event_next_order",
-    "pipeline_quality_dedup_split_pack",
-    "sample_quantiles_value_by_type",
-    "cm_sketch_user_counts",
-    "window_kmv_distinct_users",
-    "grouping_sets_order_revenue",
-    "ntile_user_revenue_quartiles",
-    "first_last_value_per_user",
-    "full_outer_user_activity",
-    "unpivot_lineitem_measures",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipments",
-    "tpch_q16_part_supplier_cnt",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # --- new in round 3 ---
-    "sg1_ref_window_3600_1_minmax",
-    "dedup_ngram_jaccard_prefix",
-]
+    "dedup_ngram_jaccard",
+}
+
+
+def _last_green_round() -> dict[str, int]:
+    """Rotation rule, codified (per round-2 verdict #9): scan every
+    driver-written CORRECTNESS_r*.json in the repo root and record, per
+    query, the most recent round with a green row (hash_match true; for
+    no-oracle-by-design queries the driver's weaker rows-only check,
+    err == 'no_oracle' with a recorded row count). Queries never green
+    — including past FAILURES, not just never-swept — sort first."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            green = bool(row.get("hash_match")) or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if green:
+                last[name] = max(last.get(name, -1), rnd)
+    return last
 
 
 def _ordered(mapping: dict) -> dict:
-    order = [n for n in (*_CANONICAL, *_UNVERIFIED) if n in mapping]
-    order += [n for n in mapping if n not in set(order)]
+    """Canonical reference-benchmark queries first, then everything else
+    by staleness: never-green (or force-rechecked) queries before
+    older-green before recently-green, original registration order as
+    the tie-break. New queries have no CORRECTNESS row → front."""
+    last = _last_green_round()
+    reg_index = {n: i for i, n in enumerate(mapping)}
+    rest = [n for n in mapping if n not in set(_CANONICAL)]
+    rest.sort(
+        key=lambda n: (
+            -1 if n in _FORCE_RECHECK else last.get(n, -1),
+            reg_index[n],
+        )
+    )
+    order = [n for n in _CANONICAL if n in mapping] + rest
     return {n: mapping[n] for n in order}
 
 

@@ -262,9 +262,14 @@ def ngram_jaccard_pairs_prefix(
     pairs only."""
     tau = int(round(threshold * 100000))
     arr = shingle_arrays(df, text_col, id_col, k)
-    ex = arr.select("_id", F.explode("_shs").alias("_sh"))
+    # carry the set size through the explode — free, no sizes join and
+    # no count-over-partition window
+    ex = arr.select(
+        "_id",
+        F.size("_shs").cast("bigint").alias("_n"),
+        F.explode("_shs").alias("_sh"),
+    )
     freq = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = arr.select("_id", F.size("_shs").cast("bigint").alias("_n"))
 
     from pyspark.sql import Window
 
@@ -273,12 +278,15 @@ def ngram_jaccard_pairs_prefix(
     pref = (
         ex.join(freq, "_sh")
         .withColumn("_pos", F.row_number().over(w))
-        .join(sizes, "_id")
         .filter(
             (F.col("_pos") - 1) * 100000 <= F.lit(100000 - tau) * F.col("_n")
         )
         .select("_id", "_sh", "_n")
+        # the self-join below consumes this twice; without an explicit
+        # persist the full explode→freq-join→window chain runs per side
+        .persist()
     )
+    _SHINGLE_CACHES.append(pref)
     cand = (
         pref.alias("a")
         .join(

@@ -5,17 +5,22 @@ typed metadata; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` (the only sanctioned Python hot path — one
 serialization per batch, not per row; partition-parallel at 100 TB).
 
-The actual codecs (Pillow/librosa/ffmpeg) are NOT in this container, so
-the decode kernels here are **deterministic stubs**: they compute real
+The heavy codecs (Pillow/librosa/ffmpeg) are NOT in this container, so
+most decode kernels here are **deterministic stubs**: they compute real
 plumbing-relevant outputs (byte length, content digest, fake
-dimensions derived from the bytes) and raise ``NotImplementedError``
-when a real codec is requested. Swapping in a real decoder changes ONE
-function body; schema, batching, and partitioning stay identical.
+dimensions derived from the bytes). The exception is PNG: a genuine
+stdlib-only 8-bit-grayscale PNG codec (chunk/CRC parsing, IHDR
+dimensions, zlib inflate, full scanline unfiltering for all five PNG
+filter types) lives behind ``real_codec=True`` — swapping in a full
+library codec changes ONE function body; schema, batching, and
+partitioning stay identical.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -64,16 +69,166 @@ def _stub_decode(data: bytes) -> tuple[int, str, int, int]:
     return n, digest, width, height
 
 
-def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
-    """Decode a media DataFrame (MEDIA_SCHEMA-shaped) to DECODED_SCHEMA
-    via Arrow-batched mapInPandas.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-    ``real_codec=True`` requires an image library that is not bundled
-    → NotImplementedError (clearly-marked stub boundary)."""
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(ftype: int, line: bytes, prev: bytes) -> bytes:
+    """Apply PNG filter ``ftype`` to one 8-bit grayscale scanline."""
+    w = len(line)
+    out = bytearray(w)
+    for x in range(w):
+        left = line[x - 1] if x else 0
+        up = prev[x]
+        ul = prev[x - 1] if x else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) // 2
+        else:  # Paeth
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+        out[x] = (line[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(pixels: bytes, width: int, height: int,
+               filter_for_row=lambda y: 1 if y % 2 == 0 else 2) -> bytes:
+    """Real (stdlib-only) PNG encoder: 8-bit grayscale, non-interlaced.
+
+    ``pixels`` is row-major ``width*height`` bytes. Each scanline is
+    filtered with ``filter_for_row(y)`` (default alternates Sub/Up so a
+    decoder must genuinely unfilter), deflate-compressed into IDAT, and
+    wrapped in CRC-checked chunks."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels length != width*height")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = pixels[y * width : (y + 1) * width]
+        f = filter_for_row(y)
+        raw.append(f)
+        raw += _png_filter_line(f, line, prev)
+        prev = line
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Real (stdlib-only) PNG decoder for 8-bit grayscale non-interlaced
+    images: verifies the signature and every chunk CRC, reads dimensions
+    from IHDR, inflates the concatenated IDAT stream, and reverses all
+    five scanline filter types. Returns ``(width, height, pixels)``."""
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos, width, height, idat = 8, None, None, bytearray()
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, color, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit grayscale non-interlaced PNG supported"
+                )
+        elif ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (width + 1) * height:
+        raise ValueError("IDAT length mismatch")
+    pixels = bytearray()
+    prev = bytearray(width)
+    pos = 0
+    for _y in range(height):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + width])
+        pos += 1 + width
+        if f == 1:  # Sub
+            for x in range(1, width):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(width):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(width):
+                left = line[x - 1] if x else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(width):
+                left = line[x - 1] if x else 0
+                up, ul = prev[x], (prev[x - 1] if x else 0)
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"unknown filter type {f}")
+        prev = line
+        pixels += line
+    return width, height, bytes(pixels)
+
+
+DECODED_REAL_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_pixels", LongType()),
+    StructField("pixel_sum", LongType()),
+])
+
+
+def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
+    """Decode a media DataFrame (MEDIA_SCHEMA-shaped) via Arrow-batched
+    mapInPandas.
+
+    ``real_codec=False`` → deterministic stub decode (DECODED_SCHEMA).
+    ``real_codec=True``  → genuine PNG decode (:func:`decode_png`):
+    signature + CRC verification, IHDR dimensions, inflate, unfilter —
+    returns DECODED_REAL_SCHEMA with exact pixel count and pixel sum."""
     if real_codec:
-        raise NotImplementedError(
-            "no image/audio codec in this environment; stub decode only"
-        )
+
+        def png_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for mid, d in zip(pdf["media_id"], pdf["data"]):
+                    w, h, px = decode_png(bytes(d))
+                    rows.append((mid, w, h, len(px), sum(px)))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "width", "height", "n_pixels", "pixel_sum"],
+                )
+
+        return df.mapInPandas(png_batches, DECODED_REAL_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -83,6 +238,29 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def synthetic_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL PNG per input row (MEDIA_SCHEMA-shaped output):
+    a ``(id%61+4) × (id%37+3)`` 8-bit grayscale gradient image with
+    ``pixel(x, y) = (id + x + y) % 251``, scanlines alternately
+    Sub/Up-filtered. Deterministic, so a SQL oracle can predict the
+    decoded dimensions and exact pixel sum without parsing bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 61 + 4, mid % 37 + 3
+                px = bytes((mid + x + y) % 251 for y in range(h) for x in range(w))
+                ids.append(mid)
+                blobs.append(encode_png(px, w, h))
+            yield pd.DataFrame(
+                {"media_id": ids, "data": blobs, "mime": "image/png"}
+            )
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType([

@@ -177,6 +177,7 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding
     self-matches by id).
@@ -189,8 +190,22 @@ def brute_force_topk(
     Shuffle volume is partitions·|Q|·k rows instead of |corpus|·|Q| —
     the corpus is scanned once, never shuffled, and the float64-on-
     integers GEMM is exact (see CLAUDE.md). Ties break by neighbor id
-    ascending."""
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    ascending.
+
+    The small-query-set contract is ENFORCED: more than
+    ``max_query_rows`` query vectors raises instead of silently
+    ballooning the driver and every executor's broadcast matrix — route
+    big query sets to :func:`hyperplane_lsh_topk` / :func:`ivf_topk`."""
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(q_rows) > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk query set exceeds max_query_rows="
+            f"{max_query_rows}; use the LSH/IVF paths for large query sets"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     y = qm * SCALE

@@ -53,6 +53,7 @@ from lightsaber_spark.functions.multimodal import (
     extract_features,
     resize_media,
     sample_frames,
+    synthetic_png_media,
 )
 from lightsaber_spark.operators import asof_join
 from lightsaber_spark.streaming.sessions import session_window_agg
@@ -290,20 +291,16 @@ def q_dedup_exact(spark, sf_dir):
 
 @query(
     "dedup_ngram_jaccard",
+    # Oracle is the plain all-pairs Jaccard SQL; the Spark side uses
+    # LOSSLESS prefix filtering (All-Pairs/PPJoin), so this parity row
+    # is the proof that the pruned join reproduces the full exact
+    # result bit-for-bit. The uncut Σdf²-unbounded all-pairs impl
+    # (ngram_jaccard_pairs with max_doc_freq=∞) is deliberately NOT
+    # registered — it survives as the pytest-only equivalence verifier
+    # (round-2 verdict: no registered query with unbounded pair work).
     f"WITH {_JACCARD_CTE} SELECT * FROM jacc",
 )
 def q_dedup_ngram(spark, sf_dir):
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=3)
-
-
-@query(
-    "dedup_ngram_jaccard_prefix",
-    # IDENTICAL oracle to the uncut form — prefix filtering is lossless,
-    # and this parity row is the proof: the pruned join must reproduce
-    # the full all-pairs Jaccard result bit-for-bit.
-    f"WITH {_JACCARD_CTE} SELECT * FROM jacc",
-)
-def q_dedup_ngram_prefix(spark, sf_dir):
     from lightsaber_spark.functions.dedup import ngram_jaccard_pairs_prefix
 
     return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.5, k=3)
@@ -631,6 +628,33 @@ def q_sim_ivf_kmeans(spark, sf_dir):
 )
 def q_multimodal_decode(spark, sf_dir):
     return decode_media(documents_as_media(_docs(spark, sf_dir)))
+
+
+@query(
+    "multimodal_decode_real",
+    """
+    WITH p AS (SELECT doc_id, doc_id % 61 + 4 AS w, doc_id % 37 + 3 AS h
+               FROM documents),
+    xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM p),
+    xy AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs)
+    SELECT doc_id AS media_id,
+           CAST(max(w) AS INTEGER) AS width,
+           CAST(max(h) AS INTEGER) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum((doc_id + x + y) % 251) AS BIGINT) AS pixel_sum
+    FROM xy GROUP BY doc_id
+    """,
+)
+def q_multimodal_decode_real(spark, sf_dir):
+    """REAL codec end-to-end: one genuine PNG per document (stdlib
+    encoder, alternating Sub/Up filtered scanlines, CRC-checked chunks)
+    decoded by the stdlib PNG decoder (signature + CRC verify, IHDR
+    dims, inflate, unfilter). The oracle predicts dimensions and the
+    exact pixel sum from the deterministic gradient — if any stage of
+    the container parse or unfilter math were wrong, pixel_sum would
+    diverge."""
+    media = synthetic_png_media(_docs(spark, sf_dir))
+    return decode_media(media, real_codec=True)
 
 
 @query(

@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 
@@ -37,7 +38,7 @@ _EXCHANGE_CEILINGS = {
     # ever shuffle the time-bound spine, never the stream
     "sg1_ref_window_3600_1": 4,
     "sg1_ref_window_3600_1_minmax": 4,  # same spine scaffold, van Herk scan
-    "dedup_ngram_jaccard_prefix": 7,   # df agg + prefix window + candidate join + 2 verify joins
+    "dedup_ngram_jaccard": 7,          # df agg + prefix window + candidate join + 2 verify joins
     "ysb_static_join_tumbling": 2,     # window agg (join is broadcast)
     "nbq5_post_window_argmax": 3,      # count agg ×2 subplans (AQE reuses) + max join
     "text_bm25_topk": 1,               # corpus stats agg (scoring join is broadcast)
@@ -80,3 +81,62 @@ def test_filter_pushdown_reaches_scan(spark):
 def test_static_join_is_broadcast(spark):
     p = _plan(spark, "ysb_static_join_tumbling")
     assert "BroadcastHashJoin" in p
+
+
+def _formatted(spark, df):
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_audit_flags_broken_pushdown(spark):
+    """plan_audit.plan_flags must fire NO_PUSHDOWN on a genuinely
+    broken plan (pushdown disabled) and stay silent on the healthy
+    twin — proves the audit's flag is live, not dead code."""
+    from lightsaber_spark.plan_audit import plan_flags
+
+    spark.catalog.clearCache()
+    path = f"{SF_DIR}/events.parquet"
+    # DSv1's explain prints *translatable* filters regardless of whether
+    # pushdown actually runs, so the broken shape needs the v2 scan,
+    # where PushedFilters reflects what the scan builder really pushed.
+    confs = {
+        "spark.sql.parquet.filterPushdown": "false",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.read.parquet(path).filter("user_id = 7")
+        broken = _formatted(spark, df)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "NO_PUSHDOWN" in plan_flags(broken), broken[:800]
+
+    healthy = _formatted(spark, spark.read.parquet(path).filter("user_id = 7"))
+    assert "NO_PUSHDOWN" not in plan_flags(healthy), healthy[:800]
+
+
+def test_audit_no_pushdown_ignores_unpushable_predicates(spark):
+    """A filter parquet can never push (expression over a column, with
+    the bare-column IsNotNull also suppressed) must NOT flag."""
+    from lightsaber_spark.plan_audit import plan_flags
+
+    spark.catalog.clearCache()
+    df = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("length(coalesce(text, '')) % 7 = 3")
+    )
+    p = _formatted(spark, df)
+    assert "NO_PUSHDOWN" not in plan_flags(p), p[:800]
+
+
+def test_audit_flags_nested_loop(spark):
+    from lightsaber_spark.plan_audit import plan_flags
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "jd")
+    p = _formatted(spark, a.join(b, F.expr("id < jd")))
+    assert "NESTED_LOOP" in plan_flags(p)

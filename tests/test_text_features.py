@@ -62,6 +62,23 @@ def test_jaccard_df_cutoff_noop_below_cutoff(tables):
     assert exact == cut
 
 
+def test_jaccard_prefix_filter_lossless(tables):
+    """Prefix filtering (the registered scale path) returns exactly the
+    uncut all-pairs result — full rows, not just the pair set."""
+    from lightsaber_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = tables["documents"]
+    for tau in (0.3, 0.5, 0.8):
+        exact = {tuple(r) for r in ngram_jaccard_pairs(docs, tau, k=3).collect()}
+        pref = {
+            tuple(r) for r in ngram_jaccard_pairs_prefix(docs, tau, k=3).collect()
+        }
+        assert exact == pref, f"tau={tau}"
+
+
 def test_feature_hash_udf_matches_hof(tables):
     """The Arrow-batched hot path and the interpreted-HOF reference
     form are bit-identical (same md5 buckets, same counts)."""
