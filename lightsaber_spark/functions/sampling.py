@@ -105,6 +105,89 @@ def mixture_sample(
     return df.filter(h < thr)
 
 
+def upsample_by_weight(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    key_cols: Sequence[str],
+    default_weight: float = 1.0,
+    salt: str = "upsample",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Mixture weights ABOVE 1: repeat each row ``⌊w⌋`` or ``⌈w⌉`` times
+    so the expected multiplicity is exactly its group's weight — the
+    oversampling half of mixture construction (e.g. wiki ×2.5, books
+    ×1.2, web ×0.3 in one pass; weights < 1 degenerate to
+    :func:`mixture_sample` semantics with the same hash rule).
+
+    Every emitted copy carries ``epoch_col`` ∈ [0, n) so downstream
+    shuffling/packing can separate epochs. The fractional extra copy is
+    keyed on the md5 hash (partition-/retry-stable, monotone in w: a
+    weight bump never drops a previously-emitted copy).
+
+    Scale: a map-side ``explode`` — rows multiply in place, no shuffle,
+    no skew added beyond the intended multiplicity."""
+    import math
+
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {g!r} must be >= 0")
+    if default_weight < 0:
+        raise ValueError("default_weight must be >= 0")
+
+    def _parts(w: float) -> tuple[int, int]:
+        base = math.floor(w)
+        return int(base), int(round((w - base) * TWO60))
+
+    h = _key_hash(key_cols, salt)
+    db, df_thr = _parts(default_weight)
+    nb: Column = F.lit(db)
+    fr: Column = F.lit(df_thr)
+    for g, w in sorted(weights.items()):
+        wb, wf = _parts(w)
+        nb = F.when(F.col(group_col) == g, F.lit(wb)).otherwise(nb)
+        fr = F.when(F.col(group_col) == g, F.lit(wf)).otherwise(fr)
+    n = (nb + (h < fr).cast("int")).cast("bigint")
+    seq = F.when(
+        n >= 1, F.sequence(F.lit(0).cast("bigint"), n - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.withColumn(epoch_col, F.explode(seq))
+
+
+def upsample_oracle_parts(
+    key_exprs: Sequence[str],
+    weights: dict[str, float],
+    group_col: str,
+    default_weight: float = 1.0,
+    salt: str = "upsample",
+) -> str:
+    """DuckDB twin of :func:`upsample_by_weight`'s copy count ``n`` as a
+    SQL expression (pair with ``unnest(generate_series(0, n - 1))``)."""
+    import math
+
+    joined = " || ',' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    h = f"('0x'||substr(md5('{salt}' || ',' || {joined}),1,15))::BIGINT"
+
+    def _parts(w: float) -> tuple[int, int]:
+        base = math.floor(w)
+        return int(base), int(round((w - base) * TWO60))
+
+    nb_cases = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {_parts(w)[0]}"
+        for g, w in sorted(weights.items())
+    )
+    fr_cases = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {_parts(w)[1]}"
+        for g, w in sorted(weights.items())
+    )
+    db, dfr = _parts(default_weight)
+    return (
+        f"(CASE {nb_cases} ELSE {db} END"
+        f" + CASE WHEN {h} < (CASE {fr_cases} ELSE {dfr} END)"
+        f" THEN 1 ELSE 0 END)"
+    )
+
+
 def mixture_oracle_pred(
     key_exprs: Sequence[str],
     rates: dict[str, float],

@@ -942,6 +942,38 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+from lightsaber_spark.functions.sampling import (
+    upsample_by_weight,
+    upsample_oracle_parts,
+)
+
+# oversampling weights (>1 = epoch repetition with a deterministic
+# fractional extra copy; <1 degenerates to mixture keep/drop)
+_UP_WEIGHTS = {"src0": 2.5, "src1": 1.25, "src2": 0.5}
+
+
+@query(
+    "upsample_documents_by_source",
+    f"""
+    WITH b AS (SELECT doc_id, source,
+                      {upsample_oracle_parts(["doc_id"], _UP_WEIGHTS, "source",
+                                             default_weight=1.0)} AS n
+               FROM documents),
+    e AS (SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
+          FROM b WHERE n >= 1)
+    SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM e
+    """,
+)
+def q_upsample_by_source(spark, sf_dir):
+    """Mixture weights ABOVE 1 (epoch repetition): each doc emits
+    ⌊w⌋/⌈w⌉ copies with expected multiplicity exactly its source's
+    weight, each copy tagged with an epoch index for downstream
+    shuffled packing. Map-side explode — no shuffle at any scale."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    up = upsample_by_weight(docs, _UP_WEIGHTS, "source", ["doc_id"])
+    return up.select("doc_id", "source", "epoch")
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk) — the pretraining assembly step;
 # chunk-parallel distributed prefix sum, not a global-sort window

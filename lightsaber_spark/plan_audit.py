@@ -26,15 +26,58 @@ from __future__ import annotations
 import re
 
 # A *pushable* predicate atom over a bare top-level column: isnotnull or
-# a direct comparison against a literal-ish operand. Expressions over
-# the column — length(text#5), props#7[key], lower(...) — deliberately
-# do NOT match: parquet cannot push those, so their scans legitimately
-# carry empty PushedFilters only when no other atom is pushable.
+# a direct comparison against a literal-ish operand, matched against an
+# ENTIRE top-level AND-conjunct (anchored). Expressions over the column
+# — length(text#5), props#7[key], a comparison buried inside a CASE
+# bound — deliberately do NOT match: parquet cannot push those, so
+# their scans legitimately carry empty PushedFilters.
 # (column ids may carry a type suffix, e.g. user_id#2562L)
 _PUSHABLE_ATOM = re.compile(
-    r"isnotnull\((\w+)#(\d+)[A-Za-z]*\)"
-    r"|\((\w+)#(\d+)[A-Za-z]* (?:=|>|<|>=|<=|<=>) [^()#]*\)"
+    r"^(?:isnotnull\((\w+)#(\d+)[A-Za-z]*\)"
+    r"|\(?(\w+)#(\d+)[A-Za-z]* (?:=|>|<|>=|<=|<=>) [^()#]*\)?)$"
 )
+
+
+def _strip_outer_parens(s: str) -> str:
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    return s  # outer parens don't wrap the whole string
+        s = s[1:-1].strip()
+    return s
+
+
+def _top_level_conjuncts(cond: str) -> list[str]:
+    """Split a Condition string on AND at paren depth 0 (after removing
+    one wrapping paren layer per recursion level)."""
+    cond = _strip_outer_parens(cond)
+    parts: list[str] = []
+    depth, start, i = 0, 0, 0
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond.startswith(" AND ", i):
+            parts.append(cond[start:i])
+            i += 5
+            start = i
+            continue
+        i += 1
+    parts.append(cond[start:])
+    if len(parts) == 1:
+        return [parts[0].strip()]
+    out: list[str] = []
+    for p in parts:
+        out.extend(_top_level_conjuncts(p))
+    return out
 
 # formatted explain detail blocks: "(N) OperatorName\nKey: value..."
 _BLOCK_SPLIT = re.compile(r"\n(?=\(\d+\) )")
@@ -61,10 +104,12 @@ def plan_flags(plan: str) -> list[str]:
         cond = _CONDITION_LINE.search(b)
         if not cond:
             continue
-        for atom in _PUSHABLE_ATOM.finditer(cond.group(1)):
-            col_id = atom.group(2) or atom.group(4)
-            if col_id:
-                pushable_ids.add(col_id)
+        for conjunct in _top_level_conjuncts(cond.group(1)):
+            atom = _PUSHABLE_ATOM.match(_strip_outer_parens(conjunct))
+            if atom:
+                col_id = atom.group(2) or atom.group(4)
+                if col_id:
+                    pushable_ids.add(col_id)
     if pushable_ids:
         for b in blocks:
             if not _SCAN_HEAD.match(b):

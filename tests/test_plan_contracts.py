@@ -133,6 +133,35 @@ def test_audit_no_pushdown_ignores_unpushable_predicates(spark):
     assert "NO_PUSHDOWN" not in plan_flags(p), p[:800]
 
 
+def test_audit_pushable_atoms_are_top_level_conjuncts_only():
+    """Atoms nested inside CASE expressions (salting constructs, rate
+    bounds) are not pushable and must not create flags — regression
+    cases taken from real salted_skew_join / mixture_sample plans."""
+    from lightsaber_spark.plan_audit import plan_flags
+
+    def plan_with_condition(cond):
+        return (
+            "(1) Scan parquet \nOutput [1]: [user_id#1L, source#2]\n"
+            "Batched: true\nReadSchema: struct<user_id:bigint>\n\n"
+            f"(2) Filter\nInput [1]: [user_id#1L]\nCondition : {cond}\n"
+        )
+
+    nested_case = (
+        "(CASE WHEN ((user_id#1L % 4) > 0) THEN true ELSE "
+        "isnotnull(user_id#1L) END AND isnotnull(pmod(xxhash64(user_id#1L, 42), 8)))"
+    )
+    assert "NO_PUSHDOWN" not in plan_flags(plan_with_condition(nested_case))
+
+    case_bound = (
+        "(cast(conv(substring(md5(x), 1, 15), 16, 10, true) as bigint) < "
+        "CASE WHEN (source#2 = src2) THEN 288 ELSE 115 END)"
+    )
+    assert "NO_PUSHDOWN" not in plan_flags(plan_with_condition(case_bound))
+
+    top_level = "(isnotnull(user_id#1L) AND (user_id#1L = 7))"
+    assert "NO_PUSHDOWN" in plan_flags(plan_with_condition(top_level))
+
+
 def test_audit_flags_nested_loop(spark):
     from lightsaber_spark.plan_audit import plan_flags
 

@@ -245,3 +245,43 @@ def test_ivf_assigner_scaled_input_exactness(spark):
     mp = ivf_cells_udf(cents_scaled, 2, centroids_scaled=True, vecs_scaled=True)
     first = {r.vec_id: r.cs[0] for r in sv.select("vec_id", mp("sv").alias("cs")).collect()}
     assert first == got_scl
+
+
+def test_upsample_by_weight_multiplicity_and_epochs(spark, tables):
+    """Copies per row = ⌊w⌋ or ⌈w⌉ with epoch ∈ [0, n); weight 0 drops;
+    partition-stable; a weight bump never drops an existing copy."""
+    from collections import Counter
+    from lightsaber_spark.functions.sampling import upsample_by_weight
+
+    docs = tables["documents"]
+    weights = {"src0": 2.5, "src1": 1.0, "src2": 0.0}
+    up = upsample_by_weight(docs, weights, "source", ["doc_id"])
+    rows = up.select("doc_id", "source", "epoch").collect()
+    per_doc = Counter((r.doc_id, r.source) for r in rows)
+    for (did, src), n in per_doc.items():
+        w = weights.get(src, 1.0)
+        import math
+        assert n in (math.floor(w), math.ceil(w)), (did, src, n)
+    assert not any(src == "src2" for _d, src in per_doc)
+    # epochs are exactly 0..n-1
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for did, es in by_doc.items():
+        assert sorted(es) == list(range(len(es)))
+    # partitioning-invariant
+    again = {
+        (r.doc_id, r.epoch)
+        for r in upsample_by_weight(
+            docs.repartition(7, "lang"), weights, "source", ["doc_id"]
+        ).select("doc_id", "epoch").collect()
+    }
+    assert again == {(r.doc_id, r.epoch) for r in rows}
+    # monotone in weight: raising src0 2.5 -> 2.9 keeps all prior copies
+    more = {
+        (r.doc_id, r.epoch)
+        for r in upsample_by_weight(
+            docs, {**weights, "src0": 2.9}, "source", ["doc_id"]
+        ).select("doc_id", "epoch").collect()
+    }
+    assert {(d, e) for d, e in again}.issubset(more)
