@@ -108,6 +108,24 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def keep_representatives(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the exact-deduplicated corpus: for each
+    normalized-text digest keep only the representative row (min id) —
+    the consuming half of :func:`exact_dup_groups` (which only reports
+    the duplicate groups). One shuffle (window min over the digest);
+    no join back against the corpus, so columns pass through
+    untouched."""
+    from pyspark.sql import Window
+
+    digest = F.md5(normalize_text(F.col(text_col)))
+    rep = F.min(id_col).over(Window.partitionBy(digest))
+    return df.withColumn("_rep", rep).filter(
+        F.col(id_col) == F.col("_rep")
+    ).drop("_rep")
+
+
 def shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
     persist: bool = True,

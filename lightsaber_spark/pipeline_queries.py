@@ -290,6 +290,55 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @query(
+    "dedup_keep_representatives",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             min(doc_id) OVER (PARTITION BY md5({NORM})) AS rep
+      FROM documents) t
+    WHERE doc_id = rep
+    """,
+)
+def q_dedup_keep_representatives(spark, sf_dir):
+    """The consuming half of exact dedup: the cleaned corpus itself
+    (unique docs + one representative per duplicate group)."""
+    from lightsaber_spark.functions.dedup import keep_representatives
+
+    return keep_representatives(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "text_context_length_histogram",
+    """
+    WITH t AS (SELECT greatest(
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')),
+                 1) AS n FROM documents)
+    SELECT CAST(power(2, CAST(floor(log2(n)) AS BIGINT)) AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def q_context_length_histogram(spark, sf_dir):
+    """Token-length distribution in power-of-2 buckets — the packing/
+    context-budget diagnostic (how much of the corpus needs truncation
+    at a given context length). Single map-side-combinable agg."""
+    d = _docs(spark, sf_dir)
+    n = F.greatest(token_count(F.col("text"), BPE_RE), F.lit(1))
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(n)).cast("bigint")
+    ).cast("bigint")
+    return d.select(bucket.alias("bucket_lo"), n.alias("_n")).groupBy(
+        "bucket_lo"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("bigint").alias("total_tokens"),
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     # Oracle is the plain all-pairs Jaccard SQL; the Spark side uses
     # LOSSLESS prefix filtering (All-Pairs/PPJoin), so this parity row
