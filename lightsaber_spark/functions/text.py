@@ -97,6 +97,52 @@ def token_count(c: Column, pattern: str = WORD_RE) -> Column:
     return F.size(tokens(c, pattern)).cast("bigint")
 
 
+def chunk_documents(
+    df,
+    ctx_len: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = WORD_RE,
+):
+    """Split each document into fixed-context chunks: chunk ``c`` covers
+    tokens ``[c·stride, c·stride + ctx_len)`` — the sliding-context
+    splitting step for long documents (``stride < ctx_len`` gives
+    overlapping chunks so no span longer than the overlap is lost at a
+    boundary). Emits ``(id, chunk_idx, tok_start, n_tokens_chunk)``;
+    a token-empty document still emits one empty chunk (chunk count is
+    ``1 + ceil(max(n - ctx_len, 0) / stride)``, exact integers).
+
+    Scale: pure map-side ``explode`` over a per-row token count — no
+    shuffle, rows multiply only by their own chunk counts."""
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    stride = ctx_len if stride is None else stride
+    if not 0 < stride <= ctx_len:
+        raise ValueError("stride must be in (0, ctx_len]")
+    n = token_count(F.col(text_col), pattern)
+    over = F.greatest(n - F.lit(ctx_len), F.lit(0))
+    # ceil(over / stride) on non-negative ints
+    n_chunks = (over + F.lit(stride - 1)) / F.lit(stride)
+    n_chunks = F.floor(n_chunks).cast("bigint") + F.lit(1)
+    out = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    tok_start = F.col("chunk_idx") * F.lit(stride)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        tok_start.alias("tok_start"),
+        F.least(F.lit(ctx_len).cast("bigint"), F.col("_n") - tok_start).alias(
+            "n_tokens_chunk"
+        ),
+    )
+
+
 def text_stats_counts_udf():
     """One-pass Arrow-batched counter for :func:`text_stats`
     (``arrow=True``): a single tokenize per document yields all five

@@ -310,6 +310,88 @@ def q_dedup_keep_representatives(spark, sf_dir):
 
 
 @query(
+    "chunk_documents_ctx32",
+    """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                        AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 unnest(generate_series(0, (greatest(n - 32, 0) + 23) // 24))
+                   AS chunk_idx
+          FROM t)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 24 AS BIGINT) AS tok_start,
+           CAST(least(32, n - chunk_idx * 24) AS BIGINT) AS n_tokens_chunk
+    FROM c
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-context document chunking (ctx 32 tokens, stride 24 →
+    8-token overlap): the long-document splitting step before packing.
+    Map-side explode only — no shuffle at any scale."""
+    from lightsaber_spark.functions.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), ctx_len=32, stride=24)
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH a AS (SELECT user_id, min(ts) AS t_a FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    b AS (SELECT e.user_id, min(e.ts) AS t_b
+          FROM events e JOIN a ON e.user_id = a.user_id
+          WHERE e.event_type = 'click' AND e.ts > a.t_a
+            AND e.ts <= a.t_a + INTERVAL 24 HOUR GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t_c
+          FROM events e JOIN b ON e.user_id = b.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > b.t_b
+            AND e.ts <= b.t_b + INTERVAL 24 HOUR GROUP BY 1)
+    SELECT (SELECT count(*) FROM a) AS n_view,
+           (SELECT count(*) FROM b) AS n_view_click,
+           (SELECT count(*) FROM c) AS n_view_click_purchase
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel conversion (view → click → purchase, each step
+    within 24h of the previous): per stage, the count of users whose
+    first stage-k event happens strictly after — and within the window
+    of — their first qualifying stage-(k−1) event. Each stage is one
+    keyed aggregate + one equi-join on user_id (broadcast of the
+    shrinking converted-user set); no event self-join or session
+    reconstruction."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    step = F.expr("INTERVAL 24 HOURS")
+
+    def first_after(etype, prev):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.join(
+                F.broadcast(prev.select("user_id", F.col("t").alias("_pt"))),
+                "user_id",
+            )
+            .filter((F.col("ts") > F.col("_pt")) & (F.col("ts") <= F.col("_pt") + step))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    a = first_after("view", None)
+    b = first_after("click", a)
+    c = first_after("purchase", b)
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(n)).withColumn("_k", F.lit(0))
+        for df, n in ((a, "n_view"), (b, "n_view_click"), (c, "n_view_click_purchase"))
+    ]
+    out = counts[0]
+    for d in counts[1:]:
+        out = out.join(d, "_k")
+    return out.drop("_k")
+
+
+@query(
     "text_context_length_histogram",
     """
     WITH t AS (SELECT greatest(

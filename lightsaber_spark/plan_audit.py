@@ -9,13 +9,18 @@ Flags:
                  predicate evaluation; acceptable only when one side is
                  provably tiny)
   NO_PUSHDOWN  — a parquet scan with EMPTY (or absent — DSv2 omits the
-                 line when nothing pushed) PushedFilters feeding a
-                 Filter whose condition contains a *pushable* atom
-                 (isnotnull / bare-column-vs-literal comparison) over
-                 that scan's own output columns. Any filtered parquet
-                 scan normally pushes at least IsNotNull, so an empty
-                 list under a pushable predicate means pushdown is off
-                 or broken — a full scan at 100 TB.
+                 line when nothing pushed) PushedFilters DIRECTLY under
+                 a Filter (through transparent ops only: ColumnarToRow,
+                 Project, WholeStageCodegen) whose condition has a
+                 *pushable* top-level conjunct (isnotnull /
+                 bare-column-vs-literal comparison) over that scan's
+                 own output columns. Any filtered parquet scan normally
+                 pushes at least IsNotNull, so an empty list under an
+                 adjacent pushable predicate means pushdown is off or
+                 broken — a full scan at 100 TB. A Filter sitting above
+                 a Window/Join/Aggregate boundary is NOT adjacent: its
+                 inferred isnotnull constraints legitimately cannot
+                 cross the boundary.
   SINGLE_PART  — more than one Exchange SinglePartition (serializes the
                  data through one task; a final global agg/limit
                  legitimately uses one)
@@ -88,6 +93,44 @@ _PUSHED_LINE = re.compile(r"\nPushedFilters: \[([^\]]*)\]")
 _CONDITION_LINE = re.compile(r"\nCondition : ([^\n]*)")
 _COL_ID = re.compile(r"#(\d+)")
 
+# one line of the tree section: decoration (3-char groups of "   ",
+# ":  ", "+- ", ":- "), optional codegen "*", operator name, "(id)"
+_TREE_LINE = re.compile(r"^((?:[ :]  |[:+]- )*)\*? ?([A-Za-z][\w]*)[^(\n]*\((\d+)\)\s*$")
+
+# ops a predicate passes through untouched on its way down to the scan
+_TRANSPARENT = {"ColumnarToRow", "Project", "WholeStageCodegen", "InputAdapter"}
+
+
+def _filter_over_scan(plan: str) -> dict[str, str]:
+    """Map scan node id → the id of a Filter sitting directly above it
+    (through transparent ops only), parsed from the tree section of a
+    formatted plan. Scans under a Window/Join/Aggregate/Exchange have
+    no entry — predicates cannot cross those boundaries."""
+    nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
+    for line in plan.splitlines():
+        if line.startswith("("):
+            break  # first detail block — tree section is over
+        m = _TREE_LINE.match(line)
+        if m:
+            nodes.append((len(m.group(1)) // 3, m.group(2), m.group(3)))
+    out: dict[str, str] = {}
+    for i, (depth, name, nid) in enumerate(nodes):
+        if name != "Scan" and name != "BatchScan":
+            continue
+        # walk ancestors: nearest preceding node one level shallower
+        d = depth
+        for j in range(i - 1, -1, -1):
+            pd, pname, pid = nodes[j]
+            if pd != d - 1:
+                continue
+            if pname in _TRANSPARENT:
+                d = pd
+                continue
+            if pname == "Filter":
+                out[nid] = pid
+            break
+    return out
+
 
 def plan_flags(plan: str) -> list[str]:
     """Return scale-hazard flags for one formatted physical plan."""
@@ -95,34 +138,36 @@ def plan_flags(plan: str) -> list[str]:
     if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
         flags.append("NESTED_LOOP")
 
-    # NO_PUSHDOWN: map Filter conditions' pushable atoms back to scans.
+    # NO_PUSHDOWN: for each scan, examine only the Filter directly
+    # above it (tree adjacency), and flag when that filter carries a
+    # pushable conjunct on the scan's columns yet the scan pushed
+    # nothing.
     blocks = _BLOCK_SPLIT.split(plan)
-    pushable_ids: set[str] = set()
+    by_id: dict[str, str] = {}
     for b in blocks:
-        if not _FILTER_HEAD.match(b):
+        m = re.match(r"\((\d+)\) ", b)
+        if m:
+            by_id[m.group(1)] = b
+    for scan_id, filter_id in _filter_over_scan(plan).items():
+        sb = by_id.get(scan_id, "")
+        fb = by_id.get(filter_id, "")
+        if not _SCAN_HEAD.match(sb):
             continue
-        cond = _CONDITION_LINE.search(b)
-        if not cond:
+        pushed = _PUSHED_LINE.search(sb)
+        if pushed is not None and pushed.group(1).strip():
+            continue  # something was pushed — healthy
+        out = _OUTPUT_LINE.search(sb)
+        cond = _CONDITION_LINE.search(fb)
+        if not out or not cond:
             continue
+        scan_ids = set(_COL_ID.findall(out.group(1)))
         for conjunct in _top_level_conjuncts(cond.group(1)):
             atom = _PUSHABLE_ATOM.match(_strip_outer_parens(conjunct))
-            if atom:
-                col_id = atom.group(2) or atom.group(4)
-                if col_id:
-                    pushable_ids.add(col_id)
-    if pushable_ids:
-        for b in blocks:
-            if not _SCAN_HEAD.match(b):
-                continue
-            out = _OUTPUT_LINE.search(b)
-            if not out:
-                continue
-            pushed = _PUSHED_LINE.search(b)
-            if pushed is not None and pushed.group(1).strip():
-                continue  # something was pushed — healthy
-            if set(_COL_ID.findall(out.group(1))) & pushable_ids:
+            if atom and (atom.group(2) or atom.group(4)) in scan_ids:
                 flags.append("NO_PUSHDOWN")
                 break
+        if "NO_PUSHDOWN" in flags:
+            break
 
     sp = plan.count("Exchange SinglePartition")
     if sp > 1:

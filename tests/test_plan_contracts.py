@@ -141,8 +141,13 @@ def test_audit_pushable_atoms_are_top_level_conjuncts_only():
 
     def plan_with_condition(cond):
         return (
+            "== Physical Plan ==\n"
+            "* Filter (2)\n"
+            "+- * ColumnarToRow (3)\n"
+            "   +- Scan parquet  (1)\n\n\n"
             "(1) Scan parquet \nOutput [1]: [user_id#1L, source#2]\n"
             "Batched: true\nReadSchema: struct<user_id:bigint>\n\n"
+            "(3) ColumnarToRow\nInput [1]: [user_id#1L]\n\n"
             f"(2) Filter\nInput [1]: [user_id#1L]\nCondition : {cond}\n"
         )
 
@@ -160,6 +165,28 @@ def test_audit_pushable_atoms_are_top_level_conjuncts_only():
 
     top_level = "(isnotnull(user_id#1L) AND (user_id#1L = 7))"
     assert "NO_PUSHDOWN" in plan_flags(plan_with_condition(top_level))
+
+
+def test_audit_no_pushdown_requires_scan_adjacency():
+    """A Filter above a Window (inferred isnotnull from a comparison
+    with a window output) is not adjacent to the scan — predicates
+    can't cross the boundary, so no flag (keep_representatives shape)."""
+    from lightsaber_spark.plan_audit import plan_flags
+
+    plan = (
+        "== Physical Plan ==\n"
+        "* Filter (4)\n"
+        "+- Window (3)\n"
+        "   +- * ColumnarToRow (2)\n"
+        "      +- Scan parquet  (1)\n\n\n"
+        "(1) Scan parquet \nOutput [1]: [doc_id#1L]\n"
+        "Batched: true\nReadSchema: struct<doc_id:bigint>\n\n"
+        "(2) ColumnarToRow\nInput [1]: [doc_id#1L]\n\n"
+        "(3) Window\nInput [1]: [doc_id#1L]\n\n"
+        "(4) Filter\nInput [2]: [doc_id#1L, _rep#9L]\n"
+        "Condition : (isnotnull(doc_id#1L) AND (doc_id#1L = _rep#9L))\n"
+    )
+    assert "NO_PUSHDOWN" not in plan_flags(plan)
 
 
 def test_audit_flags_nested_loop(spark):

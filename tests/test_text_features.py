@@ -212,3 +212,40 @@ def test_scaled_dot_udf_matches_fold(tables):
         scaled_dot_udf()(F.col("v"), F.col("v")).alias("b"),
     )
     assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_chunk_documents_edges(spark):
+    """Chunk arithmetic at the boundaries: empty doc → one empty chunk;
+    n == ctx → one full chunk; n == ctx+1 → two chunks with the second
+    holding the overlap tail; coverage is gapless at stride < ctx."""
+    from lightsaber_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, ""),                       # 0 tokens
+        (2, " ".join(["tok"] * 8)),    # n == ctx
+        (3, " ".join(["tok"] * 9)),    # n == ctx + 1
+        (4, " ".join(["tok"] * 23)),   # multi-chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.tok_start, r.n_tokens_chunk)
+        for r in chunk_documents(df, ctx_len=8, stride=6).collect()
+    }
+    assert got[(1, 0)] == (0, 0) and (1, 1) not in got
+    assert got[(2, 0)] == (0, 8) and (2, 1) not in got
+    assert got[(3, 0)] == (0, 8) and got[(3, 1)] == (6, 3)
+    # n=23: chunks at 0,6,12,18 — last covers tokens 18..22
+    assert [got[(4, i)] for i in range(4)] == [(0, 8), (6, 8), (12, 8), (18, 5)]
+    assert (4, 4) not in got
+    # every token index covered by at least one chunk
+    covered = set()
+    for (d, _c), (s, m) in got.items():
+        if d == 4:
+            covered |= set(range(s, s + m))
+    assert covered == set(range(23))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, ctx_len=8, stride=9)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, ctx_len=0)
