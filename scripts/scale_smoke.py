@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Scale smoke: replicate the sf0.1 testdata K× into /tmp and measure
+the flagship queries at both scales.
+
+The small-SF parity gate proves CORRECTNESS; this script produces
+scaling EVIDENCE: each flagship query runs end-to-end (noop sink) on
+the base dir and on a K×-replicated copy, and the report shows the
+runtime ratio. A scale-correct plan should grow ≲ K (modulo fixed
+per-stage overhead, which makes ratios < K on small inputs); anything
+super-linear is a red flag worth a plan audit.
+
+Replication preserves the workload's *shape* the way real growth
+would: facts (events, lineitem, orders, documents, embeddings) multiply
+with offset keys, dimensions (customer/supplier/part/nation/region)
+stay fixed — so broadcast sides stay broadcastable while shuffle sides
+grow, exactly the 100 TB regime. Document copies are textually
+perturbed (" copyN" suffix) so the dedup ladder sees realistic
+near-duplicate families of size K rather than bit-identical rows.
+
+Usage: python scripts/scale_smoke.py [--k 10] [--base /root/testdata/sf0.1]
+       [--out /tmp/lightsaber_scale] [--write SCALE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "cm1_sliding_sum_by_type",
+    "sg1_ref_window_3600_1",
+    "sg1_ref_window_3600_1_minmax",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_duplicate_groups",
+    "dedup_keep_representatives",
+    "pack_sequences_ctx512",
+    "chunk_documents_ctx32",
+    "upsample_documents_by_source",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers",
+    "sim_ivf_topk",
+    "funnel_view_click_purchase",
+    "text_context_length_histogram",
+]
+
+_COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")
+
+
+def build_scaled(base: str, out: str, k: int) -> None:
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    rep = f"range({k}) t(i)"
+    specs = {
+        # facts: replicate with offset keys; ts jittered per copy so
+        # windows densify instead of stacking identical instants
+        "events": f"""
+            SELECT event_id + i * 1000000000 AS event_id,
+                   ts + to_microseconds(i * 137) AS ts,
+                   user_id, event_type, value, props
+            FROM src, {rep}
+        """,
+        "documents": f"""
+            SELECT doc_id + i * 10000000 AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE text || ' copy' || i END AS text,
+                   lang, source,
+                   CAST(length(CASE WHEN i = 0 THEN text
+                        ELSE text || ' copy' || i END) AS BIGINT) AS n_chars
+            FROM src, {rep}
+        """,
+        "embeddings": f"""
+            SELECT vec_id + i * 10000000 AS vec_id, embedding
+            FROM src, {rep}
+        """,
+        "orders": f"""
+            SELECT o_orderkey + i * 100000000 AS o_orderkey,
+                   o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM src, {rep}
+        """,
+        "lineitem": f"""
+            SELECT l_orderkey + i * 100000000 AS l_orderkey,
+                   l_partkey, l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM src, {rep}
+        """,
+    }
+    for t in _COPY_UNCHANGED:
+        shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    for t, sql in specs.items():
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{base}/{t}.parquet')"
+        )
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    con.close()
+
+
+def run(sf_dir: str, spark, names) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+
+    qmap = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 2)
+        except Exception as ex:  # noqa: BLE001
+            print(f"# error in {name}: {ex}", file=sys.stderr)
+            out[name] = -1.0
+        finally:
+            release_shingle_caches()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/lightsaber_scale")
+    ap.add_argument("--write", default=None)
+    args = ap.parse_args()
+
+    t0 = time.time()
+    build_scaled(args.base, args.out, args.k)
+    build_s = round(time.time() - t0, 1)
+    print(f"built {args.k}x data in {build_s}s -> {args.out}")
+
+    from lightsaber_spark import get_spark
+
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm codegen/python workers
+    from lightsaber_spark.session import load_tables
+
+    load_tables(spark, args.base)["events"].count()
+
+    # discard a full cold pass (codegen + python-worker startup lands
+    # on whichever query runs first), then measure base warm, then
+    # scaled on the already-warm JVM — both measured passes warm
+    run(args.base, spark, QUERIES)
+    base_t = run(args.base, spark, QUERIES)
+    scaled_t = run(args.out, spark, QUERIES)
+
+    rows = []
+    for n in QUERIES:
+        b, s = base_t[n], scaled_t[n]
+        ratio = round(s / b, 1) if b > 0 and s > 0 else None
+        rows.append((n, b, s, ratio))
+        print(f"{n:38s} base {b:7.2f}s  {args.k}x {s:7.2f}s  ratio {ratio}")
+
+    if args.write:
+        lines = [
+            "# Scale smoke (generated by scripts/scale_smoke.py — do not edit)",
+            "",
+            f"Base: `{args.base}`; scaled: {args.k}× replicated facts "
+            "(offset keys, per-copy ts jitter, perturbed near-dup document "
+            "copies), fixed dimensions — the fact/dim growth shape of a real "
+            "corpus. Both passes measured warm (a discarded cold pass "
+            "precedes them).",
+            "",
+            "Reading the ratios:",
+            f"- ratio ≲ {args.k} ⇒ at-most-linear scaling; fixed per-stage "
+            "overhead pushes small-input ratios well under K.",
+            "- the window-spine queries (sg1*) are SPAN-bound, not "
+            "data-bound — the replicated data covers the same time span, "
+            "so their cost barely moves: the design property the prefix "
+            "path exists for.",
+            f"- the pair-emitting dedup queries (jaccard/minhash/groups) "
+            f"face ~K²/2 = {args.k * args.k // 2}× more qualifying pairs "
+            "per near-dup family in this corpus (every copy pairs with "
+            "every other), so their OUTPUT grows far faster than the "
+            "input; a ratio well under K² means the candidate machinery "
+            "is output-bound, which is the correct shape.",
+            "",
+            f"| query | base s | {args.k}× s | ratio |",
+            "|---|---|---|---|",
+        ]
+        for n, b, s, r in rows:
+            lines.append(f"| {n} | {b} | {s} | {r} |")
+        with open(args.write, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"wrote {args.write}")
+    with open("SCALE.json", "w") as f:
+        json.dump(
+            {"k": args.k, "base": base_t, "scaled": scaled_t, "build_s": build_s},
+            f,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
