@@ -299,12 +299,23 @@ def ngram_jaccard_pairs_prefix(
         .filter(
             (F.col("_pos") - 1) * 100000 <= F.lit(100000 - tau) * F.col("_n")
         )
-        .select("_id", "_sh", "_n")
+        .select("_id", "_sh", "_n", "_pos")
         # the self-join below consumes this twice; without an explicit
         # persist the full explode→freq-join→window chain runs per side
         .persist()
     )
     _SHINGLE_CACHES.append(pref)
+    # candidate pairs with the PPJoin POSITIONAL filter (Xiao et al.
+    # WWW'08, exactly lossless): min position over a pair's shared
+    # prefix shingles identifies the globally-FIRST shared shingle s*
+    # (prefixes are order-downward-closed, so any earlier shared
+    # shingle would itself be a candidate row), and every other shared
+    # shingle follows s* in both docs — overlap ≤ 1 + min(n_a − pa*,
+    # n_b − pb*). J ≥ τ needs overlap·(1+τ) ≥ τ·(n_a + n_b), so pairs
+    # whose positional upper bound can't reach it are pruned BEFORE
+    # their full shingle arrays are fetched and intersected — at
+    # corpus scale the verify join is the wide part, and this is the
+    # published all-pairs candidate-mass reducer.
     cand = (
         pref.alias("a")
         .join(
@@ -314,8 +325,19 @@ def ngram_jaccard_pairs_prefix(
             & (F.lit(tau) * F.col("a._n") <= F.lit(100000) * F.col("b._n"))
             & (F.lit(tau) * F.col("b._n") <= F.lit(100000) * F.col("a._n")),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .agg(F.min("a._pos").alias("_pa"), F.min("b._pos").alias("_pb"))
+        .filter(
+            (1 + F.least(F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")))
+            * F.lit(100000 + tau)
+            >= F.lit(tau) * (F.col("_na") + F.col("_nb"))
+        )
+        .select("id_a", "id_b")
     )
     ver = (
         cand.join(arr.select(F.col("_id").alias("id_a"), F.col("_shs").alias("_sa")), "id_a")
