@@ -609,7 +609,14 @@ def test_sliding_view_from_pane_rollup(spark, events, events_stream_src, tmp_pat
         sliding_view,
     )
 
-    measures = [("sum", "value", "sum_v"), ("count", None, "n")]
+    measures = [
+        ("sum", "value", "sum_v"),
+        ("count", None, "n"),
+        # non-invertible measures: pane partials merge by min/max (the
+        # streaming face of the batch van Herk path's semantics)
+        ("min", "value", "mn"),
+        ("max", "value", "mx"),
+    ]
     keys = ["event_type"]
     out = str(tmp_path / "rollup_s")
     ck = str(tmp_path / "ck_s")
@@ -621,9 +628,10 @@ def test_sliding_view_from_pane_rollup(spark, events, events_stream_src, tmp_pat
     got = sliding_view(spark, out, measures, keys, 3600, 600, 600)
     want = windowed_agg(
         events, "ts", 3600, 600,
-        [("sum", "value", "sum_v"), ("count", None, "n")], keys,
+        [("sum", "value", "sum_v"), ("count", None, "n"),
+         ("min", "value", "mn"), ("max", "value", "mx")], keys,
     )
-    cols = ["window_start", "event_type", "sum_v", "n"]
+    cols = ["window_start", "event_type", "sum_v", "n", "mn", "mx"]
     ok, msg = rows_match(got.select(*cols).collect(),
                          want.select(*cols).collect(), float_tol=1e-9)
     assert ok, msg
