@@ -2214,6 +2214,40 @@ def ntile_user_revenue_quartiles(spark, sf_dir):
 
 
 @query(
+    "rank_users_by_revenue",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           percent_rank() OVER w AS prank,
+           cume_dist() OVER w AS cdist
+    FROM per_user WINDOW w AS (ORDER BY total_c DESC)
+    """,
+)
+def rank_users_by_revenue(spark, sf_dir):
+    """The remaining analytic-ranking trio (SURVEY §2.8 'free on
+    Spark' surface): dense_rank / percent_rank / cume_dist over
+    per-user revenue, ties NOT broken so the shared-rank semantics are
+    what's verified. The ratio doubles divide identical integers on
+    both engines → bit-identical."""
+    from pyspark.sql import Window
+
+    ev = _with_cents(_events(spark, sf_dir))
+    per_user = ev.groupBy("user_id").agg(F.sum("value_c").alias("total_c"))
+    w = Window.orderBy(F.col("total_c").desc())
+    return per_user.select(
+        "user_id",
+        F.dense_rank().over(w).cast("bigint").alias("drank"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
     "first_last_value_per_user",
     """
     WITH e AS (SELECT user_id, ts, event_id,
