@@ -382,12 +382,17 @@ def q_funnel(spark, sf_dir):
     b = first_after("click", a)
     c = first_after("purchase", b)
     counts = [
-        df.agg(F.count(F.lit(1)).alias(n)).withColumn("_k", F.lit(0))
+        # join key must be NULLABLE: a non-nullable literal constant-
+        # folds and Catalyst degrades the 1-row equi-join to a nested
+        # loop (same gotcha as tpch_q11 / bm25 — see queries.py)
+        df.agg(F.count(F.lit(1)).alias(n)).withColumn(
+            "_k", F.when(F.col(n) >= 0, F.lit(0)).cast("bigint")
+        )
         for df, n in ((a, "n_view"), (b, "n_view_click"), (c, "n_view_click_purchase"))
     ]
     out = counts[0]
     for d in counts[1:]:
-        out = out.join(d, "_k")
+        out = out.join(F.broadcast(d), "_k")
     return out.drop("_k")
 
 
