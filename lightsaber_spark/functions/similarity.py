@@ -541,28 +541,68 @@ def hyperplane_lsh_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bands: int = 1,
+    salt: str = "lsh",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket
-    (equi-join on signature — the scale path replacing the cross join),
-    ranked by exact integer cosine. Recall < 1 by construction; raise
-    n_planes bands or multi-probe for higher recall."""
-    sig = hyperplane_signature_udf(n_planes, dim, scaled=True)
+    """Approximate top-k: candidates collide with the query in ≥1 LSH
+    band (equi-join on (band, signature) — the scale path replacing the
+    cross join), ranked by exact integer cosine.
+
+    ``bands = 1`` is a single bucket (AND-amplified: only near-twins
+    collide — low recall on weakly-clustered corpora). ``bands > 1``
+    OR-amplifies with independent ``n_planes``-bit signatures (salts
+    ``{salt}0..{salt}{bands-1}``): recall rises with bands, candidate
+    count with n_planes down — the same banding
+    :func:`~lightsaber_spark.functions.dedup.embedding_lsh_pairs` uses.
+    Shuffle volume stays linear (ids through the band join; vectors are
+    re-joined only for surviving candidate pairs)."""
+    from pyspark.sql import Window
+
     q = _prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
         {"_sv": "_qv", "_norm": "_qn"}
-    ).withColumn("_sig", sig(F.col("_qv")))
-    c = _prep(corpus, id_col, vec_col, "neighbor_id").withColumn(
-        "_sig", sig(F.col("_sv"))
     )
+    c = _prep(corpus, id_col, vec_col, "neighbor_id")
+    if bands == 1:
+        sig = hyperplane_signature_udf(n_planes, dim, salt=salt, scaled=True)
+        cand = (
+            q.withColumn("_sig", sig(F.col("_qv")))
+            .select("query_id", "_sig")
+            .join(c.withColumn("_sig", sig(F.col("_sv"))).select("neighbor_id", "_sig"), ["_sig"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+    else:
+        def band_sigs(vcol):
+            return F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hyperplane_signature_udf(
+                        n_planes, dim, salt=f"{salt}{b}", scaled=True
+                    )(F.col(vcol)).alias("sig"),
+                )
+                for b in range(bands)
+            ])).alias("_bs")
+
+        q_sigs = q.select("query_id", band_sigs("_qv")).select(
+            "query_id", "_bs.band", "_bs.sig"
+        )
+        c_sigs = c.select("neighbor_id", band_sigs("_sv")).select(
+            "neighbor_id", "_bs.band", "_bs.sig"
+        )
+        cand = (
+            q_sigs.join(c_sigs, ["band", "sig"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
     scored = (
-        q.join(c, ["_sig"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(q.select("query_id", "_qv", "_qn"), "query_id")
+        .join(c.select("neighbor_id", "_sv", "_norm"), "neighbor_id")
         .withColumn(
             "cosine",
             _scaled_dot(F.col("_qv"), F.col("_sv")) / (F.col("_qn") * F.col("_norm")),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

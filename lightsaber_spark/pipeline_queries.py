@@ -590,16 +590,25 @@ def _hyperplane_sig_sql(vec: str, n_planes: int = 8, salt: str = "lsh") -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+_TK_BANDS = 4
+
+
 @query(
     "sim_lsh_topk",
     f"""
-    WITH sigs AS (SELECT vec_id, embedding, {_hyperplane_sig_sql('embedding')} AS sig
+    WITH sigs AS (SELECT vec_id, embedding,
+           {", ".join(f"{_hyperplane_sig_sql('embedding', 8, salt=f'lsh{b}')} AS s{b}"
+                      for b in range(_TK_BANDS))}
                   FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS vq, sig FROM sigs WHERE vec_id < 50),
+    q AS (SELECT vec_id AS query_id, embedding AS vq,
+                 {", ".join(f"s{b}" for b in range(_TK_BANDS))}
+          FROM sigs WHERE vec_id < 50),
     scored AS (
       SELECT query_id, c.vec_id AS neighbor_id,
              {_COS.format(a='vq', b='c.embedding')} AS cosine
-      FROM q JOIN sigs c ON q.sig = c.sig AND query_id != c.vec_id)
+      FROM q JOIN sigs c
+        ON ({" OR ".join(f"q.s{b} = c.s{b}" for b in range(_TK_BANDS))})
+       AND query_id != c.vec_id)
     SELECT query_id, neighbor_id, cosine,
            CAST(row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
@@ -608,8 +617,16 @@ def _hyperplane_sig_sql(vec: str, n_planes: int = 8, salt: str = "lsh") -> str:
     """,
 )
 def q_sim_lsh(spark, sf_dir):
+    """Banded (OR-amplified) hyperplane-LSH ANN: a pair is a candidate
+    iff it collides in ≥1 of 4 independent 8-bit signatures — the same
+    banding as the embedding near-dup path; single-bucket retrieval had
+    near-zero recall on this weakly-clustered corpus. The oracle's
+    OR-join is the declarative twin of the Spark side's stacked
+    (band, sig) equi-join + distinct."""
     e = _embs(spark, sf_dir)
-    out = hyperplane_lsh_topk(e.filter(F.col("vec_id") < 50), e, k=5, n_planes=8, dim=64)
+    out = hyperplane_lsh_topk(
+        e.filter(F.col("vec_id") < 50), e, k=5, n_planes=8, dim=64, bands=_TK_BANDS
+    )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 

@@ -285,3 +285,38 @@ def test_upsample_by_weight_multiplicity_and_epochs(spark, tables):
         ).select("doc_id", "epoch").collect()
     }
     assert {(d, e) for d, e in again}.issubset(more)
+
+
+def test_lsh_topk_recall_improves_with_bands(spark, tables):
+    """Hyperplane-LSH ANN quality: recall@5 vs brute-force ground truth
+    must not decrease as bands shrink (more, smaller bands = more
+    collision chances), and the shipped configuration must recover a
+    majority of true neighbors on this corpus."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.similarity import (
+        brute_force_topk,
+        hyperplane_lsh_topk,
+    )
+
+    e = tables["embeddings"]
+    q = e.filter(F.col("vec_id") < 20)
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(q, e, k=5).collect()}
+
+    def recall(n_planes, bands):
+        got = {(r.query_id, r.neighbor_id)
+               for r in hyperplane_lsh_topk(
+                   q, e, k=5, n_planes=n_planes, bands=bands).collect()}
+        return len(got & truth) / len(truth)
+
+    # OR-amplification: more independent bands → more collision
+    # chances → recall non-decreasing
+    r1, r4, r8 = recall(8, 1), recall(8, 4), recall(8, 8)
+    assert r1 <= r4 <= r8
+    # this synthetic corpus is UNclustered (near-random vectors), the
+    # worst case for LSH: per-band collision ≈ 2^-planes independent of
+    # true rank. A wide-recall config (short signatures, many bands)
+    # must still recover a majority of true neighbors — the knob a real
+    # corpus would tune by its clusteredness
+    assert recall(4, 8) > 0.5
