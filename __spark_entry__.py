@@ -37,12 +37,24 @@ _CANONICAL = [
 # Queries whose past green row no longer vouches for the current code —
 # force a fresh check regardless of history. Round 3: the two as-of
 # queries whose r02 green was vacuous (0 rows on both engines —
-# rewritten to be non-empty by construction), and the Jaccard join,
-# repointed from the uncut all-pairs impl to lossless prefix filtering.
+# rewritten to be non-empty by construction), and every r02-green query
+# whose implementation this round rewrote: the Jaccard join (uncut →
+# prefix+positional filtering), banded LSH top-k (different result
+# set), the distributed-spine rewrite (prefix-path + gap-fill spine
+# generation), the packing localCheckpoint change, the brute-force
+# query-set cap, and the IVF k-means vecs_scaled fix.
 _FORCE_RECHECK = {
     "asof_event_last_order_3d",
     "asof_event_next_order",
     "dedup_ngram_jaccard",
+    "sim_lsh_topk",
+    "sim_brute_topk",
+    "sim_ivf_kmeans_topk",
+    "sg1_ref_window_3600_1",
+    "gapfill_tumbling_count",
+    "gapfill_sliding_count",
+    "pack_sequences_ctx512",
+    "pack_sequences_shuffled_ctx512",
 }
 
 

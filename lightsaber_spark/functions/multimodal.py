@@ -143,6 +143,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     pos, width, height, idat = 8, None, None, bytearray()
     while pos + 12 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 12 + ln > len(data):
+            raise ValueError("truncated chunk")
         ctype = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])

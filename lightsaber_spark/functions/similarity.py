@@ -563,7 +563,11 @@ def hyperplane_lsh_topk(
     )
     c = _prep(corpus, id_col, vec_col, "neighbor_id")
     if bands == 1:
-        sig = hyperplane_signature_udf(n_planes, dim, salt=salt, scaled=True)
+        # salt "{salt}0" (not bare "{salt}") so the single band IS band
+        # 0 of every wider configuration: candidate sets nest and
+        # recall is strictly monotone in `bands`, not just in
+        # expectation
+        sig = hyperplane_signature_udf(n_planes, dim, salt=f"{salt}0", scaled=True)
         cand = (
             q.withColumn("_sig", sig(F.col("_qv")))
             .select("query_id", "_sig")

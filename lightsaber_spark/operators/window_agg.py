@@ -301,6 +301,37 @@ def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
     )
 
 
+def _chunked_index_fanout(bounds, i_lo, i_hi, per_chunk: int, out_col: str,
+                          scale: int):
+    """Distributed dense-index generation shared by the prefix-path
+    spine and the gap-fill window spine: from a 1-row ``bounds``
+    relation, emit every index in [i_lo, i_hi] as ``out_col`` =
+    index·``scale``, fanned out so chunk c (owning indices
+    [c·per_chunk, (c+1)·per_chunk)) generates only its own clipped
+    ``sequence()`` in its own task — no single task ever materializes
+    the full span."""
+    pc = F.lit(per_chunk).cast("bigint")
+    chunk_rows = bounds.select(
+        i_lo.alias("_ilo"),
+        i_hi.alias("_ihi"),
+        F.explode(
+            F.sequence(F.floor(i_lo / pc).cast("bigint"), F.floor(i_hi / pc).cast("bigint"))
+        ).alias("_cid"),
+    )
+    return (
+        chunk_rows.repartition("_cid")
+        .select(
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("_ilo"), F.col("_cid") * pc),
+                    F.least(F.col("_ihi"), (F.col("_cid") + 1) * pc - 1),
+                )
+            ).alias("_i")
+        )
+        .select((F.col("_i") * F.lit(scale)).cast("bigint").alias(out_col))
+    )
+
+
 def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None):
     """Prefix-scan sliding aggregation for very high size/slide ratios
     (global, slide | size; invertible aggs plus MIN/MAX).
@@ -397,28 +428,11 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
     # the second block would see a null lag(L, k−1) and silently miss
     # the first block's panes. Windows ending in the extension have
     # zero rows and are filtered by the emission check.
-    ppc = F.lit(panes_per_chunk).cast("bigint")
     i_lo = (F.col("_lo") / F.lit(slide_sec)).cast("bigint")
     a_lo = (F.floor(i_lo / F.lit(k)) * F.lit(k)).cast("bigint")
     i_hi = (F.col("_hi") / F.lit(slide_sec)).cast("bigint") + F.lit(k - 1)
-    chunk_rows = bounds.select(
-        a_lo.alias("_ilo"),
-        i_hi.alias("_ihi"),
-        F.explode(
-            F.sequence(F.floor(i_lo / ppc).cast("bigint"), F.floor(i_hi / ppc).cast("bigint"))
-        ).alias("_cid"),
-    )
-    spine = (
-        chunk_rows.repartition("_cid")
-        .select(
-            F.explode(
-                F.sequence(
-                    F.greatest(F.col("_ilo"), F.col("_cid") * ppc),
-                    F.least(F.col("_ihi"), (F.col("_cid") + 1) * ppc - 1),
-                )
-            ).alias("_pidx")
-        )
-        .select((F.col("_pidx") * F.lit(slide_sec)).cast("bigint").alias("_pane"))
+    spine = _chunked_index_fanout(
+        bounds, a_lo, i_hi, panes_per_chunk, "_pane", slide_sec
     )
 
     from pyspark.sql import Window
@@ -539,27 +553,10 @@ def window_spine(
     first = (((shifted - (shifted % step_us)) / step_us).cast("bigint") + 1) * F.lit(slide_sec)
     last = (((hi - (hi % step_us)) / step_us)).cast("bigint") * F.lit(slide_sec)
     # index space i = window_start / slide; chunk c owns i ∈ [c·spc, (c+1)·spc)
-    spc = F.lit(starts_per_chunk).cast("bigint")
     i_lo = (first / F.lit(slide_sec)).cast("bigint")
     i_hi = (last / F.lit(slide_sec)).cast("bigint")
-    chunk_rows = bounds.select(
-        i_lo.alias("_ilo"),
-        i_hi.alias("_ihi"),
-        F.explode(
-            F.sequence(F.floor(i_lo / spc).cast("bigint"), F.floor(i_hi / spc).cast("bigint"))
-        ).alias("_cid"),
-    )
-    return (
-        chunk_rows.repartition("_cid")
-        .select(
-            F.explode(
-                F.sequence(
-                    F.greatest(F.col("_ilo"), F.col("_cid") * spc),
-                    F.least(F.col("_ihi"), (F.col("_cid") + 1) * spc - 1),
-                )
-            ).alias("_i")
-        )
-        .select((F.col("_i") * F.lit(slide_sec)).cast("bigint").alias("window_start"))
+    return _chunked_index_fanout(
+        bounds, i_lo, i_hi, starts_per_chunk, "window_start", slide_sec
     )
 
 

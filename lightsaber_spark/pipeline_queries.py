@@ -358,9 +358,9 @@ def q_funnel(spark, sf_dir):
     within 24h of the previous): per stage, the count of users whose
     first stage-k event happens strictly after — and within the window
     of — their first qualifying stage-(k−1) event. Each stage is one
-    keyed aggregate + one equi-join on user_id (broadcast of the
-    shrinking converted-user set); no event self-join or session
-    reconstruction."""
+    keyed aggregate + one equi-join on user_id (AQE broadcasts the
+    converted-user set when it is small); no event self-join or
+    session reconstruction."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     step = F.expr("INTERVAL 24 HOURS")
 
@@ -368,11 +368,12 @@ def q_funnel(spark, sf_dir):
         e = ev.filter(F.col("event_type") == etype)
         if prev is None:
             return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        # no broadcast hint: the per-stage user set scales with user
+        # cardinality (stage 1 is EVERY viewer), so a forced broadcast
+        # would OOM at corpus scale — AQE picks broadcast when the set
+        # is actually small, shuffle hash join otherwise
         return (
-            e.join(
-                F.broadcast(prev.select("user_id", F.col("t").alias("_pt"))),
-                "user_id",
-            )
+            e.join(prev.select("user_id", F.col("t").alias("_pt")), "user_id")
             .filter((F.col("ts") > F.col("_pt")) & (F.col("ts") <= F.col("_pt") + step))
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))

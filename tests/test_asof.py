@@ -72,13 +72,14 @@ def test_asof_tolerance_exact_boundaries(frames):
     # lid0 @5: no match -> null
     # lid1 @10: match @10, delta 0 -> 1
     # lid2 @15: match @10, delta 5 -> kept (inclusive)
-    # lid3 @25: match @20, delta 5 -> kept
+    # lid3 @25: one of the tied pair @20, delta 5 -> kept (tie order
+    # between equal right timestamps is unspecified, as elsewhere)
     # lid4 @40: match @40, delta 0 -> 4
     # lid5 @50: match @40, delta 10 -> nulled
     assert got[0] is None
     assert got[1] == 1
     assert got[2] == 1
-    assert got[3] == 3
+    assert got[3] in (2, 3)
     assert got[4] == 4
     assert got[5] is None
 

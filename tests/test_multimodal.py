@@ -36,6 +36,11 @@ def test_png_rejects_corruption():
         decode_png(bytes(blob))
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"GIF89a" + bytes(blob))
+    # truncated mid-chunk (e.g. a partial upload) must raise the
+    # codec's ValueError family, not an opaque struct.error
+    whole = encode_png(bytes(range(16)), 4, 4)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(whole[: len(whole) * 3 // 4])  # cut inside IDAT
 
 
 def test_decode_media_real_codec_spark(spark):
