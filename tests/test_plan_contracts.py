@@ -189,6 +189,26 @@ def test_audit_no_pushdown_requires_scan_adjacency():
     assert "NO_PUSHDOWN" not in plan_flags(plan)
 
 
+def test_audit_tree_parser_handles_join_branches(spark):
+    """The tree parser must resolve Filter→scan adjacency through the
+    ':-'-style branch decoration of a join plan — both filtered sides
+    of a SortMergeJoin map to their scans."""
+    from lightsaber_spark.plan_audit import _filter_over_scan
+
+    spark.catalog.clearCache()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.read.parquet(f"{SF_DIR}/events.parquet").filter("user_id > 3")
+        b = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter("o_custkey > 3")
+        df = a.join(b, a.user_id == b.o_custkey)
+        p = _formatted(spark, df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    adj = _filter_over_scan(p)
+    assert len(adj) == 2, f"expected both branch scans mapped, got {adj}\n{p[:600]}"
+
+
 def test_audit_flags_nested_loop(spark):
     from lightsaber_spark.plan_audit import plan_flags
 
