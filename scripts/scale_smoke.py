@@ -47,6 +47,10 @@ QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q20_excess_suppliers",
     "sim_ivf_topk",
+    "sim_lsh_topk",
+    "dedup_simhash",
+    "theta_join_band_count",
+    "asof_event_last_order_3d",
     "funnel_view_click_purchase",
     "text_context_length_histogram",
 ]

@@ -635,3 +635,64 @@ def test_sliding_view_from_pane_rollup(spark, events, events_stream_src, tmp_pat
     ok, msg = rows_match(got.select(*cols).collect(),
                          want.select(*cols).collect(), float_tol=1e-9)
     assert ok, msg
+
+
+def test_streaming_funnel_matches_batch(spark, events, events_stream_src, tmp_path):
+    """Incremental per-user funnel state over a multi-batch replay must
+    land exactly on the batch first-qualifying-event chain (both pick
+    the minimal qualifying event per stage on an in-order stream)."""
+    import datetime
+
+    from lightsaber_spark.streaming.funnel import (
+        funnel_final_positions,
+        streaming_funnel,
+    )
+
+    stages = ("view", "click", "purchase")
+    step = 24 * 3600
+    out = streaming_funnel(
+        _stream(spark, events_stream_src), "ts", "user_id", "event_type",
+        stages, step,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("funnel_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.stage_reached, r.t0, r.t1, r.t2)
+        for r in funnel_final_positions(spark.table("funnel_updates")).collect()
+    }
+
+    # batch reference: per-user minimal qualifying chain, exact µs
+    utc = datetime.timezone.utc
+
+    def us(dt):
+        return int(dt.replace(tzinfo=utc).timestamp()) * 1_000_000 + dt.microsecond
+
+    per_user = {}
+    for r in events.select("user_id", "ts", "event_type").collect():
+        per_user.setdefault(r.user_id, []).append((us(r.ts), r.event_type))
+    step_us = step * 1_000_000
+    for uid, evs in per_user.items():
+        ts0 = [t for t, ty in evs if ty == "view"]
+        want = [None, None, None]
+        if ts0:
+            want[0] = min(ts0)
+            for j, stage in ((1, "click"), (2, "purchase")):
+                prev = want[j - 1]
+                if prev is None:
+                    break
+                nxt = [t for t, ty in evs if ty == stage and prev < t <= prev + step_us]
+                if nxt:
+                    want[j] = min(nxt)
+        reached = sum(1 for v in want if v is not None)
+        if reached == 0:
+            assert uid not in got, f"user {uid} emitted without a view"
+        else:
+            assert got.get(uid) == (reached, *want), (
+                f"user {uid}: streaming {got.get(uid)} != batch {(reached, *want)}"
+            )
