@@ -696,3 +696,79 @@ def test_streaming_funnel_matches_batch(spark, events, events_stream_src, tmp_pa
             assert got.get(uid) == (reached, *want), (
                 f"user {uid}: streaming {got.get(uid)} != batch {(reached, *want)}"
             )
+
+
+def test_streaming_funnel_checkpoint_restart(spark, events, tmp_path):
+    """Custom-stateful-op state must survive a stop/restart: feed half
+    the (in-order) events, stop, add the rest, restart from the same
+    checkpoint — final funnel positions equal a single uninterrupted
+    run (per-user stage times recovered, not recomputed from scratch)."""
+    from lightsaber_spark.streaming.funnel import (
+        funnel_final_positions,
+        streaming_funnel,
+    )
+
+    ev = events.select("user_id", "ts", "event_type").sort("ts")
+    mid = ev.approxQuantile("user_id", [0.5], 0)  # noqa: F841 — any split works
+    rows = ev.count()
+    first = ev.limit(rows // 2)
+    schema = ev.schema
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_phase():
+        stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+        fun = streaming_funnel(
+            stream, "ts", "user_id", "event_type",
+            ("view", "click", "purchase"), 24 * 3600,
+        )
+
+        def write(batch, _bid):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            fun.writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    run_phase()
+    # the rest arrives later (still in order: second half has later ts)
+    ev.exceptAll(first).coalesce(1).write.mode("append").parquet(src)
+    run_phase()
+    got = {
+        r.user_id: (r.stage_reached, r.t0, r.t1, r.t2)
+        for r in funnel_final_positions(spark.read.parquet(out)).collect()
+    }
+
+    # single uninterrupted run over the same data
+    src2, out2, ck2 = (str(tmp_path / d) for d in ("src2", "out2", "ck2"))
+    ev.coalesce(1).write.parquet(src2)
+    stream = read_stream(spark, src2, schema, max_files_per_trigger=1)
+    fun = streaming_funnel(
+        stream, "ts", "user_id", "event_type",
+        ("view", "click", "purchase"), 24 * 3600,
+    )
+
+    def write2(batch, _bid):
+        batch.write.mode("append").parquet(out2)
+
+    q = (
+        fun.writeStream.foreachBatch(write2)
+        .outputMode("update")
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    want = {
+        r.user_id: (r.stage_reached, r.t0, r.t1, r.t2)
+        for r in funnel_final_positions(spark.read.parquet(out2)).collect()
+    }
+    assert got == want
