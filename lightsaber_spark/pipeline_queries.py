@@ -531,6 +531,38 @@ def q_dup_groups(spark, sf_dir):
     return duplicate_groups(pairs)
 
 
+@query(
+    "dedup_fuzzy_keep_representatives",
+    f"""
+    WITH RECURSIVE {_JACCARD_CUT_CTE},
+    edges AS (SELECT id_a AS v, id_b AS u FROM jacc
+              UNION SELECT id_b, id_a FROM jacc),
+    walk(v, l) AS (
+      SELECT DISTINCT v, v FROM edges
+      UNION
+      SELECT e.v, w.l FROM edges e JOIN walk w ON e.u = w.v
+    ),
+    g AS (SELECT v AS member, min(l) AS representative FROM walk GROUP BY 1)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT member FROM g WHERE member != representative)
+    """,
+)
+def q_fuzzy_keep_representatives(spark, sf_dir):
+    """The FUZZY-dedup corpus materialization: near-dup pairs →
+    connected components → keep each cluster's min-id representative
+    plus all unclustered docs (the fuzzy analog of
+    ``dedup_keep_representatives``, which handles exact duplicates).
+    One anti-join against the (small) non-representative member set —
+    the corpus itself is never re-shuffled."""
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, k=3, max_doc_freq=_JACCARD_CUT)
+    groups = duplicate_groups(pairs)
+    drop = groups.filter(F.col("member") != F.col("representative")).select(
+        F.col("member").alias("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
 # x::DOUBLE before scaling: DuckDB would otherwise multiply in float32
 # while Spark computes in double, flipping round() on some elements
 _INT_DOT = (
