@@ -44,6 +44,11 @@ def streaming_funnel(
     n = len(stages)
     if n < 2:
         raise ValueError("a funnel needs at least 2 stages")
+    if len(set(stages)) != n:
+        raise ValueError(
+            "stage event types must be distinct (a repeated type would "
+            "silently map to its last stage only)"
+        )
     step_us = step_sec * 1_000_000
 
     out_schema = StructType(

@@ -772,3 +772,15 @@ def test_streaming_funnel_checkpoint_restart(spark, events, tmp_path):
         for r in funnel_final_positions(spark.read.parquet(out2)).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_rejects_bad_stages(spark, events_stream_src):
+    from lightsaber_spark.streaming.funnel import streaming_funnel
+
+    s = _stream(spark, events_stream_src)
+    with pytest.raises(ValueError, match="2 stages"):
+        streaming_funnel(s, "ts", "user_id", "event_type", ("view",), 60)
+    with pytest.raises(ValueError, match="distinct"):
+        streaming_funnel(
+            s, "ts", "user_id", "event_type", ("view", "click", "view"), 60
+        )
