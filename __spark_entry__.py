@@ -48,6 +48,7 @@ _FORCE_RECHECK = {
     "asof_event_next_order",
     "dedup_ngram_jaccard",
     "sim_lsh_topk",
+    "dedup_embedding_lsh",
     "sim_brute_topk",
     "sim_ivf_kmeans_topk",
     "sg1_ref_window_3600_1",

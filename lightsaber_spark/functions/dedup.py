@@ -791,22 +791,18 @@ def embedding_lsh_pairs(
     from lightsaber_spark.functions.similarity import (
         _prep,
         _scaled_dot,
-        hyperplane_signature_udf,
+        hyperplane_band_signatures_udf,
     )
 
     base = _prep(df, id_col, vec_col, "_id")
-    band_sigs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            hyperplane_signature_udf(
-                n_planes, dim, salt=f"{salt}{b}", scaled=True
-            )(F.col("_sv")).alias("sig"),
-        )
-        for b in range(bands)
-    ]
+    # all bands in ONE Arrow UDF (single list→matrix conversion +
+    # matmul per batch — see hyperplane_band_signatures_udf)
+    sigs_udf = hyperplane_band_signatures_udf(
+        n_planes, bands, dim, salt=salt, scaled=True
+    )
     sigs = base.select(
-        "_id", F.explode(F.array(*band_sigs)).alias("_bs")
-    ).select("_id", "_bs.band", "_bs.sig")
+        "_id", F.posexplode(sigs_udf(F.col("_sv"))).alias("band", "sig")
+    )
     cands = (
         sigs.alias("a")
         .join(

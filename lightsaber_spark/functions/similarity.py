@@ -333,6 +333,41 @@ def hyperplane_signature_udf(
     return _sig
 
 
+def hyperplane_band_signatures_udf(
+    n_planes: int, bands: int, dim: int = 64, salt: str = "lsh",
+    scaled: bool = False,
+):
+    """All ``bands`` independent signatures in ONE Arrow UDF returning
+    ``array<bigint>`` (index = band): the per-band plane matrices
+    (salts ``{salt}0..{salt}{bands-1}`` — bit-identical to calling
+    :func:`hyperplane_signature_udf` per band) are hstacked so each
+    batch pays a single list→matrix conversion and a single
+    (batch × dim)·(dim × planes·bands) matmul instead of ``bands``
+    separate UDF round-trips — the conversion dominates signature
+    cost, so this is ~bands× cheaper on the corpus side of every
+    banded query."""
+    import numpy as np
+    import pandas as pd
+
+    w = np.hstack([
+        _plane_matrix(n_planes, dim, f"{salt}{b}") for b in range(bands)
+    ])  # (dim, n_planes*bands)
+    weights = (2.0 ** np.arange(n_planes)).astype(np.float64)
+
+    @F.pandas_udf("array<bigint>")
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if not scaled:
+            y = m * SCALE
+            m = np.sign(y) * np.floor(np.abs(y) + 0.5)
+        bits = (m @ w) > 0  # (n, planes*bands)
+        per_band = bits.reshape(len(m), bands, n_planes)  # row-major split
+        sigs = (per_band @ weights).astype(np.int64)  # (n, bands)
+        return pd.Series(list(sigs))
+
+    return _sigs
+
+
 def _centroid_matrix(centroids, centroids_scaled: bool):
     cents = sorted(centroids)
     ids = np.array([c for c, _ in cents], dtype=np.int64)
@@ -576,23 +611,17 @@ def hyperplane_lsh_topk(
             .select("query_id", "neighbor_id")
         )
     else:
-        def band_sigs(vcol):
-            return F.explode(F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    hyperplane_signature_udf(
-                        n_planes, dim, salt=f"{salt}{b}", scaled=True
-                    )(F.col(vcol)).alias("sig"),
-                )
-                for b in range(bands)
-            ])).alias("_bs")
+        sigs_udf = hyperplane_band_signatures_udf(
+            n_planes, bands, dim, salt=salt, scaled=True
+        )
 
-        q_sigs = q.select("query_id", band_sigs("_qv")).select(
-            "query_id", "_bs.band", "_bs.sig"
-        )
-        c_sigs = c.select("neighbor_id", band_sigs("_sv")).select(
-            "neighbor_id", "_bs.band", "_bs.sig"
-        )
+        def band_sigs(df_, id_out, vcol):
+            return df_.select(
+                id_out, F.posexplode(sigs_udf(F.col(vcol))).alias("band", "sig")
+            )
+
+        q_sigs = band_sigs(q, "query_id", "_qv")
+        c_sigs = band_sigs(c, "neighbor_id", "_sv")
         cand = (
             q_sigs.join(c_sigs, ["band", "sig"])
             .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -6,8 +6,10 @@ same semantics fold incrementally: per user, keep the earliest
 qualifying timestamp of each stage (stage k qualifies when it is the
 first stage-k event strictly after — and within ``step_sec`` of — the
 user's stage-(k−1) time). One ``applyInPandasWithState`` keyed
-stateful operator; state is O(n_stages) longs per user, independent of
-event volume — the state-bound shape streaming CEP needs at 100 TB.
+stateful operator; non-stage event types are filtered before the
+shuffle and state exists only for users who entered the funnel —
+O(n_stages) longs each, independent of event volume: the state-bound
+shape streaming CEP needs at 100 TB.
 
 In-order model: like every streaming operator here (SURVEY §2.9, the
 reference's in-order assumption), per-user event time must not regress
@@ -64,7 +66,14 @@ def streaming_funnel(
     def fn(key, pdf_iter, state):
         st = list(state.get) if state.exists else [None] * n
         changed = False
-        for pdf in pdf_iter:
+        # a group arrives as MULTIPLE Arrow chunks in shuffle order —
+        # concat before the sort, or cross-chunk out-of-order events
+        # would be folded against a half-built state (per-chunk sorting
+        # alone breaks the in-batch ordering contract for any user
+        # with more events than one Arrow batch)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(ts_col, kind="mergesort")
             ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
             types = pdf[type_col].to_numpy()
@@ -78,7 +87,8 @@ def streaming_funnel(
                 elif st[j - 1] is not None and st[j - 1] < t <= st[j - 1] + step_us:
                     st[j] = int(t)
                     changed = True
-        state.update(tuple(st))
+        if changed:
+            state.update(tuple(st))
         if not changed:
             yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
             return
@@ -91,8 +101,13 @@ def streaming_funnel(
             [[key[0], reached, *st]], columns=[f.name for f in out_schema.fields]
         )
 
+    # pre-filter to stage events: non-stage types (the vast majority of
+    # a real event stream) never reach the shuffle or the state store,
+    # and combined with the update-only-on-change rule above, state
+    # exists only for users who actually entered the funnel
     return (
         stream.select(user_col, ts_col, type_col)
+        .filter(F.col(type_col).isin(stages))
         .groupBy(user_col)
         .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
     )

@@ -650,6 +650,11 @@ def test_streaming_funnel_matches_batch(spark, events, events_stream_src, tmp_pa
 
     stages = ("view", "click", "purchase")
     step = 24 * 3600
+    # tiny Arrow batches: every user's per-batch rows span several
+    # chunks, exercising the concat-before-sort path (a per-chunk-only
+    # sort breaks batch equivalence for multi-chunk users)
+    old_arrow = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     out = streaming_funnel(
         _stream(spark, events_stream_src), "ts", "user_id", "event_type",
         stages, step,
@@ -661,7 +666,10 @@ def test_streaming_funnel_matches_batch(spark, events, events_stream_src, tmp_pa
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_arrow)
     got = {
         r.user_id: (r.stage_reached, r.t0, r.t1, r.t2)
         for r in funnel_final_positions(spark.table("funnel_updates")).collect()
@@ -709,7 +717,6 @@ def test_streaming_funnel_checkpoint_restart(spark, events, tmp_path):
     )
 
     ev = events.select("user_id", "ts", "event_type").sort("ts")
-    mid = ev.approxQuantile("user_id", [0.5], 0)  # noqa: F841 — any split works
     rows = ev.count()
     first = ev.limit(rows // 2)
     schema = ev.schema
