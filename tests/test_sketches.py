@@ -320,3 +320,36 @@ def test_lsh_topk_recall_improves_with_bands(spark, tables):
     # must still recover a majority of true neighbors — the knob a real
     # corpus would tune by its clusteredness
     assert recall(4, 8) > 0.5
+
+
+def test_band_signatures_udf_matches_per_band(spark, tables):
+    """The one-matmul multi-band signature UDF must be bit-identical
+    to per-band hyperplane_signature_udf calls (same salts, same
+    plane derivation) — the banded joins' correctness rests on it."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.similarity import (
+        _prep,
+        hyperplane_band_signatures_udf,
+        hyperplane_signature_udf,
+    )
+
+    base = _prep(tables["embeddings"], "vec_id", "embedding", "_id")
+    multi = {
+        r._id: list(r.sigs)
+        for r in base.select(
+            "_id",
+            hyperplane_band_signatures_udf(8, 4, 64, salt="lsh", scaled=True)(
+                F.col("_sv")
+            ).alias("sigs"),
+        ).collect()
+    }
+    for b in range(4):
+        per = base.select(
+            "_id",
+            hyperplane_signature_udf(8, 64, salt=f"lsh{b}", scaled=True)(
+                F.col("_sv")
+            ).alias("s"),
+        ).collect()
+        for r in per:
+            assert multi[r._id][b] == r.s, (r._id, b)
