@@ -67,3 +67,37 @@ def test_oracle_parity(name, spark, duck):
                 f"{name}: row {i} col {c}: spark={x!r} duck={y!r}\n"
                 f"  spark row: {ra}\n  duck row:  {rb}"
             )
+
+
+def test_no_hugeint_or_decimal_oracle_outputs(duck):
+    """The driver's value hash is TYPE-sensitive (CLAUDE.md): any
+    DuckDB oracle OUTPUT column typed HUGEINT (un-cast integer sum,
+    window sum) or DECIMAL hash-mismatches even when values are equal.
+    Audit every registered oracle's DESCRIBE — no Spark needed."""
+    import __spark_entry__ as entrymod
+
+    bad = []
+    for name, sql in entrymod.oracle_sql().items():
+        cols = duck.execute(f"DESCRIBE ({sql})").fetchall()
+        for col, typ, *_ in cols:
+            if "HUGEINT" in typ or "DECIMAL" in typ:
+                bad.append(f"{name}: {col} is {typ}")
+    assert not bad, "un-cast oracle aggregate outputs:\n" + "\n".join(bad)
+
+
+def test_query_and_oracle_column_names_align(spark, duck):
+    """Driver compare sorts columns by NAME before hashing — a Spark/
+    oracle alias mismatch fails even with identical values. Check the
+    full catalog's schemas statically (lazy Spark schema, DuckDB
+    DESCRIBE; no execution)."""
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bad = []
+    for name, sql in oracles.items():
+        duck_cols = sorted(r[0] for r in duck.execute(f"DESCRIBE ({sql})").fetchall())
+        spark_cols = sorted(queries[name](spark, SF_DIR).columns)
+        if duck_cols != spark_cols:
+            bad.append(f"{name}: spark={spark_cols} duck={duck_cols}")
+    assert not bad, "column-name mismatches:\n" + "\n".join(bad)
