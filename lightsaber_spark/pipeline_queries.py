@@ -1414,3 +1414,276 @@ def q_dedup_ngram_cut(spark, sf_dir):
     return ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.5, k=3, max_doc_freq=_JACCARD_CUT
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics, column profiling, PII redaction, and
+# edit-distance-verified fuzzy dedup (round 3 additions)
+# ---------------------------------------------------------------------------
+
+_TOP_BIGRAMS_K = 50
+
+
+@query(
+    "corpus_top_bigrams",
+    f"""
+    WITH t AS (SELECT {TOKS} AS toks FROM documents),
+    g0 AS (SELECT CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS gs FROM t),
+    g AS (SELECT unnest(gs) AS ngram FROM g0),
+    c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+    SELECT ngram, cnt FROM c ORDER BY cnt DESC, ngram LIMIT {_TOP_BIGRAMS_K}
+    """,
+)
+def q_corpus_top_bigrams(spark, sf_dir):
+    """Corpus-wide bigram frequency top-k (n-gram LM statistics): one
+    map-side-combinable hash aggregate + TakeOrderedAndProject. The
+    (cnt DESC, ngram ASC) order is strict (ngram unique post-agg), so
+    the k-boundary is deterministic on both engines."""
+    from lightsaber_spark.functions.text import corpus_ngram_counts
+
+    counts = corpus_ngram_counts(_docs(spark, sf_dir), n=2)
+    return counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(_TOP_BIGRAMS_K)
+
+
+@query(
+    "profile_events_columns",
+    """
+    WITH w AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) - count(event_id) AS BIGINT) AS nulls_event_id,
+        CAST(count(DISTINCT event_id) AS BIGINT) AS dist_event_id,
+        CAST(count(*) - count(ts) AS BIGINT) AS nulls_ts,
+        CAST(count(DISTINCT ts) AS BIGINT) AS dist_ts,
+        CAST(count(*) - count(user_id) AS BIGINT) AS nulls_user_id,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS dist_user_id,
+        CAST(count(*) - count(event_type) AS BIGINT) AS nulls_event_type,
+        CAST(count(DISTINCT event_type) AS BIGINT) AS dist_event_type,
+        CAST(count(*) - count(value) AS BIGINT) AS nulls_value,
+        CAST(count(DISTINCT value) AS BIGINT) AS dist_value,
+        CAST(count(*) - count(props) AS BIGINT) AS nulls_props,
+        CAST(count(DISTINCT props) AS BIGINT) AS dist_props
+      FROM events)
+    SELECT 'event_id' AS column_name, n AS n_rows, nulls_event_id AS n_nulls, dist_event_id AS n_distinct FROM w
+    UNION ALL SELECT 'ts', n, nulls_ts, dist_ts FROM w
+    UNION ALL SELECT 'user_id', n, nulls_user_id, dist_user_id FROM w
+    UNION ALL SELECT 'event_type', n, nulls_event_type, dist_event_type FROM w
+    UNION ALL SELECT 'value', n, nulls_value, dist_value FROM w
+    UNION ALL SELECT 'props', n, nulls_props, dist_props FROM w
+    """,
+)
+def q_profile_events(spark, sf_dir):
+    """ANALYZE-style exact column profile of ``events`` — one scan, one
+    multi-distinct aggregate (single Expand + hash agg in the plan)."""
+    from lightsaber_spark.functions.profiling import profile_columns
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return profile_columns(ev)
+
+
+def _pii_oracle() -> str:
+    from lightsaber_spark.functions.text import PII_PATTERNS
+
+    em, ph, ip = (PII_PATTERNS[k][0] for k in ("email", "phone", "ipv4"))
+    synth = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.' || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7' ELSE '' END"
+    )
+    red = "t"
+    for pat, tag in ((em, "<EMAIL>"), (ph, "<PHONE>"), (ip, "<IP>")):
+        red = "regexp_replace(" + red + ", '" + pat + "', '" + tag + "', 'g')"
+    return (
+        "WITH s AS (SELECT doc_id, " + synth + " AS t FROM documents)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(regexp_extract_all(t, '" + em + "')) AS BIGINT) AS n_email,\n"
+        "  CAST(len(regexp_extract_all(t, '" + ph + "')) AS BIGINT) AS n_phone,\n"
+        "  CAST(len(regexp_extract_all(t, '" + ip + "')) AS BIGINT) AS n_ipv4,\n"
+        "  " + red + " AS redacted\n"
+        "FROM s"
+    )
+
+
+@query("pii_redact_stats", _pii_oracle())
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: per-doc match counts + redacted text. The corpus
+    is synthetic word-soup with no natural PII, so deterministic PII
+    spans are injected first (same construction in the oracle — the
+    ``synthetic_png_media`` precedent), making every count non-vacuous
+    by construction. Redaction itself is pure Catalyst regexp
+    (map-only, whole-stage codegen)."""
+    from lightsaber_spark.functions.text import redact_pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" tel 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                F.expr("CAST((doc_id div 256) % 256 AS STRING)"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = redact_pii(d.select("doc_id", synth.alias("text")))
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
+
+
+_LEV_PERMILLE = 400
+
+
+def _minhash_lev_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    consts = _lcg_constants(n_hashes, seed)
+    r = n_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}" for j, (a, b) in enumerate(consts)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
+        for b in range(bands)
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded" for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM toks),
+    xs AS (SELECT doc_id, ({H60.format(x='s')}) % {X_BITS} AS x FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM xs GROUP BY 1),
+    banded AS (SELECT doc_id,
+           {band_cols}
+           FROM sig),
+    stacked AS ({stacked}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM stacked a JOIN stacked b
+               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+    FROM cand c JOIN documents a ON c.id_a = a.doc_id
+                JOIN documents b ON c.id_b = b.doc_id
+    WHERE levenshtein(a.text, b.text) * 1000
+          <= {_LEV_PERMILLE} * greatest(length(a.text), length(b.text))
+    """
+
+
+@query("dedup_minhash_levenshtein", _minhash_lev_oracle())
+def q_dedup_minhash_lev(spark, sf_dir):
+    """Fuzzy dedup with an edit-distance verifier: banded-MinHash
+    retrieval (equi-joins only) → JVM ``levenshtein`` on candidates
+    only, kept at normalized distance <= 40%. Complements the
+    Jaccard verifier: order-sensitive (shuffled near-dups score far
+    apart here), and the O(len²) cost is confined to the candidate
+    set."""
+    from lightsaber_spark.functions.dedup import minhash_levenshtein_pairs
+
+    return minhash_levenshtein_pairs(
+        _docs(spark, sf_dir), max_dist_permille=_LEV_PERMILLE
+    )
+
+
+_PMI_MIN_CNT = 5
+
+
+@query(
+    "collocations_pmi_topk",
+    f"""
+    WITH t AS (SELECT {TOKS} AS toks FROM documents),
+    u0 AS (SELECT unnest(toks) AS w FROM t),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM u0 GROUP BY 1),
+    n AS (SELECT CAST(sum(cw) AS BIGINT) AS nt FROM uni),
+    g0 AS (SELECT CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS gs FROM t),
+    bi AS (SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(gs) AS ngram FROM g0) GROUP BY 1
+           HAVING count(*) >= {_PMI_MIN_CNT})
+    SELECT ngram, cnt, c1.cw AS cnt_w1, c2.cw AS cnt_w2,
+           cnt * nt * 1.0 / (c1.cw * c2.cw) AS pmi_score
+    FROM bi, n
+    JOIN uni c1 ON split_part(ngram, ' ', 1) = c1.w
+    JOIN uni c2 ON split_part(ngram, ' ', 2) = c2.w
+    ORDER BY pmi_score DESC, ngram LIMIT {_TOP_BIGRAMS_K}
+    """,
+)
+def q_collocations_pmi(spark, sf_dir):
+    """Collocation extraction: top-k bigrams by log-free PMI — the
+    rational score ``cnt(xy)·N / (cnt(x)·cnt(y))`` is monotone in PMI
+    and stays exact: integer products (< 2^53) then ONE IEEE division,
+    identical on both engines. Unigram/bigram tables are map-side-
+    combinable aggregates; the scalar token total joins in as a 1-row
+    broadcast; the top-k is TakeOrderedAndProject."""
+    from lightsaber_spark.functions.text import corpus_ngram_counts
+
+    docs = _docs(spark, sf_dir)
+    uni = corpus_ngram_counts(docs, n=1).select(
+        F.col("ngram").alias("w"), F.col("cnt").alias("cw")
+    )
+    nt = uni.agg(F.sum("cw").cast("bigint").alias("nt"))
+    bi = corpus_ngram_counts(docs, n=2).filter(F.col("cnt") >= _PMI_MIN_CNT)
+    out = (
+        bi.crossJoin(F.broadcast(nt))
+        .join(
+            uni.withColumnRenamed("w", "_w1").withColumnRenamed("cw", "cnt_w1"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)) == F.col("_w1"),
+        )
+        .join(
+            uni.withColumnRenamed("w", "_w2").withColumnRenamed("cw", "cnt_w2"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)) == F.col("_w2"),
+        )
+        .select(
+            "ngram",
+            "cnt",
+            "cnt_w1",
+            "cnt_w2",
+            (
+                F.col("cnt") * F.col("nt") * F.lit(1.0)
+                / (F.col("cnt_w1") * F.col("cnt_w2"))
+            ).alias("pmi_score"),
+        )
+    )
+    return out.orderBy(F.desc("pmi_score"), F.asc("ngram")).limit(_TOP_BIGRAMS_K)
+
+
+_PASSAGE_K = 10
+
+
+@query(
+    "duplicated_passages_k10",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                range(greatest(len(toks) - {_PASSAGE_K - 1}, 0)),
+                i -> array_to_string(toks[i + 1:i + {_PASSAGE_K}], ' ')))) AS s
+            FROM t)
+    SELECT {H60.format(x='s')} AS passage_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM sh0 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_duplicated_passages(spark, sf_dir):
+    """Exact-substring-dedup approximation (Lee et al. 2021): every
+    10-token run shared by >= 2 documents, as a passage table keyed by
+    the 60-bit md5 hash. One explode + one hash aggregate."""
+    from lightsaber_spark.functions.dedup import duplicated_passages
+
+    return duplicated_passages(_docs(spark, sf_dir), k=_PASSAGE_K, min_docs=2)

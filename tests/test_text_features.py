@@ -249,3 +249,79 @@ def test_chunk_documents_edges(spark):
         chunk_documents(df, ctx_len=8, stride=9)
     with _pytest.raises(ValueError):
         chunk_documents(df, ctx_len=0)
+
+
+def test_corpus_ngram_counts_mass(tables, spark):
+    """Σ bigram counts == Σ per-doc max(n_tokens - 1, 0); unigram total
+    == token total (nothing dropped or double-counted by the HOF)."""
+    from lightsaber_spark.functions.text import corpus_ngram_counts, token_count
+
+    docs = tables["documents"]
+    bi = corpus_ngram_counts(docs, n=2).agg(F.sum("cnt")).collect()[0][0]
+    expect = (
+        docs.select(F.greatest(token_count(F.col("text")) - 1, F.lit(0)).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert bi == expect
+    uni = corpus_ngram_counts(docs, n=1).agg(F.sum("cnt")).collect()[0][0]
+    tot = docs.select(token_count(F.col("text")).alias("n")).agg(F.sum("n")).collect()[0][0]
+    assert uni == tot
+
+
+def test_profile_columns_exact(spark):
+    from lightsaber_spark.functions.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "k int, v string"
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["v"]["n_rows"] == 4
+    assert rows["k"]["n_nulls"] == 1 and rows["v"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2 and rows["v"]["n_distinct"] == 2
+
+
+def test_redact_pii_counts_and_idempotence(spark):
+    from lightsaber_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at bob.smith@example-site.org or call 555-0042 now"),
+            (1, "server 10.0.255.7 and 192.168.1.1 but not 1234.5.6.7890"),
+            (2, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1 and out[0]["n_ipv4"] == 0
+    assert "<EMAIL>" in out[0]["redacted"] and "<PHONE>" in out[0]["redacted"]
+    assert "@" not in out[0]["redacted"].replace("<EMAIL>", "")
+    # \b guards: 1234.5.6.7890 has 4-digit runs -> no IPv4 match
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["redacted"] == "clean text with no pii at all"
+    # redaction is idempotent: re-redacting the redacted text changes nothing
+    red = redact_pii(
+        redact_pii(df).select("doc_id", F.col("redacted").alias("text"))
+    ).collect()
+    for r in red:
+        assert r["redacted"] == r["text"]
+
+
+def test_minhash_levenshtein_subset_of_candidates(tables):
+    """Every emitted pair is an LSH candidate pair, distances respect
+    the permille bound, and the pair set is non-vacuous on the corpus."""
+    from lightsaber_spark.functions.dedup import (
+        minhash_levenshtein_pairs,
+        minhash_lsh_candidates,
+    )
+
+    docs = tables["documents"]
+    pairs = minhash_levenshtein_pairs(docs, max_dist_permille=400).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["edit_dist"] * 1000 <= 400 * r["max_len"]
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs} <= cands
