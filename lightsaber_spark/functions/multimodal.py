@@ -354,3 +354,110 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec: RIFF/WAVE PCM16 (stdlib struct only) — the audio
+# sibling of the PNG codec above. Same design: encode is used to
+# synthesize verifiable media from the shipped tables, decode is a
+# genuine parser (magic, chunk walk, size checks, int16 unpack), and
+# the decoded stats are exact integers a SQL oracle can predict.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: list[int], sample_rate: int = 16000) -> bytes:
+    """Real (stdlib-only) WAV encoder: mono PCM16 little-endian.
+    ``samples`` are signed 16-bit ints."""
+    data = struct.pack("<" + "h" * len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Real WAV decoder for mono PCM16: verifies the RIFF/WAVE magic,
+    the declared RIFF size, and the fmt chunk (PCM, 1 channel, 16-bit;
+    anything else raises), then unpacks the data chunk. Returns
+    ``(sample_rate, n_samples, samples)``."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len != len(data) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            tag, ch, rate, _brate, _align, bits = struct.unpack("<HHIIHH", payload[:16])
+            if (tag, ch, bits) != (1, 1, 16):
+                raise NotImplementedError("only mono PCM16 WAV supported")
+        elif cid == b"data":
+            if ln % 2:
+                raise ValueError("odd PCM16 data length")
+            samples = list(struct.unpack("<" + "h" * (ln // 2), payload))
+        pos += 8 + ln + (ln % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, len(samples), samples
+
+
+def synthetic_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one REAL WAV per input row (MEDIA_SCHEMA-shaped):
+    ``id % 200 + 50`` samples of the deterministic integer waveform
+    ``s_i = ((id+1)·(i+7)) % 4001 − 2000`` at ``8000·(id%3+1)`` Hz —
+    closed-form, so a SQL oracle can predict the decoded stats without
+    parsing bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = mid % 200 + 50
+                samples = [((mid + 1) * (i + 7)) % 4001 - 2000 for i in range(n)]
+                ids.append(mid)
+                blobs.append(encode_wav(samples, 8000 * (mid % 3 + 1)))
+            yield pd.DataFrame({"media_id": ids, "data": blobs, "mime": "audio/wav"})
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("amp_sum", LongType()),
+    StructField("energy", LongType()),
+])
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (MEDIA_SCHEMA-shaped) via Arrow-batched
+    mapInPandas: real RIFF parse + exact integer signal stats
+    (``amp_sum`` = Σ|s|, ``energy`` = Σs² — the loudness/energy
+    features an audio-quality gate filters on)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, d in zip(pdf["media_id"], pdf["data"]):
+                rate, n, samples = decode_wav(bytes(d))
+                rows.append((
+                    mid, rate, n,
+                    sum(abs(s) for s in samples),
+                    sum(s * s for s in samples),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "amp_sum", "energy"],
+            )
+
+    return df.mapInPandas(batches, AUDIO_SCHEMA)

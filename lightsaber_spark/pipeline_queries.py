@@ -1687,3 +1687,29 @@ def q_duplicated_passages(spark, sf_dir):
     from lightsaber_spark.functions.dedup import duplicated_passages
 
     return duplicated_passages(_docs(spark, sf_dir), k=_PASSAGE_K, min_docs=2)
+
+
+@query(
+    "multimodal_audio_decode_real",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 200 + 50 AS n FROM documents),
+    s AS (SELECT doc_id, n, ((doc_id + 1) * (i + 7)) % 4001 - 2000 AS v
+          FROM d, range(0, 250) t(i) WHERE i < n)
+    SELECT doc_id AS media_id,
+           CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+           CAST(sum(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_decode(spark, sf_dir):
+    """REAL audio codec end-to-end: one genuine RIFF/WAVE PCM16 file
+    per document (stdlib encoder) decoded by the stdlib WAV parser
+    (magic + size verification, fmt/data chunk walk, int16 unpack) into
+    exact integer signal stats. The oracle predicts sample counts,
+    Σ|s| and Σs² from the closed-form waveform — any container-parse
+    or sign-extension error diverges."""
+    from lightsaber_spark.functions.multimodal import decode_audio, synthetic_wav_media
+
+    return decode_audio(synthetic_wav_media(_docs(spark, sf_dir)))

@@ -65,3 +65,38 @@ def test_decode_media_real_rejects_non_png(spark):
     )
     with pytest.raises(Exception, match="signature"):
         decode_media(df, real_codec=True).collect()
+
+
+def test_wav_roundtrip_and_rejection():
+    import pytest
+    import struct
+
+    from lightsaber_spark.functions.multimodal import decode_wav, encode_wav
+
+    samples = [((11 + 1) * (i + 7)) % 4001 - 2000 for i in range(77)]
+    blob = encode_wav(samples, 24000)
+    rate, n, out = decode_wav(blob)
+    assert (rate, n, out) == (24000, 77, samples)
+    # extremes survive sign-extension
+    assert decode_wav(encode_wav([-32768, 32767, 0], 8000))[2] == [-32768, 32767, 0]
+    with pytest.raises(ValueError, match="magic"):
+        decode_wav(b"JUNK" + blob[4:])
+    with pytest.raises(ValueError, match="RIFF size"):
+        decode_wav(blob[:-2])
+    # flip fmt to stereo -> unsupported
+    bad = bytearray(blob)
+    ch_off = blob.index(b"fmt ") + 8 + 2
+    struct.pack_into("<H", bad, ch_off, 2)
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+
+
+def test_decode_audio_spark(spark, tables):
+    from lightsaber_spark.functions.multimodal import decode_audio, synthetic_wav_media
+
+    out = decode_audio(synthetic_wav_media(tables["documents"].limit(20))).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["n_samples"] == r["media_id"] % 200 + 50
+        assert r["sample_rate"] == 8000 * (r["media_id"] % 3 + 1)
+        assert 0 <= r["amp_sum"] <= 2000 * r["n_samples"]
