@@ -599,3 +599,115 @@ def redact_pii(
     for kind, (pat, tag) in pats.items():
         red = F.regexp_replace(red, pat, tag)
     return out.withColumn("redacted", red)
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> list[tuple[str, str]]:
+    """Learn byte-pair-encoding merges (Sennrich et al. 2016) from a
+    corpus: ONE distributed aggregate builds the word-type frequency
+    table (the classic BPE working set — distinct words + counts, with
+    ``min_count`` as the size valve), which is collected and iterated
+    driver-side exactly as the reference algorithm does. The collect is
+    bounded by vocabulary size, not corpus size — the standard split
+    for tokenizer training at 100 TB (count distributed, merge-loop
+    local, result broadcast).
+
+    Fully deterministic: ties broken by (count DESC, pair ASC). Words
+    carry the classic ``</w>`` end marker, so merges never cross word
+    boundaries and detokenization is lossless.
+    """
+    rows = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(list(r["w"]) + ["</w>"]): int(r["c"]) for r in rows
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE apply for one word (chars + ``</w>``): repeatedly
+    merge the lowest-rank adjacent pair until none applies — the
+    standard inference loop."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(sym, sym[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        # merge every occurrence of the chosen pair left-to-right
+        pair = (sym[best_i], sym[best_i + 1])
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                out.append(sym[i] + sym[i + 1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_tokenize_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched BPE tokenizer: applies the (broadcast-small) merge
+    list greedily per word, memoized per word type within the batch —
+    the apply-side of :func:`learn_bpe_merges`. Returns the full
+    subword array; callers take ``size(...)`` / hashes as needed."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    @pandas_udf("array<string>")
+    def _bpe(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in tok_re.findall(t.lower()):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = bpe_encode_word(w, ranks)
+                    memo[w] = enc
+                toks.extend(enc)
+            out.append(toks)
+        return pd.Series(out)
+
+    return _bpe

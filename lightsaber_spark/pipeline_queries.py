@@ -1713,3 +1713,35 @@ def q_multimodal_audio_decode(spark, sf_dir):
     from lightsaber_spark.functions.multimodal import decode_audio, synthetic_wav_media
 
     return decode_audio(synthetic_wav_media(_docs(spark, sf_dir)))
+
+
+@query("bpe_tokenize_docs")  # no SQL oracle: iterative merge learning
+def q_bpe_tokenize(spark, sf_dir):
+    """Real BPE tokenization end-to-end: merges learned from the corpus
+    word-type table (Sennrich et al. 2016; deterministic count-desc /
+    pair-asc tie-break), applied per document with the Arrow-batched
+    greedy encoder. Driver-checked rows-only (the merge loop is
+    iterative, not SQL-expressible); the strong checks are the pytest
+    invariants: hand-computed merges on a known corpus, lossless
+    detokenization, and monotone token counts.
+
+    Documented EAGER exception (like ``ivf_topk``): learning collects
+    the word-type frequency table (vocabulary-bounded, not
+    corpus-bounded) at build time.
+    """
+    from lightsaber_spark.functions.dedup import shingle_hash
+    from lightsaber_spark.functions.text import (
+        bpe_tokenize_udf,
+        learn_bpe_merges,
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = learn_bpe_merges(docs, n_merges=40, min_count=2)
+    toks = bpe_tokenize_udf(merges)(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_word_tokens"),
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        shingle_hash(F.concat_ws(" ", toks)).alias("tokens_hash"),
+    )

@@ -53,6 +53,13 @@ QUERIES = [
     "asof_event_last_order_3d",
     "funnel_view_click_purchase",
     "text_context_length_histogram",
+    "corpus_top_bigrams",
+    "collocations_pmi_topk",
+    "duplicated_passages_k10",
+    "dedup_minhash_levenshtein",
+    "pii_redact_stats",
+    "profile_events_columns",
+    "multimodal_audio_decode_real",
 ]
 
 _COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")

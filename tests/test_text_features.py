@@ -325,3 +325,63 @@ def test_minhash_levenshtein_subset_of_candidates(tables):
         for r in minhash_lsh_candidates(docs).collect()
     }
     assert {(r["id_a"], r["id_b"]) for r in pairs} <= cands
+
+
+def test_bpe_learn_matches_hand_computed(spark):
+    """Sennrich-style toy corpus: merges and encodings verified by hand."""
+    from lightsaber_spark.functions.text import (
+        bpe_encode_word,
+        bpe_tokenize_udf,
+        learn_bpe_merges,
+    )
+
+    # word types: low x5, lowest x2  (single doc, space-separated)
+    df = spark.createDataFrame(
+        [("low low low low low lowest lowest",)], "text string"
+    )
+    merges = learn_bpe_merges(df, n_merges=4)
+    # pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, ... ->
+    # tie (l,o)/(o,w) broken lexicographically: (l,o) first
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    assert merges[2] == ("low", "</w>")
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    assert bpe_encode_word("low", ranks) == ["low</w>"]
+    assert bpe_encode_word("lowest", ranks)[0] == "low"
+    # unseen word degrades to chars + marker, never fails
+    out = bpe_encode_word("zq", {})
+    assert out == ["z", "q", "</w>"]
+    # Spark apply matches the local encoder
+    enc = (
+        spark.createDataFrame([("low lowest zq",)], "text string")
+        .select(bpe_tokenize_udf(merges)(F.col("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    expect = (
+        bpe_encode_word("low", ranks)
+        + bpe_encode_word("lowest", ranks)
+        + bpe_encode_word("zq", ranks)
+    )
+    assert enc == expect
+
+
+def test_bpe_detokenization_lossless(tables):
+    """concat(bpe tokens) with </w> -> spaces reproduces the word
+    sequence exactly, and more merges never increase the token count."""
+    from lightsaber_spark.functions.text import (
+        bpe_tokenize_udf,
+        learn_bpe_merges,
+        tokens,
+    )
+
+    docs = tables["documents"].limit(50)
+    merges = learn_bpe_merges(docs, n_merges=30, min_count=2)
+    rows = docs.select(
+        tokens(F.col("text")).alias("words"),
+        bpe_tokenize_udf(merges)(F.col("text")).alias("bpe"),
+        bpe_tokenize_udf(merges[:10])(F.col("text")).alias("bpe10"),
+    ).collect()
+    for r in rows:
+        joined = "".join(r["bpe"]).replace("</w>", " ").split()
+        assert joined == r["words"]
+        assert len(r["bpe"]) <= len(r["bpe10"])
