@@ -711,3 +711,27 @@ def bpe_tokenize_udf(merges: list[tuple[str, str]]):
         return pd.Series(out)
 
     return _bpe
+
+
+def collapse_repeats_udf(pattern: str = WORD_RE):
+    """Arrow-batched consecutive-duplicate-token collapse — the crawl-
+    artifact cleaner ("buy buy buy now now" → "buy now"). Returns a
+    struct of the cleaned (space-joined, normalized) text and the
+    before/after token counts; deterministic, oracle-exact (DuckDB
+    ``list_filter`` with an index lambda reproduces it)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    tok_re = _re.compile(pattern)
+
+    @pandas_udf("struct<cleaned:string,n_before:bigint,n_after:bigint>")
+    def _cr(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            out = [w for j, w in enumerate(toks) if j == 0 or toks[j - 1] != w]
+            rows.append((" ".join(out), len(toks), len(out)))
+        return pd.DataFrame(rows, columns=["cleaned", "n_before", "n_after"])
+
+    return _cr

@@ -1745,3 +1745,27 @@ def q_bpe_tokenize(spark, sf_dir):
         F.size(toks).cast("bigint").alias("n_bpe_tokens"),
         shingle_hash(F.concat_ws(" ", toks)).alias("tokens_hash"),
     )
+
+
+@query(
+    "text_collapse_repeats",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS l FROM documents),
+    c AS (SELECT doc_id, l, list_filter(l, (x, i) -> i = 1 OR l[i-1] <> x) AS o FROM t)
+    SELECT doc_id,
+           array_to_string(o, ' ') AS cleaned,
+           CAST(len(l) AS BIGINT) AS n_before,
+           CAST(len(o) AS BIGINT) AS n_after
+    FROM c
+    """,
+)
+def q_collapse_repeats(spark, sf_dir):
+    """Consecutive-duplicate-token collapse per document (crawl-artifact
+    cleaning) — Arrow-batched, map-only; non-vacuous on this corpus
+    (the synthetic word soup contains genuine runs)."""
+    from lightsaber_spark.functions.text import collapse_repeats_udf
+
+    s = collapse_repeats_udf()(F.col("text")).alias("s")
+    return _docs(spark, sf_dir).select("doc_id", s).select(
+        "doc_id", "s.cleaned", "s.n_before", "s.n_after"
+    )
