@@ -483,15 +483,23 @@ def minhash_levenshtein_pairs(
         .join(txt.withColumnRenamed("_tid", "id_b"), "id_b")
         .withColumnRenamed("_txt", "_tb")
     )
+    # Banded levenshtein: pass the per-pair bound T = ⌊permille·max_len
+    # / 1000⌋ as the threshold — Spark computes only a 2T+1-wide band
+    # (O(n·T), not O(n·m)) and returns -1 above it. ``dist <= T`` ⟺
+    # ``1000·dist <= permille·max_len`` for integers, so the kept pairs
+    # and their exact distances are identical to the unbanded form (the
+    # oracle computes the full distance and filters).
+    thr = (
+        f"CAST(({max_dist_permille} * greatest(length(_ta), length(_tb)))"
+        " DIV 1000 AS INT)"
+    )
     out = joined.select(
         "id_a",
         "id_b",
-        F.levenshtein("_ta", "_tb").cast("bigint").alias("edit_dist"),
+        F.expr(f"levenshtein(_ta, _tb, {thr})").cast("bigint").alias("edit_dist"),
         F.greatest(F.length("_ta"), F.length("_tb")).cast("bigint").alias("max_len"),
     )
-    return out.filter(
-        F.col("edit_dist") * 1000 <= F.lit(max_dist_permille) * F.col("max_len")
-    )
+    return out.filter(F.col("edit_dist") >= 0)
 
 
 def _jaccard_for_pairs(
