@@ -156,10 +156,22 @@ def shingle_arrays(
 _SHINGLE_CACHES: list[DataFrame] = []
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and enroll it in the query-scoped cache lifecycle
+    (released by :func:`release_shingle_caches`, which the bench/parity
+    harnesses call after each query). For any non-trivial subplan a
+    query instantiates more than once — AQE exchange reuse is not
+    reliable (CLAUDE.md), so multiply-referenced subplans must persist."""
+    out = df.persist()
+    _SHINGLE_CACHES.append(out)
+    return out
+
+
 def release_shingle_caches() -> int:
-    """Unpersist every shingle cache created since the last release;
-    returns how many were dropped. Safe to call any time — consuming
-    plans recompute from source if re-evaluated later."""
+    """Unpersist every registered query-scoped cache (shingle arrays +
+    anything enrolled via :func:`register_cache`) created since the
+    last release; returns how many were dropped. Safe to call any time
+    — consuming plans recompute from source if re-evaluated later."""
     n = len(_SHINGLE_CACHES)
     for df in _SHINGLE_CACHES:
         df.unpersist()
@@ -403,6 +415,8 @@ def minhash_lsh_pairs(
     Verification reuses the exact inverted-index Jaccard, restricted to
     candidates (semi-join), so output = (LSH recall) ∩ (true >= τ).
     """
+    if n_hashes % bands != 0:  # fail fast, before any cache registers
+        raise ValueError("bands must divide n_hashes")
     arr = shingle_arrays(df, text_col, id_col, k)
     cands = minhash_lsh_candidates(
         df, n_hashes, bands, k, text_col, id_col, seed, _arr=arr
@@ -418,11 +432,20 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    max_bucket: int | None = None,
     _arr: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs ``(id_a < id_b)`` from banded MinHash —
     the retrieval stage alone, shared by every verifier (exact Jaccard,
-    Levenshtein, ...). Equi-joins only; never an all-pairs product."""
+    Levenshtein, ...). Equi-joins only; never an all-pairs product.
+
+    ``max_bucket`` is the hot-bucket valve (the analog of the Jaccard
+    path's ``max_doc_freq``): a (band, bucket) group with ``b`` members
+    emits b·(b−1)/2 pairs, so one degenerate bucket (boilerplate,
+    near-empty docs) can dominate the verify stage; groups larger than
+    ``max_bucket`` are dropped from retrieval. Choose it above the
+    largest genuine near-dup family so it is a no-op until it matters.
+    """
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
@@ -442,6 +465,14 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        sizes = stacked.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        stacked = stacked.join(
+            sizes.filter(F.col("_bsz") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
+        )
     return (
         stacked.alias("a")
         .join(
@@ -464,6 +495,7 @@ def minhash_levenshtein_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Edit-distance-verified fuzzy dedup: banded-MinHash retrieval →
     JVM ``levenshtein`` on the candidate pairs only, kept when
@@ -471,11 +503,18 @@ def minhash_levenshtein_pairs(
     arithmetic on both engines (DuckDB has the same classic
     ``levenshtein``), so the oracle matches bit-for-bit.
 
-    Scale: the O(len²) distance runs on LSH candidates only (a
-    vanishing fraction of the corpus); the retrieval stage is the same
-    shuffle-bounded band join as :func:`minhash_lsh_pairs`.
+    Cost model (be honest about it): per-pair work is O(len·T) via the
+    threshold-banded levenshtein with T = permille·max_len/1000 — at
+    the 400‰ default the band is still ~80% of the matrix, so this is
+    candidate-COUNT-bound, not cheap per candidate (the 10× scale
+    smoke grows ~15× on ~50× more qualifying pairs: output-bound, the
+    correct shape, but a hot LSH bucket would hurt — that's what
+    ``max_bucket`` caps). Lower ``max_dist_permille`` tightens both
+    the semantic and the band width.
     """
-    cands = minhash_lsh_candidates(df, n_hashes, bands, k, text_col, id_col, seed)
+    cands = minhash_lsh_candidates(
+        df, n_hashes, bands, k, text_col, id_col, seed, max_bucket=max_bucket
+    )
     txt = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
     joined = (
         cands.join(txt.withColumnRenamed("_tid", "id_a"), "id_a")

@@ -30,13 +30,21 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     cols = list(df.columns) if cols is None else list(cols)
     if not cols:
         raise ValueError("no columns to profile")
+    def _q(s: str) -> str:
+        return "`" + s.replace("`", "``") + "`"
+
+    # backtick-quoted references throughout: column names with
+    # dots/spaces/quotes profile fine
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"_dist_{c}"))
+        qc = F.col(_q(c))
+        aggs.append(F.sum(qc.isNull().cast("bigint")).alias(f"_nulls_{c}"))
+        aggs.append(F.count_distinct(qc).alias(f"_dist_{c}"))
     wide = df.agg(*aggs)
+
     stack_args = ", ".join(
-        f"'{c}', _nulls_{c}, _dist_{c}" for c in cols
+        "'{}', {}, {}".format(c.replace("'", "''"), _q(f"_nulls_{c}"), _q(f"_dist_{c}"))
+        for c in cols
     )
     return wide.select(
         F.expr(

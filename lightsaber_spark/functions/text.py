@@ -585,18 +585,18 @@ def redact_pii(
     Patterns must stay in the Java/RE2 common subset so the DuckDB
     oracle (``regexp_replace(..., 'g')``) matches byte-for-byte.
     Replacement ORDER is part of the contract: kinds apply in dict
-    order, and earlier replacements can consume text later patterns
-    would otherwise match (e.g. the IP pattern never sees an address
-    inside an already-redacted email).
+    order, and each ``n_<kind>`` is counted on the text AFTER the
+    earlier kinds were replaced — so the counts describe exactly the
+    spans that carry that kind's tag in ``redacted`` (a span consumed
+    by an earlier replacement is neither tagged nor counted twice).
     """
     pats = PII_PATTERNS if patterns is None else patterns
     out = df
     red = F.col(text_col)
-    for kind, (pat, _tag) in pats.items():
-        out = out.withColumn(
-            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
-        )
     for kind, (pat, tag) in pats.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(red, F.lit(pat)).cast("bigint")
+        )
         red = F.regexp_replace(red, pat, tag)
     return out.withColumn("redacted", red)
 

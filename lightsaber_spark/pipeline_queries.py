@@ -1494,16 +1494,24 @@ def _pii_oracle() -> str:
         " || CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
         " || '.' || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7' ELSE '' END"
     )
+    # progressive semantics (mirror redact_pii): each kind is counted
+    # on the text with the EARLIER kinds already replaced
     red = "t"
-    for pat, tag in ((em, "<EMAIL>"), (ph, "<PHONE>"), (ip, "<IP>")):
+    counts = []
+    for name, pat, tag in (
+        ("n_email", em, "<EMAIL>"),
+        ("n_phone", ph, "<PHONE>"),
+        ("n_ipv4", ip, "<IP>"),
+    ):
+        counts.append(
+            f"  CAST(len(regexp_extract_all({red}, '{pat}')) AS BIGINT) AS {name},\n"
+        )
         red = "regexp_replace(" + red + ", '" + pat + "', '" + tag + "', 'g')"
     return (
         "WITH s AS (SELECT doc_id, " + synth + " AS t FROM documents)\n"
         "SELECT doc_id,\n"
-        "  CAST(len(regexp_extract_all(t, '" + em + "')) AS BIGINT) AS n_email,\n"
-        "  CAST(len(regexp_extract_all(t, '" + ph + "')) AS BIGINT) AS n_phone,\n"
-        "  CAST(len(regexp_extract_all(t, '" + ip + "')) AS BIGINT) AS n_ipv4,\n"
-        "  " + red + " AS redacted\n"
+        + "".join(counts)
+        + "  " + red + " AS redacted\n"
         "FROM s"
     )
 
@@ -1546,6 +1554,10 @@ def q_pii_redact(spark, sf_dir):
 
 
 _LEV_PERMILLE = 400
+# hot-bucket valve: > largest genuine family at every shipped scale
+# (max observed bucket: 5 at sf0.01, 16 at sf0.1, ~160 in the 10×
+# smoke corpus) — a no-op on the correctness gates, a bound at 100 TB
+_LEV_MAX_BUCKET = 256
 
 
 def _minhash_lev_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
@@ -1572,8 +1584,12 @@ def _minhash_lev_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> s
            {band_cols}
            FROM sig),
     stacked AS ({stacked}),
+    keepb AS (SELECT band, bucket
+              FROM (SELECT band, bucket, count(*) AS c FROM stacked GROUP BY 1, 2)
+              WHERE c <= {_LEV_MAX_BUCKET}),
+    kept AS (SELECT s.* FROM stacked s JOIN keepb USING (band, bucket)),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM stacked a JOIN stacked b
+             FROM kept a JOIN kept b
                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
     SELECT c.id_a, c.id_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
@@ -1596,7 +1612,9 @@ def q_dedup_minhash_lev(spark, sf_dir):
     from lightsaber_spark.functions.dedup import minhash_levenshtein_pairs
 
     return minhash_levenshtein_pairs(
-        _docs(spark, sf_dir), max_dist_permille=_LEV_PERMILLE
+        _docs(spark, sf_dir),
+        max_dist_permille=_LEV_PERMILLE,
+        max_bucket=_LEV_MAX_BUCKET,
     )
 
 
@@ -1631,11 +1649,17 @@ def q_collocations_pmi(spark, sf_dir):
     identical on both engines. Unigram/bigram tables are map-side-
     combinable aggregates; the scalar token total joins in as a 1-row
     broadcast; the top-k is TakeOrderedAndProject."""
+    from lightsaber_spark.functions.dedup import register_cache
     from lightsaber_spark.functions.text import corpus_ngram_counts
 
     docs = _docs(spark, sf_dir)
-    uni = corpus_ngram_counts(docs, n=1).select(
-        F.col("ngram").alias("w"), F.col("cnt").alias("cw")
+    # the unigram table feeds THREE consumers (nt + both join sides);
+    # AQE exchange reuse is unreliable, so persist it (query-scoped
+    # cache lifecycle — released by the harness after materialization)
+    uni = register_cache(
+        corpus_ngram_counts(docs, n=1).select(
+            F.col("ngram").alias("w"), F.col("cnt").alias("cw")
+        )
     )
     nt = uni.agg(F.sum("cw").cast("bigint").alias("nt"))
     bi = corpus_ngram_counts(docs, n=2).filter(F.col("cnt") >= _PMI_MIN_CNT)

@@ -385,3 +385,53 @@ def test_bpe_detokenization_lossless(tables):
         joined = "".join(r["bpe"]).replace("</w>", " ").split()
         assert joined == r["words"]
         assert len(r["bpe"]) <= len(r["bpe10"])
+
+
+def test_redact_pii_progressive_counts(spark):
+    """A span consumed by an earlier kind is neither tagged nor counted
+    by a later kind: counts describe the redacted output exactly."""
+    from lightsaber_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "reach 555-0042@example.com ok")], "doc_id long, text string"
+    )
+    r = redact_pii(df).collect()[0]
+    # email pattern eats '0042@example.com'; the leftover '555-' is no
+    # longer followed by 4 digits, so n_phone counts 0 — matching the
+    # single <EMAIL> tag in the output
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+    assert r["redacted"] == "reach 555-<EMAIL> ok"
+
+
+def test_profile_columns_odd_names(spark):
+    from lightsaber_spark.functions.profiling import profile_columns
+
+    df = spark.createDataFrame([(1, "x"), (None, "y")], ["my col", "a.b"])
+    rows = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert rows["my col"]["n_nulls"] == 1
+    assert rows["a.b"]["n_distinct"] == 2
+
+
+def test_minhash_bucket_valve(tables):
+    """max_bucket above every bucket size is a no-op; max_bucket=0
+    drops all retrieval; invalid bands fail before any cache registers."""
+    import pytest
+
+    from lightsaber_spark.functions.dedup import (
+        _SHINGLE_CACHES,
+        minhash_lsh_candidates,
+        minhash_lsh_pairs,
+        release_shingle_caches,
+    )
+
+    docs = tables["documents"]
+    base = {tuple(r) for r in minhash_lsh_candidates(docs).collect()}
+    capped = {
+        tuple(r) for r in minhash_lsh_candidates(docs, max_bucket=10**6).collect()
+    }
+    assert base == capped
+    assert minhash_lsh_candidates(docs, max_bucket=0).count() == 0
+    release_shingle_caches()
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, threshold=0.5, n_hashes=32, bands=5)
+    assert not _SHINGLE_CACHES  # fail-fast left no cache behind
