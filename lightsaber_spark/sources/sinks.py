@@ -55,3 +55,39 @@ def memory_sink(stream_df: DataFrame, name: str, checkpoint: str, output_mode: s
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Deterministic sharded corpus export — the hand-off format for
+    training data loaders: shard = 60-bit md5 of the key mod
+    ``n_shards`` (stable across retries, cluster sizes, and reruns —
+    NEVER partition- or RNG-derived), rows sorted by key within each
+    shard, one file per shard.
+
+    Layout mechanics: ``repartitionByRange`` on the shard id gives
+    ~one shard value per task (AQE-independent), ``partitionBy`` lays
+    each shard in its own directory for pruned reads, and the
+    within-partition sort makes file contents reproducible
+    byte-for-byte. One shuffle total.
+    """
+    from pyspark.sql import functions as F
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % n_shards
+    )
+    out = (
+        df.withColumn("shard", shard)
+        .repartitionByRange(n_shards, "shard")
+        .sortWithinPartitions("shard", key_col)
+    )
+    out.write.format(fmt).mode(mode).partitionBy("shard").save(path)

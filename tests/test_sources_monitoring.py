@@ -190,3 +190,36 @@ def test_kafka_source_wiring_reaches_resolution(spark):
 
     with pytest.raises(Exception, match="(?i)kafka"):
         kafka_source(spark, "localhost:9092", "events")
+
+
+def test_write_training_shards_deterministic(spark, tables, tmp_path):
+    """Shard assignment is a pure function of the key (identical across
+    two writes), every shard directory exists, shard = h60(key) % n,
+    and within-shard order is the sorted key order."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.sources.sinks import write_training_shards
+
+    docs = tables["documents"].select("doc_id", "source")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, n_shards=8)
+    write_training_shards(docs, p2, n_shards=8)
+    r1 = spark.read.parquet(p1)
+    r2 = spark.read.parquet(p2)
+    a = {(r["doc_id"], r["shard"]) for r in r1.collect()}
+    b = {(r["doc_id"], r["shard"]) for r in r2.collect()}
+    assert a == b and len(a) == docs.count()
+    assert r1.select("shard").distinct().count() == 8
+    expect = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % 8
+        ).alias("s"),
+    )
+    got = r1.select("doc_id", F.col("shard").cast("bigint").alias("s2"))
+    assert expect.join(got, "doc_id").filter(F.col("s") != F.col("s2")).count() == 0
+    # single file per shard directory (plus metadata)
+    import glob
+    for d in glob.glob(p1 + "/shard=*"):
+        assert len(glob.glob(d + "/*.parquet")) == 1
