@@ -1793,3 +1793,59 @@ def q_collapse_repeats(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", s).select(
         "doc_id", "s.cleaned", "s.n_before", "s.n_after"
     )
+
+
+@query(
+    "window_zscore_outliers",
+    """
+    WITH e AS (SELECT event_id, event_type,
+                      (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+                      CAST(round(value * 100) AS BIGINT) AS x
+               FROM events),
+    st AS (SELECT window_start, event_type,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS s,
+                  CAST(sum(x * x) AS BIGINT) AS q
+           FROM e GROUP BY 1, 2
+           HAVING count(*) >= 10)
+    SELECT e.event_id, e.window_start, e.event_type, st.n AS n_pop
+    FROM e JOIN st USING (window_start, event_type)
+    WHERE (st.n * e.x - st.s) * (st.n * e.x - st.s)
+          > 4 * (st.n * st.q - st.s * st.s)
+    """,
+)
+def q_window_zscore_outliers(spark, sf_dir):
+    """Windowed anomaly detection: events more than 2 population
+    standard deviations from their (tumbling 1-day window × event_type)
+    mean. The z-score test is algebraically cleared of division and
+    sqrt — ``(n·x − s)² > k²·(n·q − s²)`` over integer cents — so the
+    flagging is EXACT on both engines (no float epsilon at the
+    boundary). Plan: one map-side-combinable stats aggregate + an
+    equi-join of events to their window's stats row; windows with
+    n < 10 are skipped (z-scores are meaningless on tiny populations).
+    Integer headroom: |terms| ≤ n²·max(x)² — fine for window-bounded
+    n·max(x) < 3·10⁹ (here n ~ 10³, x ~ 10⁴)."""
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    e = ev.select(
+        "event_id",
+        "event_type",
+        _exact_bucket(epoch_us(ev, "ts"), 86400).alias("window_start"),
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    st = (
+        e.groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("q"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    j = e.join(st, ["window_start", "event_type"])
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return j.filter(dev * dev > F.lit(4) * var_n2).select(
+        "event_id", "window_start", "event_type", F.col("n").alias("n_pop")
+    )
