@@ -35,7 +35,11 @@ _CANONICAL = [
 ]
 
 # Queries whose past green row no longer vouches for the current code —
-# force a fresh check regardless of history. Round 3: the two as-of
+# mapped to the round whose re-implementation staled them: a driver
+# row from any round < the value does NOT count as green (so the query
+# rotates forward), while a row >= the value clears the flag
+# automatically — no manual cleanup once the driver re-verifies.
+# Round 3 stales (value 3, r02 rows don't vouch): the two as-of
 # queries whose r02 green was vacuous (0 rows on both engines —
 # rewritten to be non-empty by construction), and every r02-green query
 # whose implementation this round rewrote: the Jaccard join (uncut →
@@ -46,19 +50,19 @@ _CANONICAL = [
 _FORCE_RECHECK = {
     # candidate-stage extraction refactor (minhash_lsh_candidates) sits
     # under this query — plan-identical, but re-verify per the rule
-    "dedup_minhash_lsh",
-    "asof_event_last_order_3d",
-    "asof_event_next_order",
-    "dedup_ngram_jaccard",
-    "sim_lsh_topk",
-    "dedup_embedding_lsh",
-    "sim_brute_topk",
-    "sim_ivf_kmeans_topk",
-    "sg1_ref_window_3600_1",
-    "gapfill_tumbling_count",
-    "gapfill_sliding_count",
-    "pack_sequences_ctx512",
-    "pack_sequences_shuffled_ctx512",
+    "dedup_minhash_lsh": 3,
+    "asof_event_last_order_3d": 3,
+    "asof_event_next_order": 3,
+    "dedup_ngram_jaccard": 3,
+    "sim_lsh_topk": 3,
+    "dedup_embedding_lsh": 3,
+    "sim_brute_topk": 3,
+    "sim_ivf_kmeans_topk": 3,
+    "sg1_ref_window_3600_1": 3,
+    "gapfill_tumbling_count": 3,
+    "gapfill_sliding_count": 3,
+    "pack_sequences_ctx512": 3,
+    "pack_sequences_shuffled_ctx512": 3,
 }
 
 
@@ -99,18 +103,24 @@ def _last_green_round() -> dict[str, int]:
 
 def _ordered(mapping: dict) -> dict:
     """Canonical reference-benchmark queries first, then everything else
-    by staleness: never-green (or force-rechecked) queries before
+    by staleness tier: never-green (no driver row EVER — the judge's
+    top verification ask) before force-rechecked stale-greens before
     older-green before recently-green, original registration order as
-    the tie-break. New queries have no CORRECTNESS row → front."""
+    the tie-break. New queries have no CORRECTNESS row → front. The
+    driver's sweep cap (~50) truncates the tail, so tier order is what
+    guarantees the highest-information queries get their row first."""
     last = _last_green_round()
     reg_index = {n: i for i, n in enumerate(mapping)}
     rest = [n for n in mapping if n not in set(_CANONICAL)]
-    rest.sort(
-        key=lambda n: (
-            -1 if n in _FORCE_RECHECK else last.get(n, -1),
-            reg_index[n],
-        )
-    )
+
+    def tier(n: str) -> int:
+        if n not in last:
+            return -2  # never had any green driver row
+        if last[n] < _FORCE_RECHECK.get(n, 0):
+            return -1  # green, but from before the staling rewrite
+        return last[n]
+
+    rest.sort(key=lambda n: (tier(n), reg_index[n]))
     order = [n for n in _CANONICAL if n in mapping] + rest
     return {n: mapping[n] for n in order}
 

@@ -575,3 +575,60 @@ def gap_filled(
         if func == "count":
             out = out.withColumn(alias, F.coalesce(F.col(alias), F.lit(0)))
     return out
+
+
+def interpolated_fill(
+    agg_result: DataFrame,
+    spine: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    t_col: str = "window_start",
+) -> DataFrame:
+    """Linear interpolation of missing windows — the value-filling
+    counterpart of :func:`gap_filled` (which only emits count→0).
+
+    ``agg_result`` holds one **integer** ``value_col`` per present
+    ``(keys..., t_col)`` bucket; ``spine`` is the full bucket grid
+    (e.g. :func:`window_spine` output, optionally cross-joined with the
+    key set by the caller). Buckets outside a key's [first, last]
+    present range are dropped (no extrapolation).
+
+    EXACTNESS: interpolation divides, and cross-engine float division
+    is not bit-stable — so the result is emitted as an exact integer
+    fraction ``(num, den)`` with ``value = num/den``:
+
+        present:  num = v,                              den = 1
+        missing:  num = v_prev·(t_next−t) + v_next·(t−t_prev),
+                  den = t_next − t_prev
+
+    Scale shape: one left join onto the spine plus two linear window
+    scans per key (carry-forward / carry-backward with ``ignorenulls``)
+    — no self-join, no per-gap pair space. Parallelism is bounded by
+    the key cardinality (window partitioned by ``keys``); for the
+    un-keyed global series the scan is single-partition by nature, as
+    in any per-series operator.
+    """
+    from pyspark.sql.window import Window as W
+
+    key_cols = list(keys)
+    g = spine.join(agg_result, on=[*key_cols, t_col], how="left")
+    part = W.partitionBy(*key_cols) if key_cols else W.partitionBy()
+    w_prev = part.orderBy(t_col).rowsBetween(W.unboundedPreceding, 0)
+    w_next = part.orderBy(t_col).rowsBetween(0, W.unboundedFollowing)
+    v = F.col(value_col)
+    t = F.col(t_col)
+    present_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_t = F.last(present_t, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_t = F.first(present_t, ignorenulls=True).over(w_next)
+    num = F.when(v.isNotNull(), v).otherwise(
+        prev_v * (next_t - t) + next_v * (t - prev_t)
+    )
+    den = F.when(v.isNotNull(), F.lit(1)).otherwise(next_t - prev_t)
+    return (
+        g.withColumn("num", num.cast("bigint"))
+        .withColumn("den", den.cast("bigint"))
+        .filter(F.col("num").isNotNull())
+        .select(*key_cols, t_col, "num", "den")
+    )

@@ -26,6 +26,7 @@ from lightsaber_spark.functions.text import (
     repetition_stats,
     text_stats,
     token_count,
+    tokens,
     winnow_fingerprints_udf,
 )
 from lightsaber_spark.functions.dedup import (
@@ -1848,4 +1849,148 @@ def q_window_zscore_outliers(spark, sf_dir):
     var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
     return j.filter(dev * dev > F.lit(4) * var_n2).select(
         "event_id", "window_start", "event_type", F.col("n").alias("n_pop")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding column statistics — per-dimension profile of an
+# array<float> embedding column (training-data QA: dead dims, scale
+# drift, outliers). Pure Catalyst: one posexplode + one
+# map-side-combinable hash aggregate keyed on the tiny dim domain.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_dim_stats",
+    f"""
+    WITH u AS (SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+                      CAST(round(CAST(unnest(embedding) AS DOUBLE) * {SCALE})
+                           AS BIGINT) AS x
+               FROM embeddings)
+    SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(x * x) AS BIGINT) AS q,
+           CAST(min(x) AS BIGINT) AS mn, CAST(max(x) AS BIGINT) AS mx
+    FROM u GROUP BY 1
+    """,
+)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension count/sum/sum-of-squares/min/max over the scaled
+    (×1e6, HALF_UP — the GEMM-kernel convention) integer embedding
+    values: mean and variance are recoverable exactly as s/n and
+    (n·q − s²)/n². The zipped parallel-unnest oracle mirrors
+    posexplode's 0-based ordinal. Integer headroom: |x| ≲ 1e6·|v|, so
+    q ≤ rows·1e12·max|v|² — bigint-safe through ~1e6 rows per dim per
+    partial; the final sum is exact bigint arithmetic either way."""
+    e = _embs(spark, sf_dir).select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    x = F.round(F.col("v").cast("double") * SCALE).cast("bigint")
+    return (
+        e.select(F.col("dim").cast("bigint").alias("dim"), x.alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality scorer — fixed-weight model over the cheap text
+# features (the learned-classifier stage of a pretraining pipeline,
+# with integer weights so the score — and therefore the top-k
+# boundary — is exact on both engines).
+# ---------------------------------------------------------------------------
+_QSCORE_STOP_IN = ", ".join("'" + s + "'" for s in STOPWORDS)
+
+
+@query(
+    "quality_linear_score_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS} AS toks, length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(5 * len(toks) + n_chars
+                - 3 * len(list_filter(toks, x -> x IN ({_QSCORE_STOP_IN})))
+                - 2 * n_punct AS BIGINT) AS score
+    FROM t ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def q_quality_linear_score(spark, sf_dir):
+    """score = 5·tokens + chars − 3·stopwords − 2·punct (integer
+    weights × integer features → exact; ties broken by doc_id so the
+    k-boundary is deterministic). Plan: one narrow projection pass +
+    TakeOrderedAndProject — no shuffle beyond the top-k merge."""
+    t = F.col("text")
+    toks = tokens(t)
+    score = (
+        F.lit(5) * F.size(toks).cast("bigint")
+        + F.length(t).cast("bigint")
+        - F.lit(3)
+        * F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+        - F.lit(2)
+        * F.size(
+            F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+        ).cast("bigint")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rare-token profile — per-document count of corpus-rare tokens
+# (document frequency ≤ 10% of the corpus): the df side of TF-IDF
+# turned into a quality signal (OCR garbage / gibberish detector).
+# Rarity is RELATIVE to corpus size (df·10 ≤ n_docs, exact integer
+# compare) so the query is non-vacuous at every scale — the shipped
+# synthetic corpus has a closed ~31-token vocabulary with min df 25,
+# where any absolute threshold would return zero rows on both engines
+# (the vacuous-green trap from the round-2 advice).
+# ---------------------------------------------------------------------------
+@query(
+    "text_rare_token_counts",
+    f"""
+    WITH dt AS (SELECT doc_id, unnest(list_distinct({TOKS})) AS tok
+                FROM documents),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfreq
+              FROM dt GROUP BY 1)
+    SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_rare
+    FROM dt JOIN dfreq USING (tok)
+    WHERE dfreq.dfreq * 10 <= (SELECT count(*) FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_rare_token_counts(spark, sf_dir):
+    """Documents × their count of distinct tokens whose document
+    frequency is ≤ 10% of the corpus. Per-doc dedup is LOCAL
+    (array_distinct before the explode — no distinct shuffle); one df
+    aggregate keyed on token, a broadcast of the one-row corpus count,
+    and one shuffle join back. On a real Zipfian corpus the rare side
+    is tail-sized (most of the vocabulary), so doc→token stays a
+    shuffle join, not a broadcast."""
+    docs = _docs(spark, sf_dir)
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dfreq"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("dfreq") * 10 <= F.col("n_docs"))
+        .select("tok")
+    )
+    return (
+        dt.join(rare, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rare"))
     )

@@ -2453,3 +2453,79 @@ def sample_quantiles_value_by_type(spark, sf_dir):
         (F.col("p90") / 100.0).alias("p90_value"),
         (F.col("p99") / 100.0).alias("p99_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill with LINEAR INTERPOLATION — value-filling extension of the
+# reference's empty-window emission (OperatorKernel.h:3830-3988 emits
+# empty windows; interpolating the measure is beyond-parity, standard
+# time-series resampling). Exact integer fraction output (num/den) —
+# see operators/window_agg.py interpolated_fill.
+# ---------------------------------------------------------------------------
+@query(
+    "gapfill_linear_interp_by_type",
+    """
+    WITH e AS (SELECT event_type, (epoch_us(ts) // 86400000000) * 86400 AS t,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    a AS (SELECT event_type, t, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+    r AS (SELECT event_type, min(t) AS lo, max(t) AS hi FROM a GROUP BY 1),
+    b AS (SELECT min(t) AS glo, max(t) AS ghi FROM a),
+    spine AS (SELECT unnest(generate_series(glo, ghi, 86400)) AS t FROM b),
+    g AS (SELECT r.event_type, s.t, a.s
+          FROM r JOIN spine s ON s.t BETWEEN r.lo AND r.hi
+          LEFT JOIN a ON a.event_type = r.event_type AND a.t = s.t),
+    f AS (SELECT event_type, t, s,
+             last_value(s IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN s IS NOT NULL THEN t END IGNORE NULLS)
+               OVER w_prev AS pt,
+             first_value(s IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN s IS NOT NULL THEN t END IGNORE NULLS)
+               OVER w_next AS nt
+          FROM g
+          WINDOW w_prev AS (PARTITION BY event_type ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w_next AS (PARTITION BY event_type ORDER BY t
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, t AS window_start,
+           CAST(CASE WHEN s IS NOT NULL THEN s
+                     ELSE pv * (nt - t) + nv * (t - pt) END AS BIGINT) AS num,
+           CAST(CASE WHEN s IS NOT NULL THEN 1 ELSE nt - pt END AS BIGINT) AS den
+    FROM f
+    """,
+)
+def gapfill_linear_interp(spark, sf_dir):
+    """Daily sum(value) per event_type with missing days linearly
+    interpolated between the neighboring present days. The fill value
+    is emitted as the exact integer fraction (num, den) — cents·seconds
+    over seconds — because cross-engine float division is not
+    bit-stable. Plan: one map-combinable day aggregate, a broadcast
+    range join of the tiny per-type [first, last] bounds onto the
+    spine, then two linear window scans (carry-forward/backward) —
+    no self-join, no per-gap pair space."""
+    from lightsaber_spark.operators.window_agg import (
+        _exact_bucket,
+        epoch_us,
+        interpolated_fill,
+        window_spine,
+    )
+
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        _exact_bucket(epoch_us(ev, "ts"), 86400).alias("window_start"),
+        _cents("value").alias("v"),
+    )
+    agg = e.groupBy("event_type", "window_start").agg(
+        F.sum("v").cast("bigint").alias("s")
+    )
+    rng = agg.groupBy("event_type").agg(
+        F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
+    )
+    spine = window_spine(ev, "ts", 86400, 86400)
+    grid = spine.join(
+        F.broadcast(rng),
+        (F.col("window_start") >= F.col("lo"))
+        & (F.col("window_start") <= F.col("hi")),
+    ).select("event_type", "window_start")
+    return interpolated_fill(agg, grid, "s", keys=["event_type"])

@@ -98,3 +98,32 @@ def test_float32_output_parity_mode(events):
         assert all(
             abs(got[k] - want[k]) <= 1e-5 * max(1.0, abs(want[k])) for k in want
         )
+
+
+def test_interpolated_fill_exact_fraction(spark):
+    """Linear interpolation over a gapped per-key series: present
+    buckets pass through as (v, 1); missing buckets emit the exact
+    integer fraction prev·(nt−t) + next·(t−pt) over nt−pt; buckets
+    outside a key's [first, last] present range are dropped."""
+    from lightsaber_spark.operators.window_agg import interpolated_fill
+
+    # key a present at t=0 (v=10) and t=30 (v=40): gap at 10, 20
+    # key b present only at t=10 (v=7): no gap, spine rows 0/20/30 drop
+    agg = spark.createDataFrame(
+        [("a", 0, 10), ("a", 30, 40), ("b", 10, 7)], "k string, t long, v long"
+    )
+    spine = spark.createDataFrame(
+        [(k, t) for k in ("a", "b") for t in (0, 10, 20, 30)],
+        "k string, t long",
+    )
+    out = {
+        (r.k, r.t): (r.num, r.den)
+        for r in interpolated_fill(agg, spine, "v", keys=["k"], t_col="t").collect()
+    }
+    assert out == {
+        ("a", 0): (10, 1),
+        ("a", 10): (10 * 20 + 40 * 10, 30),   # exact 600/30 = 20
+        ("a", 20): (10 * 10 + 40 * 20, 30),   # exact 900/30 = 30
+        ("a", 30): (40, 1),
+        ("b", 10): (7, 1),
+    }
