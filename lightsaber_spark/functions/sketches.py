@@ -306,3 +306,103 @@ def bottomk_quantiles_oracle_sql(
            {sel}
     FROM r GROUP BY {groups if groups else "1"}
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — broadcastable membership sketch for join prefiltering
+# ---------------------------------------------------------------------------
+# The 100 TB use: a multi-million-key build side compressed to m bits
+# (a few-hundred-row word table) broadcast to every probe task — rows
+# that cannot join are dropped BEFORE the shuffle. Spark's AQE has a
+# runtime bloom-join under the hood; this is the explicit, composable
+# operator form with a bit-exact DuckDB twin (md5-derived positions,
+# so both engines build the identical bitmap — false positives and
+# all).
+#
+# Bits are packed 60 per bigint word (not 64: 1<<63 overflows the
+# signed range differently per engine; bit 0..59 masks stay positive
+# and exact everywhere).
+
+BLOOM_WORD_BITS = 60
+
+
+def bloom_positions(key: Column, k: int, m_bits: int) -> Column:
+    """Array of ``k`` bit positions for ``key`` — md5(key ‖ ':' ‖ i)
+    mod m. Deterministic; DuckDB twin uses the same strings."""
+    return F.array(
+        *[
+            shingle_hash(F.concat(key.cast("string"), F.lit(f":{i}")))
+            % F.lit(m_bits)
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, *, k: int = 4, m_bits: int = 1 << 14
+) -> DataFrame:
+    """Build the word table ``(word, bits)`` — ⌈m/60⌉ rows, one bigint
+    OR-fold per word: map-side-combinable aggregate on a tiny key
+    domain, output small enough to broadcast regardless of build-side
+    row count."""
+    pos = F.explode(
+        bloom_positions(F.col(key_col), k, m_bits)
+    ).alias("pos")
+    p = df.select(pos)
+    word = (F.col("pos") / BLOOM_WORD_BITS).cast("bigint")
+    bit = (F.col("pos") % BLOOM_WORD_BITS).cast("int")
+    return (
+        p.select(word.alias("word"), bit.alias("bit"))
+        # python shiftleft() only takes a literal shift — SQL form for
+        # the column-valued bit index
+        .select("word", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    *,
+    k: int = 4,
+    m_bits: int = 1 << 14,
+    flag_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Tag each probe row with ``flag_col`` = true iff ALL k bits are
+    set (maybe-member; false = definitely absent).
+
+    The sparse word table is first densified into a SINGLE row holding
+    the whole bitmap as ``array<bigint>`` (⌈m/60⌉ elements — a few KB),
+    which broadcasts to every probe task; the k membership checks are
+    then unrolled per-row ``element_at``/bit-test expressions inside
+    whole-stage codegen. No explode, no re-aggregation, and the probe
+    side NEVER shuffles — the plan is scan → broadcast nested-loop of
+    one row → filter-ready flag."""
+    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    dense = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("_wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(n_words - 1).cast("bigint")),
+            lambda i: F.coalesce(F.element_at(F.col("_wm"), i), F.lit(0).cast("bigint")),
+        ).alias("_words")
+    )
+    out = df.crossJoin(F.broadcast(dense))
+    key = F.col(key_col)
+    pos_cols = {}
+    for i in range(k):
+        p = shingle_hash(F.concat(key.cast("string"), F.lit(f":{i}"))) % F.lit(m_bits)
+        pos_cols[f"_p{i}"] = p
+    out = out.withColumns(pos_cols)
+    conds = None
+    for i in range(k):
+        c = F.expr(
+            f"element_at(_words, CAST(_p{i} DIV {BLOOM_WORD_BITS} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % {BLOOM_WORD_BITS} AS INT))"
+        ) != 0
+        conds = c if conds is None else (conds & c)
+    return out.select(*df.columns, conds.alias(flag_col))

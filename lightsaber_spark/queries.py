@@ -2529,3 +2529,127 @@ def gapfill_linear_interp(spark, sf_dir):
         & (F.col("window_start") <= F.col("hi")),
     ).select("event_type", "window_start")
     return interpolated_fill(agg, grid, "s", keys=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter — membership sketch as an explicit
+# operator (functions/sketches.py bloom_build/bloom_probe). The 100 TB
+# shape: the build side collapses to a ⌈m/60⌉-word bitmap broadcast to
+# every probe task, so non-joining probe rows drop BEFORE any shuffle;
+# md5-derived bit positions make the bitmap — and every false
+# positive — bit-identical in DuckDB.
+# ---------------------------------------------------------------------------
+_BLOOM_K = 4
+_BLOOM_M = 1 << 16
+
+
+def _bloom_h(key_sql: str, i: int, m: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{i}'), 1, 15))::BIGINT"
+        f" % {m}"
+    )
+
+
+@query(
+    "bloom_prefilter_returned_orders",
+    f"""
+    WITH rk AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+    pos AS (SELECT unnest([{", ".join(_bloom_h("l_orderkey", i, _BLOOM_M) for i in range(_BLOOM_K))}]) AS p
+            FROM rk),
+    wt AS (SELECT p // 60 AS word,
+                  bit_or(1::BIGINT << CAST(p % 60 AS INT)) AS bits
+           FROM pos GROUP BY 1),
+    pp AS (SELECT o_orderkey,
+                  {", ".join(_bloom_h("o_orderkey", i, _BLOOM_M) + f" AS p{i}" for i in range(_BLOOM_K))}
+           FROM orders),
+    fl AS (SELECT o_orderkey,
+                  {" AND ".join(f"coalesce(w{i}.bits & (1::BIGINT << CAST(p{i} % 60 AS INT)), 0) <> 0" for i in range(_BLOOM_K))}
+                    AS maybe
+           FROM pp {" ".join(f"LEFT JOIN wt w{i} ON w{i}.word = p{i} // 60" for i in range(_BLOOM_K))})
+    SELECT CAST((SELECT count(*) FROM fl WHERE maybe) AS BIGINT) AS n_probable,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey IN (SELECT l_orderkey FROM rk)) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_probe
+    """,
+)
+def bloom_prefilter_q(spark, sf_dir):
+    """Bloom prefilter of orders against the returned-lineitem key set:
+    n_probable (bloom maybe-hits) vs n_exact (true semi-join) vs
+    n_probe — n_probable − n_exact is the false-positive count, and
+    the bloom guarantees n_probable ≥ n_exact (no false negatives),
+    both counts reproduced bit-exactly by the oracle. The build needs
+    NO distinct (bit-OR dedups); the probe side never shuffles."""
+    from lightsaber_spark.functions.sketches import bloom_build, bloom_probe
+
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    rk = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    orders = t["orders"].select("o_orderkey")
+    bloom = bloom_build(rk, "l_orderkey", k=_BLOOM_K, m_bits=_BLOOM_M)
+    probed = bloom_probe(
+        orders, bloom, "o_orderkey", k=_BLOOM_K, m_bits=_BLOOM_M
+    )
+    probable = probed.agg(
+        F.sum(F.when(F.col("bloom_maybe"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_probable"),
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+    )
+    exact = (
+        orders.join(rk, orders["o_orderkey"] == rk["l_orderkey"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return probable.crossJoin(exact).select("n_probable", "n_exact", "n_probe")
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering layout — multi-dimensional data-layout
+# QA (sources/partitioning.py zorder_key). Clustering the fact table by
+# the interleaved key keeps BOTH dimensions locally bounded per
+# z-range, so file-level min/max pruning serves predicates on either
+# column; the per-bucket extents below are exactly the statistics a
+# writer would check before committing the layout.
+# ---------------------------------------------------------------------------
+from lightsaber_spark.sources.partitioning import zorder_oracle_expr as _zx
+
+
+@query(
+    "zorder_extents_user_day",
+    f"""
+    WITH e AS (SELECT user_id % 256 AS x,
+                      (epoch_us(ts) // 86400000000) % 256 AS y
+               FROM events),
+    z AS (SELECT x, y,
+                 {_zx("x", "y", 8)} // 16 AS bucket
+          FROM e)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_extents_q(spark, sf_dir):
+    """Per-z-range row counts and (x=user bucket, y=day) extents under
+    a 20-bit Morton key split into 1024 coarse ranges — the write-time
+    clustering check that both predicate dimensions prune. One narrow
+    projection + one map-side-combinable aggregate on the bounded
+    bucket domain; the key itself is plain integer arithmetic inside
+    whole-stage codegen (no shift builtins, so the DuckDB twin runs the
+    byte-identical computation)."""
+    from lightsaber_spark.operators.window_agg import epoch_us
+    from lightsaber_spark.sources.partitioning import zorder_key
+
+    ev = _events(spark, sf_dir)
+    day = (epoch_us(ev, "ts") / 86_400_000_000).cast("bigint")
+    e = ev.select(
+        (F.col("user_id") % 256).alias("x"), (day % 256).alias("y")
+    )
+    z = e.select(
+        "x", "y", (zorder_key(F.col("x"), F.col("y"), 8) / 16).cast("bigint").alias("bucket")
+    )
+    return z.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

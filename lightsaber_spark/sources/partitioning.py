@@ -34,3 +34,37 @@ def assert_partition_pruned(df: DataFrame, partition_col: str) -> str:
             f"scan has no partition filter on {partition_col!r}:\n" + plan
         )
     return m.group(1)
+
+
+def zorder_key(x, y, bits: int = 10):
+    """Morton (Z-order) interleave of two ``bits``-bit non-negative
+    integer columns into one ``2·bits``-bit clustering key.
+
+    The 100 TB use: sort/range-partition a table by this key before
+    writing and BOTH dimensions stay locally bounded inside every file,
+    so parquet min/max (or hive-range) pruning works for predicates on
+    either column — the standard lakehouse multi-dimensional clustering
+    trick (Delta/Iceberg ``ZORDER BY``), expressed as a plain integer
+    Catalyst expression.
+
+    Built from ``DIV``/``%``/``·2^k`` only (no shift builtins), so the
+    exact same arithmetic runs on DuckDB for the oracle twin — see
+    ``zorder_oracle_expr``.
+    """
+    from pyspark.sql import functions as F
+
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        xb = (x / (1 << i)).cast("bigint") % 2
+        yb = (y / (1 << i)).cast("bigint") % 2
+        acc = acc + xb * F.lit(1 << (2 * i)) + yb * F.lit(1 << (2 * i + 1))
+    return acc
+
+
+def zorder_oracle_expr(x_sql: str, y_sql: str, bits: int = 10) -> str:
+    """DuckDB SQL twin of :func:`zorder_key` (same bit arithmetic)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({x_sql}) // {1 << i}) % 2 * {1 << (2 * i)}")
+        terms.append(f"(({y_sql}) // {1 << i}) % 2 * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"

@@ -353,3 +353,34 @@ def test_band_signatures_udf_matches_per_band(spark, tables):
         ).collect()
         for r in per:
             assert multi[r._id][b] == r.s, (r._id, b)
+
+
+def test_bloom_no_false_negatives_and_plan(spark):
+    """Every build key probes true (no false negatives); a definite
+    miss can only be false. Probe plan contains no shuffle of the
+    probe side (single broadcast of the densified one-row bitmap)."""
+    from lightsaber_spark.functions.sketches import bloom_build, bloom_probe
+
+    build = spark.range(0, 500).withColumnRenamed("id", "key")
+    probe = spark.range(0, 2000).withColumnRenamed("id", "key")
+    bloom = bloom_build(build, "key", k=4, m_bits=1 << 13)
+    flagged = bloom_probe(probe, bloom, "key", k=4, m_bits=1 << 13)
+    rows = {r.key: r.bloom_maybe for r in flagged.collect()}
+    assert all(rows[k] for k in range(500)), "false negative"
+    # false-positive rate at this load (~500*4/8192) should be tiny but
+    # the maybe-set must still cover exactly the member range
+    fp = sum(1 for k in range(500, 2000) if rows[k])
+    assert fp < 200
+    # final AQE plan only (toString appends the pre-AQE Initial Plan,
+    # which would double-count the exchanges)
+    plan = (
+        flagged._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the probe side reaches the flag through a broadcast nested-loop
+    # of the one-row dense bitmap; the ONLY hash shuffle in the whole
+    # plan is bloom_build's tiny word aggregate (~m/60 rows)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

@@ -223,3 +223,30 @@ def test_write_training_shards_deterministic(spark, tables, tmp_path):
     import glob
     for d in glob.glob(p1 + "/shard=*"):
         assert len(glob.glob(d + "/*.parquet")) == 1
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """The clustering property that makes Z-order pay: fixing the high
+    interleaved bits (bucket = zkey >> 4 on an 8+8-bit key) bounds BOTH
+    source dimensions — every bucket's x and y extents are <= 3 (only
+    the low 2 bits of each dimension vary inside a bucket). This is
+    exactly why min/max file pruning works on either predicate column
+    after a z-order sort."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.sources.partitioning import zorder_key
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 37) % 256).alias("y")
+    )
+    z = df.select(
+        "x", "y", (zorder_key(F.col("x"), F.col("y"), 8) / 16).cast("bigint").alias("b")
+    )
+    ext = z.groupBy("b").agg(
+        (F.max("x") - F.min("x")).alias("ex"), (F.max("y") - F.min("y")).alias("ey")
+    )
+    bad = ext.filter((F.col("ex") > 3) | (F.col("ey") > 3)).count()
+    assert bad == 0
+    # and the key is a bijection on the 16-bit domain (no collisions)
+    n = df.select(zorder_key(F.col("x"), F.col("y"), 8).alias("z")).distinct().count()
+    assert n == df.distinct().count()
