@@ -791,3 +791,48 @@ def test_streaming_funnel_rejects_bad_stages(spark, events_stream_src):
         streaming_funnel(
             s, "ts", "user_id", "event_type", ("view", "click", "view"), 60
         )
+
+
+def test_streaming_zscore_matches_batch_prev_window(spark, events, events_stream_src, tmp_path):
+    """Streaming z-score outliers (O(1) state: events judged against
+    the previous CLOSED window of their key) agree exactly with the
+    batch twin — stats per (window, type) joined onto the NEXT
+    adjacent window's events, same integer predicate. Update mode
+    emits flags as events arrive, so no trailing-window holdback:
+    equality, not subset."""
+    from lightsaber_spark.streaming.anomaly import streaming_zscore_outliers
+
+    size = 86400
+    s = streaming_zscore_outliers(
+        _stream(spark, events_stream_src), "ts", "event_type", "value", size
+    )
+    got = {
+        (r.event_id, r.window_start, r.event_type, r.n_ref)
+        for r in run_available_now(
+            s, str(tmp_path / "ck_z"), table_name="t_zscore", output_mode="update"
+        ).collect()
+    }
+
+    e = events.select(
+        "event_id",
+        "event_type",
+        (F.unix_micros("ts") / (size * 1_000_000)).cast("bigint").alias("w"),
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    ).withColumn("w", F.col("w") * size)
+    st = e.groupBy("w", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"), F.sum(F.col("x") * F.col("x")).alias("q")
+    ).filter(F.col("n") >= 10)
+    ref = st.select(
+        (F.col("w") + size).alias("w"), "event_type",
+        F.col("n").alias("pn"), F.col("s").alias("ps"), F.col("q").alias("pq"),
+    )
+    j = e.join(ref, ["w", "event_type"])
+    dev = F.col("pn") * F.col("x") - F.col("ps")
+    var_n2 = F.col("pn") * F.col("pq") - F.col("ps") * F.col("ps")
+    want = {
+        (r.event_id, r.w, r.event_type, r.pn)
+        for r in j.filter(dev * dev > F.lit(4) * var_n2)
+        .select("event_id", "w", "event_type", "pn")
+        .collect()
+    }
+    assert got == want and len(want) > 0
