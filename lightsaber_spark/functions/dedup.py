@@ -970,3 +970,52 @@ def duplicated_passages(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def minhash_band_keys_udf(
+    n_hashes: int = 32, bands: int = 8, k: int = 3, seed: int = 42
+):
+    """Per-ROW banded MinHash: array of ``bands`` md5 band keys,
+    bit-identical to the relational path (:func:`minhash_signature` +
+    the band md5 in :func:`minhash_lsh_candidates`) — same shingles,
+    same h30, same LCG constants, same ``md5(concat_ws(','))`` band
+    key. The per-row form needs NO aggregation, which is what lets the
+    signature run on an unbounded STREAM (a streaming groupBy(_id)
+    would itself be a stateful op); docs with zero shingles return an
+    empty array (the relational path drops them in the explode)."""
+    import hashlib
+
+    consts = _lcg_constants(n_hashes, seed)
+    r = n_hashes // bands
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    @F.pandas_udf("array<string>")
+    def _bk(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            shingles = dict.fromkeys(
+                " ".join(toks[i : i + k])
+                for i in range(max(len(toks) - (k - 1), 0))
+            )
+            if not shingles:
+                out.append([])
+                continue
+            xs = [
+                int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % X_BITS
+                for s in shingles
+            ]
+            sig = [
+                min((a * x + b) % MERSENNE_61 for x in xs) for a, b in consts
+            ]
+            out.append(
+                [
+                    hashlib.md5(
+                        ",".join(str(sig[b * r + j]) for j in range(r)).encode()
+                    ).hexdigest()
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return _bk

@@ -223,3 +223,72 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+def streaming_neardup_lsh(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate flagging: a document is
+    flagged the moment ANY of its band buckets was already claimed by
+    an earlier document — the streaming retrieval stage of the batch
+    dedup ladder (``functions/dedup.py minhash_lsh_candidates``), with
+    identical signatures (per-row band-key UDF, no aggregation needed).
+
+    One stateless Arrow UDF + explode to (band, bucket), then a keyed
+    stateful operator holding ONE long per (band, bucket): the anchor
+    (first document to claim the bucket). Emits
+    ``(doc_id, anchor_id, band)`` per collision — consumers distinct on
+    ``doc_id`` for the flag set, or treat (anchor, doc) as candidate
+    pairs for a downstream verifier. State is bounded by the number of
+    DISTINCT buckets (≤ bands · corpus shingle diversity), not by
+    stream length; in-order model: ids must not regress across batches
+    (SURVEY §2.9), within a batch rows are folded in id order.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lightsaber_spark.functions.dedup import minhash_band_keys_udf
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("anchor_id", LongType()),
+            StructField("band", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("anchor", LongType())])
+
+    def fn(key, pdf_iter, state):
+        anchor = state.get[0] if state.exists else None
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            ids = sorted(int(i) for i in pdf["doc_id"].to_numpy())
+            for did in ids:
+                if anchor is None:
+                    anchor = did
+                    state.update((anchor,))
+                elif did != anchor:
+                    rows.append([did, anchor, int(key[0])])
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    banded = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            minhash_band_keys_udf(n_hashes, bands, k, seed)(F.col(text_col))
+        ).alias("band", "bucket"),
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )

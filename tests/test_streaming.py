@@ -836,3 +836,40 @@ def test_streaming_zscore_matches_batch_prev_window(spark, events, events_stream
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_neardup_lsh_matches_batch_candidates(spark, tmp_path):
+    """Streaming LSH near-dup flags = the batch retrieval stage's
+    verdict: a doc is flagged iff it shares a band bucket with an
+    earlier (smaller-id) doc — exactly the id_b side of
+    minhash_lsh_candidates' (id_a < id_b) pairs. Signatures come from
+    the per-row band-key UDF and must be bit-identical to the
+    relational signature path for this to hold."""
+    from lightsaber_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        release_shingle_caches,
+    )
+    from lightsaber_spark.session import load_tables
+    from lightsaber_spark.streaming.stream import streaming_neardup_lsh
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    src = str(tmp_path / "docs_stream")
+    docs.sort("doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+
+    s = streaming_neardup_lsh(stream)
+    got = {
+        r.doc_id
+        for r in run_available_now(
+            s, str(tmp_path / "ck_nd"), table_name="t_neardup", output_mode="update"
+        ).collect()
+    }
+
+    try:
+        want = {
+            r.id_b for r in minhash_lsh_candidates(docs).select("id_b").collect()
+        }
+    finally:
+        release_shingle_caches()
+    assert got == want and len(want) > 0
