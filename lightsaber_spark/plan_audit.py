@@ -100,19 +100,65 @@ _TREE_LINE = re.compile(r"^((?:[ :]  |[:+]- )*)\*? ?([A-Za-z][\w]*)[^(\n]*\((\d+
 # ops a predicate passes through untouched on its way down to the scan
 _TRANSPARENT = {"ColumnarToRow", "Project", "WholeStageCodegen", "InputAdapter"}
 
+_AGG_OPS = {"HashAggregate", "ObjectHashAggregate", "SortAggregate"}
 
-def _filter_over_scan(plan: str) -> dict[str, str]:
-    """Map scan node id → the id of a Filter sitting directly above it
-    (through transparent ops only), parsed from the tree section of a
-    formatted plan. Scans under a Window/Join/Aggregate/Exchange have
-    no entry — predicates cannot cross those boundaries."""
-    nodes: list[tuple[int, str, str]] = []  # (depth, name, id)
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, str]]:
+    """(depth, name, id) per line of the formatted plan's tree section."""
+    nodes: list[tuple[int, str, str]] = []
     for line in plan.splitlines():
         if line.startswith("("):
             break  # first detail block — tree section is over
         m = _TREE_LINE.match(line)
         if m:
             nodes.append((len(m.group(1)) // 3, m.group(2), m.group(3)))
+    return nodes
+
+
+def _bnlj_all_scalar(plan: str, by_id: dict[str, str]) -> bool:
+    """True iff every BroadcastNestedLoopJoin in the plan broadcasts a
+    PROVABLY single row: its BroadcastExchange child's first
+    non-transparent descendant is a grouping-free aggregate
+    (``Keys: []`` — a global agg emits exactly one row). Those joins
+    are scalar-attach patterns (corpus counts, dense sketch bitmaps),
+    not O(n·m) pair scans, and are not scale hazards."""
+    nodes = _tree_nodes(plan)
+    for i, (depth, name, _nid) in enumerate(nodes):
+        if name != "BroadcastNestedLoopJoin":
+            continue
+        ok = False
+        # children: following nodes at depth+1 until depth falls back
+        for j in range(i + 1, len(nodes)):
+            d, n, nid = nodes[j]
+            if d <= depth:
+                break
+            if d == depth + 1 and n == "BroadcastExchange":
+                # walk the exchange's single chain through transparent
+                # ops to the first materializing operator
+                dd = d
+                for k in range(j + 1, len(nodes)):
+                    cd, cn, cid = nodes[k]
+                    if cd <= dd:
+                        break
+                    if cd == dd + 1:
+                        if cn in _TRANSPARENT:
+                            dd = cd
+                            continue
+                        if cn in _AGG_OPS and "\nKeys: []" in by_id.get(cid, ""):
+                            ok = True
+                        break
+                break
+        if not ok:
+            return False
+    return True
+
+
+def _filter_over_scan(plan: str) -> dict[str, str]:
+    """Map scan node id → the id of a Filter sitting directly above it
+    (through transparent ops only), parsed from the tree section of a
+    formatted plan. Scans under a Window/Join/Aggregate/Exchange have
+    no entry — predicates cannot cross those boundaries."""
+    nodes = _tree_nodes(plan)
     out: dict[str, str] = {}
     for i, (depth, name, nid) in enumerate(nodes):
         if name != "Scan" and name != "BatchScan":
@@ -135,19 +181,22 @@ def _filter_over_scan(plan: str) -> dict[str, str]:
 def plan_flags(plan: str) -> list[str]:
     """Return scale-hazard flags for one formatted physical plan."""
     flags: list[str] = []
-    if "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan:
-        flags.append("NESTED_LOOP")
-
-    # NO_PUSHDOWN: for each scan, examine only the Filter directly
-    # above it (tree adjacency), and flag when that filter carries a
-    # pushable conjunct on the scan's columns yet the scan pushed
-    # nothing.
     blocks = _BLOCK_SPLIT.split(plan)
     by_id: dict[str, str] = {}
     for b in blocks:
         m = re.match(r"\((\d+)\) ", b)
         if m:
             by_id[m.group(1)] = b
+
+    if "CartesianProduct" in plan:
+        flags.append("NESTED_LOOP")
+    elif "BroadcastNestedLoopJoin" in plan and not _bnlj_all_scalar(plan, by_id):
+        flags.append("NESTED_LOOP")
+
+    # NO_PUSHDOWN: for each scan, examine only the Filter directly
+    # above it (tree adjacency), and flag when that filter carries a
+    # pushable conjunct on the scan's columns yet the scan pushed
+    # nothing.
     for scan_id, filter_id in _filter_over_scan(plan).items():
         sb = by_id.get(scan_id, "")
         fb = by_id.get(filter_id, "")

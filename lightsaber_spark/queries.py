@@ -2499,15 +2499,14 @@ def gapfill_linear_interp(spark, sf_dir):
     interpolated between the neighboring present days. The fill value
     is emitted as the exact integer fraction (num, den) — cents·seconds
     over seconds — because cross-engine float division is not
-    bit-stable. Plan: one map-combinable day aggregate, a broadcast
-    range join of the tiny per-type [first, last] bounds onto the
-    spine, then two linear window scans (carry-forward/backward) —
-    no self-join, no per-gap pair space."""
+    bit-stable. Plan: one map-combinable day aggregate, a per-type
+    sequence() explode of the tiny [first, last] bounds relation as the
+    spine (no range join, no nested loop), then two linear window scans
+    (carry-forward/backward) — no self-join, no per-gap pair space."""
     from lightsaber_spark.operators.window_agg import (
         _exact_bucket,
         epoch_us,
         interpolated_fill,
-        window_spine,
     )
 
     ev = _events(spark, sf_dir)
@@ -2522,12 +2521,15 @@ def gapfill_linear_interp(spark, sf_dir):
     rng = agg.groupBy("event_type").agg(
         F.min("window_start").alias("lo"), F.max("window_start").alias("hi")
     )
-    spine = window_spine(ev, "ts", 86400, 86400)
-    grid = spine.join(
-        F.broadcast(rng),
-        (F.col("window_start") >= F.col("lo"))
-        & (F.col("window_start") <= F.col("hi")),
-    ).select("event_type", "window_start")
+    # per-type spine directly from the tiny bounds relation: one
+    # sequence() explode per type (span/86400 rows each) — no global
+    # spine, no range join, no nested loop in the plan
+    grid = rng.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, CAST(86400 AS BIGINT))")).alias(
+            "window_start"
+        ),
+    )
     return interpolated_fill(agg, grid, "s", keys=["event_type"])
 
 

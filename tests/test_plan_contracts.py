@@ -216,3 +216,23 @@ def test_audit_flags_nested_loop(spark):
     b = spark.range(10).withColumnRenamed("id", "jd")
     p = _formatted(spark, a.join(b, F.expr("id < jd")))
     assert "NESTED_LOOP" in plan_flags(p)
+
+
+def test_audit_scalar_broadcast_nested_loop_is_benign(spark):
+    """A BroadcastNestedLoopJoin whose broadcast side is a grouping-free
+    aggregate (provably ONE row — the scalar-attach pattern: corpus
+    counts, dense sketch bitmaps) is not a scale hazard and must NOT
+    flag; the moment the broadcast side has grouping keys (unbounded
+    rows) the flag fires again."""
+    from lightsaber_spark.plan_audit import plan_flags
+
+    big = spark.range(1000)
+    scalar = spark.range(50).agg(F.count(F.lit(1)).alias("n"))
+    p = _formatted(spark, big.crossJoin(F.broadcast(scalar)))
+    assert "NESTED_LOOP" not in plan_flags(p), p
+
+    keyed = spark.range(50).groupBy((F.col("id") % 5).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    p2 = _formatted(spark, big.crossJoin(F.broadcast(keyed)))
+    assert "NESTED_LOOP" in plan_flags(p2), p2
