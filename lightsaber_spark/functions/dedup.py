@@ -312,11 +312,10 @@ def ngram_jaccard_pairs_prefix(
             (F.col("_pos") - 1) * 100000 <= F.lit(100000 - tau) * F.col("_n")
         )
         .select("_id", "_sh", "_n", "_pos")
-        # the self-join below consumes this twice; without an explicit
-        # persist the full explode→freq-join→window chain runs per side
-        .persist()
     )
-    _SHINGLE_CACHES.append(pref)
+    # the self-join below consumes this twice; without an explicit
+    # persist the full explode→freq-join→window chain runs per side
+    pref = register_cache(pref)
     # candidate pairs with the PPJoin POSITIONAL filter (Xiao et al.
     # WWW'08, exactly lossless): min position over a pair's shared
     # prefix shingles identifies the globally-FIRST shared shingle s*
@@ -465,6 +464,11 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+    # the signature subplan (explode + 32-min aggregate + band md5s)
+    # feeds both self-join sides — and, with the valve on, the sizes
+    # aggregate and its join too (4 instantiations): pin one
+    # materialization (AQE exchange reuse is not reliable, CLAUDE.md)
+    stacked = register_cache(stacked)
     if max_bucket is not None:
         sizes = stacked.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bsz")
@@ -985,6 +989,10 @@ def minhash_band_keys_udf(
     empty array (the relational path drops them in the explode)."""
     import hashlib
 
+    if n_hashes % bands != 0:
+        # same guard as minhash_lsh_candidates — a truncated r would
+        # silently diverge from the relational signatures
+        raise ValueError("bands must divide n_hashes")
     consts = _lcg_constants(n_hashes, seed)
     r = n_hashes // bands
     tok_re = re.compile(r"[a-z0-9]+")

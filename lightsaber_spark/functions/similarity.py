@@ -593,10 +593,18 @@ def hyperplane_lsh_topk(
     re-joined only for surviving candidate pairs)."""
     from pyspark.sql import Window
 
-    q = _prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
-        {"_sv": "_qv", "_norm": "_qn"}
+    from lightsaber_spark.functions.dedup import register_cache
+
+    # each _prep (per-row scale transform + norm fold over the full
+    # relation) feeds both the band-signature stage and the candidate
+    # rescoring join — pin one materialization per side (AQE exchange
+    # reuse is not reliable across the explode/join chain, CLAUDE.md)
+    q = register_cache(
+        _prep(queries, id_col, vec_col, "query_id").withColumnsRenamed(
+            {"_sv": "_qv", "_norm": "_qn"}
+        )
     )
-    c = _prep(corpus, id_col, vec_col, "neighbor_id")
+    c = register_cache(_prep(corpus, id_col, vec_col, "neighbor_id"))
     if bands == 1:
         # salt "{salt}0" (not bare "{salt}") so the single band IS band
         # 0 of every wider configuration: candidate sets nest and
