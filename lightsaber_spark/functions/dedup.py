@@ -1027,3 +1027,26 @@ def minhash_band_keys_udf(
         return pd.Series(out)
 
     return _bk
+
+
+def positional_shingles_udf(k: int = 10):
+    """Arrow-batched POSITIONAL k-shingles — like
+    :func:`word_shingles_udf` but keeping every occurrence in token
+    order (no dedupe), so ``posexplode`` yields the shingle's token
+    offset: the coverage unit of exact-substring dedup removal."""
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    @F.pandas_udf("array<string>")
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tok_re.findall(t.lower())
+            out.append(
+                [
+                    " ".join(toks[i : i + k])
+                    for i in range(max(len(toks) - (k - 1), 0))
+                ]
+            )
+        return pd.Series(out)
+
+    return _sh

@@ -1994,3 +1994,138 @@ def q_rare_token_counts(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rare"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-coverage dedup — the REMOVAL side of exact-substring dedup
+# (Lee et al. 2021): per document, how many token positions sit inside
+# a k-gram shared with another document. duplicated_passages_k10 finds
+# the passages; this measures the cut.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_passage_coverage_k10",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  CAST(unnest(range(greatest(len(toks) - {_PASSAGE_K - 1}, 0)))
+                       AS BIGINT) AS pos,
+                  unnest(list_transform(
+                      range(greatest(len(toks) - {_PASSAGE_K - 1}, 0)),
+                      i -> {H60.format(x=f"array_to_string(toks[i + 1:i + {_PASSAGE_K}], ' ')")}))
+                    AS h
+           FROM t),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hit AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (h)),
+    cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+            FROM hit, range({_PASSAGE_K}) u(j)),
+    per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+            FROM cov GROUP BY 1),
+    dp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
+           FROM hit GROUP BY 1)
+    SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           per.n_covered, dp.n_dup_positions
+    FROM t JOIN per USING (doc_id) JOIN dp USING (doc_id)
+    """,
+)
+def q_passage_coverage(spark, sf_dir):
+    """Per-doc duplicated-passage coverage: n_dup_positions (k-gram
+    starts shared with >= 2 docs) and n_covered (distinct token
+    positions inside any such k-gram — what substring removal would
+    cut). Positional shingles via an Arrow UDF (the Catalyst
+    transform-over-slice form would inline the token array into every
+    element — the O(n²) HOF trap, CLAUDE.md); the dup-passage table
+    comes from one map-combinable aggregate and the coverage union is
+    an exact interval explode + distinct. Work is linear in corpus
+    tokens × k — no pair space anywhere."""
+    from lightsaber_spark.functions.dedup import (
+        duplicated_passages,
+        positional_shingles_udf,
+        shingle_hash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(positional_shingles_udf(_PASSAGE_K)(F.col("text"))).alias(
+            "pos", "_sh"
+        ),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+             shingle_hash(F.col("_sh")).alias("h"))
+    dup = duplicated_passages(docs, k=_PASSAGE_K, min_docs=2).select(
+        F.col("passage_hash").alias("h")
+    )
+    hit = sh.join(dup, "h").select("doc_id", "pos")
+    cov = (
+        hit.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_PASSAGE_K - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
+    )
+    dp = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_positions")
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return n_tok.join(cov, "doc_id").join(dp, "doc_id").select(
+        "doc_id", "n_tokens", "n_covered", "n_dup_positions"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact surprisal score — an information-content proxy for
+# perplexity-style quality filtering, with NO floats: per-token
+# surprisal = bits(n_docs) − bits(df(token)), where bits(x) =
+# length(bin(x)) = ⌊log2 x⌋ + 1, identical in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "text_surprisal_topk",
+    f"""
+    WITH occ AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+    dfreq AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM occ GROUP BY 1),
+    nb AS (SELECT CAST(length(bin(count(*))) AS BIGINT) AS total_bits
+           FROM documents)
+    SELECT occ.doc_id,
+           CAST(sum(nb.total_bits - length(bin(dfreq.df))) AS BIGINT) AS surprisal
+    FROM occ JOIN dfreq USING (tok), nb
+    GROUP BY 1 ORDER BY surprisal DESC, doc_id LIMIT 50
+    """,
+)
+def q_surprisal_topk(spark, sf_dir):
+    """Top-50 documents by summed token surprisal — rare-token-heavy
+    docs rank first, the df side of a unigram LM without any float
+    log (⌊log2⌋ via binary-string length, bit-identical across
+    engines). One occurrence explode, one df aggregate, one shuffle
+    join back, scalar corpus-bits attach (benign one-row broadcast),
+    TakeOrderedAndProject for the k-boundary (ties broken by
+    doc_id)."""
+    docs = _docs(spark, sf_dir)
+    occ = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    dfreq = occ.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    nb = docs.agg(
+        F.length(F.bin(F.count(F.lit(1)))).cast("bigint").alias("total_bits")
+    )
+    return (
+        occ.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nb))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("total_bits") - F.length(F.bin(F.col("df"))).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("surprisal")
+        )
+        .orderBy(F.desc("surprisal"), F.asc("doc_id"))
+        .limit(50)
+    )
