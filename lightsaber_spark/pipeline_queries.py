@@ -281,13 +281,28 @@ def q_winnow(spark, sf_dir):
 @query(
     "dedup_exact_groups",
     f"""
+    WITH aug AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + 1000000, text FROM documents
+                 WHERE doc_id % 25 = 1)
     SELECT md5({NORM}) AS digest, min(doc_id) AS representative,
            count(*) AS n_members
-    FROM documents GROUP BY 1 HAVING count(*) > 1
+    FROM aug GROUP BY 1 HAVING count(*) > 1
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    return exact_dup_groups(_docs(spark, sf_dir))
+    """Exact-dup groups over the corpus augmented with exact copies of
+    every 25th doc (re-keyed +1e6): the shipped corpus itself has NO
+    exact duplicates at any scale, so the un-augmented query was
+    vacuously green (0 rows on both engines) — every group here is a
+    (original, copy) pair the aggregation must actually find."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 25 == 1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return exact_dup_groups(aug)
 
 
 @query(
@@ -2128,4 +2143,128 @@ def q_surprisal_topk(spark, sf_dir):
         )
         .orderBy(F.desc("surprisal"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest: dedup a DELTA batch against the existing corpus
+# (the production shape — each new crawl dedupes against what's
+# already kept, never corpus×corpus again). Delta = doc_id % 10 == 0.
+# ---------------------------------------------------------------------------
+def _delta_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    consts = _lcg_constants(n_hashes, seed)
+    r = n_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
+        for b in range(bands)
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_JACCARD_CTE},
+    xs AS (SELECT doc_id, ({H60.format(x='s')}) % {X_BITS} AS x FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM xs GROUP BY 1),
+    banded AS (SELECT doc_id,
+           {band_cols}
+           FROM sig),
+    stacked AS ({stacked}),
+    near AS (SELECT DISTINCT a.doc_id
+             FROM stacked a JOIN stacked b
+               ON a.band = b.band AND a.bucket = b.bucket
+             WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+    cdg AS (SELECT DISTINCT md5({NORM}) AS dg FROM documents
+            WHERE doc_id % 10 <> 0),
+    delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 50 = 1),
+    ddg AS (SELECT doc_id, md5({NORM}) AS dg FROM delta),
+    dnear AS (SELECT doc_id FROM near
+              UNION
+              -- an exact copy of a corpus doc shares ALL its band
+              -- buckets, so it is a near-candidate whenever it has
+              -- >= 1 shingle (>= k tokens) at all
+              SELECT doc_id + 1000000 FROM toks
+              WHERE doc_id % 50 = 1 AND len(t) >= 3)
+    SELECT d.doc_id,
+           CAST(CASE WHEN cdg.dg IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS exact_dup,
+           CAST(CASE WHEN dnear.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS near_candidate
+    FROM ddg d
+    LEFT JOIN cdg ON d.dg = cdg.dg
+    LEFT JOIN dnear ON d.doc_id = dnear.doc_id
+    """
+
+
+@query("dedup_delta_vs_corpus", _delta_oracle())
+def q_delta_vs_corpus(spark, sf_dir):
+    """Flag each delta document (doc_id % 10 == 0) as an exact dup
+    (normalized-md5 digest seen in the corpus) and/or a near-dup
+    CANDIDATE (shares a MinHash band bucket with any corpus doc — the
+    retrieval stage; a verifier would follow in the full ladder).
+
+    Scale shape: delta×corpus only, never corpus×corpus — the digest
+    check is an equi-join on a 128-bit hash and the near check is the
+    banded equi-join, both linear in delta size for a fixed corpus
+    index (which a real pipeline keeps materialized between crawls).
+    Band keys come from the per-row Arrow UDF
+    (``minhash_band_keys_udf`` — bit-identical to the relational
+    signature path, so one code path serves batch, delta, and
+    streaming ingest)."""
+    from lightsaber_spark.functions.dedup import minhash_band_keys_udf
+    from lightsaber_spark.functions.text import normalize_text
+
+    docs = _docs(spark, sf_dir)
+    is_delta = F.col("doc_id") % 10 == 0
+    # the shipped corpus has no exact duplicates at any scale, so the
+    # delta batch is augmented with exact COPIES of corpus docs
+    # (re-keyed +1e6) — both flags stay non-vacuous on both engines
+    # (the vacuous-green trap from the round-2 advice)
+    delta = docs.filter(is_delta).select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    corpus = docs.filter(~is_delta)
+
+    dg = lambda d: d.select(  # noqa: E731
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("dg")
+    )
+    cdg = dg(corpus).select("dg").distinct()
+    exact = (
+        dg(delta)
+        .join(cdg.withColumn("_hit", F.lit(1)), "dg", "left")
+        .select("doc_id", F.coalesce(F.col("_hit"), F.lit(0)).cast("bigint").alias("exact_dup"))
+    )
+
+    bk = minhash_band_keys_udf(32, 8, 3, 42)
+    bands_of = lambda d: d.select(  # noqa: E731
+        "doc_id", F.posexplode(bk(F.col("text"))).alias("band", "bucket")
+    )
+    near = (
+        bands_of(delta)
+        .join(
+            bands_of(corpus).select("band", "bucket").distinct(),
+            ["band", "bucket"],
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("near_candidate"),
+        )
     )
