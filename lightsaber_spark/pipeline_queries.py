@@ -2268,3 +2268,72 @@ def q_delta_vs_corpus(spark, sf_dir):
             F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("near_candidate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-assembly efficiency audit — padding waste of the three standard
+# sequence-assembly strategies at a given context length, as one
+# integer-exact aggregate pass (the number that justifies packing).
+# ---------------------------------------------------------------------------
+_PAD_CTX = 512
+
+
+@query(
+    "packing_padding_waste",
+    f"""
+    WITH t AS (SELECT least(len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]|[^a-z0-9 ]')), {_PAD_CTX}) AS n
+               FROM documents),
+    p AS (SELECT n,
+                 CASE WHEN n <= 1 THEN 1
+                      ELSE 1::BIGINT << CAST(length(bin(n - 1)) AS INT) END
+                   AS pow2
+          FROM t WHERE n > 0)
+    SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum({_PAD_CTX} - n) AS BIGINT) AS naive_pad,
+           CAST(sum(least(pow2, {_PAD_CTX}) - n) AS BIGINT) AS bucket_pad,
+           CAST(((sum(n) + {_PAD_CTX - 1}) // {_PAD_CTX}) * {_PAD_CTX} - sum(n)
+                AS BIGINT) AS packed_pad
+    FROM p
+    """,
+)
+def q_padding_waste(spark, sf_dir):
+    """Padding tokens wasted per assembly strategy at ctx={_PAD_CTX}:
+    one-doc-per-sequence (pad every truncated doc to ctx), pow2
+    length-bucketed batching (pad to the next power of two, capped at
+    ctx), and concat-and-chunk packing (only the final window's tail —
+    the pack_sequences strategy). Token counts use the BPE-ish regex
+    (the same as text_token_count_by_source); pow2 via binary-string
+    length, so the whole audit is integer-exact. One narrow projection
+    + one aggregate; no shuffle beyond the scalar fold."""
+    n = F.least(token_count(F.col("text"), BPE_RE), F.lit(_PAD_CTX))
+    p = (
+        _docs(spark, sf_dir)
+        .select(n.alias("n"))
+        .filter(F.col("n") > 0)
+        .withColumn(
+            "pow2",
+            F.when(F.col("n") <= 1, F.lit(1).cast("bigint")).otherwise(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(n - 1)) AS INT))")
+            ),
+        )
+    )
+    ctx = F.lit(_PAD_CTX).cast("bigint")
+    agg = p.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(ctx - F.col("n")).cast("bigint").alias("naive_pad"),
+        F.sum(F.least(F.col("pow2"), ctx) - F.col("n"))
+        .cast("bigint")
+        .alias("bucket_pad"),
+    )
+    # integer DIV, not float division — a corpus-scale token sum can
+    # exceed 2^53, where double rounding would corrupt the ceil
+    return agg.select(
+        "total_tokens",
+        "naive_pad",
+        "bucket_pad",
+        F.expr(
+            f"CAST((total_tokens + {_PAD_CTX - 1}) DIV {_PAD_CTX} * {_PAD_CTX}"
+            " - total_tokens AS BIGINT)"
+        ).alias("packed_pad"),
+    )
