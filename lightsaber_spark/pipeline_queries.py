@@ -2053,21 +2053,33 @@ def q_passage_coverage(spark, sf_dir):
     an exact interval explode + distinct. Work is linear in corpus
     tokens × k — no pair space anywhere."""
     from lightsaber_spark.functions.dedup import (
-        duplicated_passages,
         positional_shingles_udf,
+        register_cache,
         shingle_hash,
     )
 
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.posexplode(positional_shingles_udf(_PASSAGE_K)(F.col("text"))).alias(
-            "pos", "_sh"
-        ),
-    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"),
-             shingle_hash(F.col("_sh")).alias("h"))
-    dup = duplicated_passages(docs, k=_PASSAGE_K, min_docs=2).select(
-        F.col("passage_hash").alias("h")
+    # ONE Arrow-UDF pass: the dup-passage table is derived from the
+    # positional shingles themselves (count_distinct ignores repeats,
+    # so it equals duplicated_passages' per-doc-distinct form), and
+    # `sh` feeds both that aggregate and the hit join — persist it
+    sh = register_cache(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                positional_shingles_udf(_PASSAGE_K)(F.col("text"))
+            ).alias("pos", "_sh"),
+        ).select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            shingle_hash(F.col("_sh")).alias("h"),
+        )
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
     )
     hit = sh.join(dup, "h").select("doc_id", "pos")
     cov = (
