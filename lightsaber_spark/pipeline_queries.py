@@ -2349,3 +2349,57 @@ def q_padding_waste(spark, sf_dir):
             " - total_tokens AS BIGINT)"
         ).alias("packed_pad"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization QA — the compression step ANN serving
+# applies before indexing, audited per vector. Symmetric per-vector
+# scale q_i = round(v_i·127 / amax): |q| ≤ 127 by construction, and
+# every float op (f32→f64 widen, ·127, ÷amax, HALF_UP round) is an
+# exactly-specified IEEE operation evaluated in the same order on both
+# engines, so the quantized values — and their sums — hash-match.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize_int8_stats",
+    """
+    WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    m AS (SELECT vec_id, v, max(abs(v)) OVER (PARTITION BY vec_id) AS amax
+          FROM u),
+    q AS (SELECT vec_id, amax, CAST(round(v * 127 / amax) AS BIGINT) AS qi
+          FROM m WHERE amax > 0)
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(round(amax * 1000000) AS BIGINT) AS amax_micro,
+           CAST(sum(qi) AS BIGINT) AS sum_q,
+           CAST(sum(qi * qi) AS BIGINT) AS sumsq_q
+    FROM q GROUP BY 1, amax
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 quantization stats (dims, scale in micro-units,
+    Σq, Σq²). One posexplode, one window max over vec_id, then the
+    aggregate REUSES the window's hash partitioning — a single shuffle
+    end-to-end. Zero vectors (amax = 0) are skipped, matching the
+    oracle's guard."""
+    u = _embs(spark, sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("_d", "v")
+    ).select("vec_id", F.col("v").cast("double").alias("v"))
+    from pyspark.sql import Window as W
+
+    amax = F.max(F.abs(F.col("v"))).over(W.partitionBy("vec_id"))
+    q = (
+        u.withColumn("amax", amax)
+        .filter(F.col("amax") > 0)
+        .withColumn("qi", F.round(F.col("v") * 127 / F.col("amax")).cast("bigint"))
+    )
+    return q.groupBy("vec_id", "amax").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum("qi").cast("bigint").alias("sum_q"),
+        F.sum(F.col("qi") * F.col("qi")).cast("bigint").alias("sumsq_q"),
+    ).select(
+        "vec_id",
+        "n_dims",
+        F.round(F.col("amax") * 1_000_000).cast("bigint").alias("amax_micro"),
+        "sum_q",
+        "sumsq_q",
+    )
