@@ -461,3 +461,104 @@ def decode_audio(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real multi-frame ("video") container — length-prefixed PNG frames
+# ---------------------------------------------------------------------------
+_VID_MAGIC = b"LSVC"
+
+
+def encode_video(frames: list[bytes]) -> bytes:
+    """Minimal real container: magic ‖ u32 frame count ‖ per frame
+    (u32 length ‖ PNG bytes). Every frame is a genuine PNG."""
+    out = bytearray(_VID_MAGIC)
+    out += struct.pack(">I", len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f))
+        out += f
+    return bytes(out)
+
+
+def decode_video(data: bytes) -> list[bytes]:
+    """Parse the container with verification (magic, declared count,
+    per-frame bounds, trailing-byte check) — raising on corruption,
+    like any real demuxer."""
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("not an LSVC container: bad magic")
+    (n,) = struct.unpack(">I", data[4:8])
+    pos, frames = 8, []
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise ValueError("truncated frame header")
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        if pos + 4 + ln > len(data):
+            raise ValueError("truncated frame payload")
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    if pos != len(data):
+        raise ValueError("trailing bytes after last frame")
+    return frames
+
+
+def synthetic_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL multi-frame container per row: ``id%5+2`` grayscale PNG
+    frames of ``(id%13+4) × (id%9+3)`` with
+    ``pixel(x, y, f) = (id + 3f + x + y) % 251`` — closed-form, so the
+    oracle predicts every sampled frame's dimensions and pixel sum
+    without parsing a byte."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = mid % 13 + 4, mid % 9 + 3
+                frames = []
+                for f in range(mid % 5 + 2):
+                    px = bytes(
+                        (mid + 3 * f + x + y) % 251
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    frames.append(encode_png(px, w, h))
+                ids.append(mid)
+                blobs.append(encode_video(frames))
+            yield pd.DataFrame(
+                {"media_id": ids, "data": blobs, "mime": "video/x-lsvc"}
+            )
+
+    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("pixel_sum", LongType()),
+])
+
+
+def sample_frames_real(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL keyframe extraction: demux the container, take every
+    ``every_n``-th frame, decode each with the real PNG decoder
+    (signature + CRC + inflate + unfilter), and emit exact integer
+    pixel stats — the one-row→many-frames mapInPandas shape of
+    ``sample_frames`` with the stub byte-slicing replaced by actual
+    codecs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, d in zip(pdf["media_id"], pdf["data"]):
+                frames = decode_video(bytes(d))
+                for i in range(0, len(frames), every_n):
+                    w, h, px = decode_png(frames[i])
+                    rows.append((int(mid), i, w, h, sum(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "pixel_sum"],
+            )
+
+    return df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)

@@ -2403,3 +2403,39 @@ def q_embedding_quantize(spark, sf_dir):
         "sum_q",
         "sumsq_q",
     )
+
+
+@query(
+    "multimodal_video_frames_real",
+    """
+    WITH d AS (SELECT doc_id AS media_id, doc_id % 13 + 4 AS w,
+                      doc_id % 9 + 3 AS h, doc_id % 5 + 2 AS nf
+               FROM documents WHERE doc_id % 10 = 0),
+    fr AS (SELECT media_id, w, h, i AS frame_idx
+           FROM d, range(0, 7) t(i) WHERE i < nf AND i % 2 = 0),
+    px AS (SELECT media_id, frame_idx, w, h,
+                  (media_id + 3 * frame_idx + x + y) % 251 AS p
+           FROM fr, range(0, 17) X(x), range(0, 12) Y(y)
+           WHERE x < w AND y < h)
+    SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum(p) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """REAL video keyframe extraction end-to-end: one genuine
+    multi-frame container (LSVC: length-prefixed real PNG frames) per
+    sampled document, demuxed with bounds/magic verification, every
+    2nd frame decoded by the real PNG decoder (CRC + inflate +
+    unfilter) into exact integer pixel stats. The oracle predicts
+    width/height/pixel-sum per sampled frame from the closed-form
+    pixel function — any demux offset error, CRC slip, or filter bug
+    diverges. One-row→many-frames mapInPandas; no driver hop."""
+    from lightsaber_spark.functions.multimodal import (
+        sample_frames_real,
+        synthetic_video_media,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return sample_frames_real(synthetic_video_media(docs), every_n=2)

@@ -100,3 +100,41 @@ def test_decode_audio_spark(spark, tables):
         assert r["n_samples"] == r["media_id"] % 200 + 50
         assert r["sample_rate"] == 8000 * (r["media_id"] % 3 + 1)
         assert 0 <= r["amp_sum"] <= 2000 * r["n_samples"]
+
+
+def test_video_container_roundtrip_and_corruption():
+    """encode_video/decode_video round-trip exactly; a flipped byte in
+    a frame's PNG payload fails the PNG CRC, and container-level
+    corruption (bad magic, truncation, trailing bytes) raises at the
+    demux layer."""
+    import pytest
+
+    from lightsaber_spark.functions.multimodal import (
+        decode_png,
+        decode_video,
+        encode_png,
+        encode_video,
+    )
+
+    frames = [
+        encode_png(bytes((x + y + f) % 251 for y in range(3) for x in range(5)), 5, 3)
+        for f in range(3)
+    ]
+    blob = encode_video(frames)
+    assert decode_video(blob) == frames
+    for f in decode_video(blob):
+        w, h, px = decode_png(f)
+        assert (w, h) == (5, 3) and len(px) == 15
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_video(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_video(blob[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_video(blob + b"\x00")
+    # corrupt one byte inside frame 0's IDAT: PNG layer must object
+    bad = bytearray(blob)
+    bad[60] ^= 0xFF
+    corrupted = decode_video(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(corrupted[0])
