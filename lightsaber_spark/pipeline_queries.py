@@ -2439,3 +2439,66 @@ def q_multimodal_video_frames(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
     return sample_frames_real(synthetic_video_media(docs), every_n=2)
+
+
+# ---------------------------------------------------------------------------
+# Session-duration quantiles — operator COMPOSITION: session windows
+# (gaps-and-islands state op) feeding the deterministic bottom-k
+# quantile sketch, end to end in one lazy plan.
+# ---------------------------------------------------------------------------
+from lightsaber_spark.functions.sketches import (
+    bottomk_quantiles_oracle_sql as _bq_sql,
+    bottomk_sample_quantiles as _bq,
+)
+
+_SESS_DUR_SRC = """(
+    WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    d AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    s AS (SELECT user_id, us,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d)
+    SELECT 'all' AS grp,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+           CAST(min(us) * 1000 + user_id % 1000 AS BIGINT) AS tb_id
+    FROM s GROUP BY user_id, sid
+)"""
+
+
+@query(
+    "session_duration_quantiles",
+    f"""
+    SELECT grp, p50 AS p50_us, p90 AS p90_us, p99 AS p99_us FROM (
+    {_bq_sql(_SESS_DUR_SRC, ["grp"], "duration_us", "tb_id", k=256)}
+    )
+    """,
+)
+def q_session_duration_quantiles(spark, sf_dir):
+    """p50/p90/p99 of session duration (µs, 1800 s gap) over all users:
+    the session-window operator's output flows straight into the
+    bottom-k quantile sketch — no materialization between. The
+    tiebreak id (start_us·1000 + user_id%1000) is unique per session
+    and identical in the oracle, so the sampled order statistics are
+    bit-equal."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    sess = session_window_agg(ev, "ts", 1800, [("count", None, "n")], ["user_id"])
+    dur = sess.select(
+        F.lit("all").alias("grp"),
+        (
+            F.col("session_end_us") - F.lit(1_800_000_000) - F.col("session_start_us")
+        ).cast("bigint").alias("duration_us"),
+        (
+            F.col("session_start_us") * 1000 + F.col("user_id") % 1000
+        ).cast("bigint").alias("tb_id"),
+    )
+    q = _bq(dur, ["grp"], "duration_us", "tb_id", k=256)
+    return q.select(
+        "grp",
+        F.col("p50").alias("p50_us"),
+        F.col("p90").alias("p90_us"),
+        F.col("p99").alias("p99_us"),
+    )
