@@ -2655,3 +2655,55 @@ def zorder_extents_q(spark, sf_dir):
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive compression planning — Scabbard's stats-driven per-column
+# codec selection (src/compression/CompressionCodeGenUtils.h:14,
+# Compressor.h:25-75, monitors/CompressionMonitor.cpp) re-expressed as
+# a relational decision: per column, pick RLE / dictionary / base-delta
+# / plain from exact integer statistics. Spark's state store + parquet
+# run the chosen mechanism; the reference's novel part is the DECISION,
+# and that is what the oracle verifies bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "adaptive_compression_plan",
+    None,  # oracle attached below (built by generator)
+)
+def adaptive_compression_q(spark, sf_dir):
+    """Codec plan for the persisted-events state columns: sequential
+    ids → base-delta, a 150-value key → dictionary, near-monotone
+    timestamps → base-delta, etc. Column stats are one aggregate per
+    column; the runs count for RLE is CHUNKED (window partitioned by
+    order DIV 2^16 — parallel, never a global sort)."""
+    from lightsaber_spark.functions.compression import compression_plan
+    from lightsaber_spark.functions.dedup import shingle_hash
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        epoch_us(ev, "ts").alias("ts_us"),
+        _cents("value").alias("value_c"),
+        shingle_hash(F.col("event_type")).alias("type_h"),
+    )
+    return compression_plan(
+        src, ["user_id", "ts_us", "value_c", "type_h"], "event_id"
+    )
+
+
+def _compression_oracle() -> str:
+    from lightsaber_spark.functions.compression import compression_plan_oracle_sql
+
+    src = (
+        "(SELECT event_id, CAST(user_id AS BIGINT) AS user_id, "
+        "epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS value_c, "
+        "('0x' || substr(md5(event_type), 1, 15))::BIGINT AS type_h FROM events)"
+    )
+    return compression_plan_oracle_sql(
+        src, ["user_id", "ts_us", "value_c", "type_h"], "event_id"
+    )
+
+
+ORACLE_SQL["adaptive_compression_plan"] = _compression_oracle()
