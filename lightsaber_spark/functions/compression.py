@@ -16,7 +16,9 @@ Cost model (bits, deliberately simple and engine-portable):
   plain      64·n
   dictionary n·ceil_log2(d) + 64·d        (code stream + dictionary)
   rle        96·runs                       (64-bit value + 32-bit run)
-  base-delta 64 + n·bits(hi − lo)          (base + fixed-width deltas)
+  base-delta 64 + n·bits(hi − lo)          (base + fixed-width deltas;
+             inapplicable — NULL — when the range reaches 2^62, which
+             also guards the hi − lo bigint overflow)
 
 ``runs`` is computed DISTRIBUTED: rows are chunked on the order column
 (``chunk = order DIV chunk_rows``) and value-change counts are summed
@@ -69,12 +71,20 @@ def compression_plan(
         plain = 64 * n
         dictionary = n * code_bits + 64 * d
         rle = 96 * runs
-        delta = F.when(
-            F.col("hi") == F.col("lo"), F.lit(64)
-        ).otherwise(F.lit(64) + n * _bits(F.col("hi") - F.col("lo")))
+        # hi − lo overflows bigint when the column spans both sign
+        # extremes; base-delta is inapplicable (NULL) past 2^62 — the
+        # double-compare guard is overflow-safe and int64→double
+        # rounding is exactly specified on both engines
+        range_ok = (
+            F.col("hi").cast("double") - F.col("lo").cast("double")
+        ) < float(1 << 62)
+        delta = (
+            F.when(F.col("hi") == F.col("lo"), F.lit(64))
+            .when(range_ok, F.lit(64) + n * _bits(F.col("hi") - F.col("lo")))
+        )
         best = F.least(delta, dictionary, rle, plain)
         codec = (
-            F.when(delta == best, F.lit("base_delta"))
+            F.when(delta.isNotNull() & (delta == best), F.lit("base_delta"))
             .when(dictionary == best, F.lit("dictionary"))
             .when(rle == best, F.lit("rle"))
             .otherwise(F.lit("plain"))
@@ -116,7 +126,10 @@ def compression_plan_oracle_sql(
              n * code_bits + 64 * d AS dict,
              96 * runs AS rle,
              CASE WHEN hi = lo THEN 64
-                  ELSE 64 + n * length(bin(hi - lo)) END AS delta
+                  WHEN CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)
+                         < 4611686018427387904.0
+                  THEN 64 + n * length(bin(hi - lo))
+                  ELSE NULL END AS delta
       FROM (
         SELECT count(*) AS n, count(DISTINCT {col}) AS d,
                sum(r) AS runs, min({col}) AS lo, max({col}) AS hi,

@@ -250,3 +250,42 @@ def test_zorder_bounds_both_dimensions(spark):
     # and the key is a bijection on the 16-bit domain (no collisions)
     n = df.select(zorder_key(F.col("x"), F.col("y"), 8).alias("z")).distinct().count()
     assert n == df.distinct().count()
+
+
+def test_compression_plan_each_codec_wins(spark):
+    """Crafted columns where each codec is optimal: long runs → RLE,
+    few scattered values over a huge range → dictionary, dense range →
+    base-delta, full-width random-ish values → plain."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.compression import compression_plan
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("ord"),
+        # 4 runs of 1024 → rle = 96·4 ≪ delta = 64 + n·2
+        (F.col("id") / 1024).cast("bigint").alias("c_rle"),
+        # two values 2^40 apart, alternating → delta = 64+41n;
+        # dict = n·1 + 128; rle = 96n
+        ((F.col("id") % 2) * F.lit(1 << 40)).alias("c_dict"),
+        # dense 0..n-1 → delta = 64 + 12n beats dict (n·12 + 64n)
+        F.col("id").alias("c_delta"),
+        # sign-alternating huge values: range spans ±2^62 → base-delta
+        # inapplicable (overflow guard); d = n so dict = 12n + 64n;
+        # runs = n so rle = 96n — plain 64n wins
+        (
+            ((F.col("id") % 2) * 2 - 1) * F.col("id") * F.lit((1 << 62) // 4096)
+        ).alias("c_plain"),
+    )
+    got = {
+        r.column_name: r.codec
+        for r in compression_plan(
+            df, ["c_rle", "c_dict", "c_delta", "c_plain"], "ord"
+        ).collect()
+    }
+    assert got == {
+        "c_rle": "rle",
+        "c_dict": "dictionary",
+        "c_delta": "base_delta",
+        "c_plain": "plain",
+    }, got
