@@ -178,3 +178,56 @@ def test_prefix_path_minmax_small_chunks(spark, events):
     big = windowed_agg(ev, "ts", 600, 10, aggs, use_prefix=True)
     ok, msg = rows_match(small.collect(), big.collect(), float_tol=1e-9)
     assert ok, msg
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),        # bucket index
+            st.integers(min_value=-10_000, max_value=10_000),  # value
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_interpolated_fill_properties(spark_session_holder, vals):
+    """For ANY gapped integer series: present buckets pass through as
+    (v, 1); every spine bucket between first and last present gets a
+    row with den > 0; within a gap the exact fractions are collinear
+    (den constant = gap width, num steps by a constant); and the
+    fraction at a gap edge reproduces the neighbor exactly."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.operators.window_agg import interpolated_fill
+
+    spark, _events = spark_session_holder
+    present = dict(vals)
+    agg = spark.createDataFrame(
+        [("k", t, v) for t, v in present.items()], "k string, t long, v long"
+    )
+    lo, hi = min(present), max(present)
+    spine = spark.createDataFrame(
+        [("k", t) for t in range(lo, hi + 1)], "k string, t long"
+    )
+    out = {
+        r.t: (r.num, r.den)
+        for r in interpolated_fill(agg, spine, "v", keys=["k"], t_col="t").collect()
+    }
+    assert set(out) == set(range(lo, hi + 1))
+    ts = sorted(present)
+    for t, (num, den) in out.items():
+        assert den > 0
+        if t in present:
+            assert (num, den) == (present[t], 1)
+        else:
+            import bisect
+
+            i = bisect.bisect_left(ts, t)
+            pt, nt = ts[i - 1], ts[i]
+            pv, nv = present[pt], present[nt]
+            assert den == nt - pt
+            assert num == pv * (nt - t) + nv * (t - pt)
+            # collinearity: exact fraction lies on the segment
+            assert min(pv, nv) * den <= num <= max(pv, nv) * den
