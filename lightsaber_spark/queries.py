@@ -2707,3 +2707,33 @@ def _compression_oracle() -> str:
 
 
 ORACLE_SQL["adaptive_compression_plan"] = _compression_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Calendar windows — month-aligned rollup (months have unequal length,
+# so fixed-size epoch buckets cannot express this; date_trunc is the
+# calendar-window analog of _exact_bucket). Month key emitted as a
+# 'yyyy-MM' string so the cross-engine value hash is type-stable.
+# ---------------------------------------------------------------------------
+@query(
+    "calendar_month_revenue",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_c
+    FROM orders GROUP BY 1
+    """,
+)
+def calendar_month_revenue_q(spark, sf_dir):
+    """Order count + exact revenue cents per calendar month: one
+    map-side-combinable aggregate on the truncated date key."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_c"),
+    )
