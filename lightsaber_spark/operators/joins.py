@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # noqa: F401 — must be module-global for pandas-UDF
+# type-hint resolution under `from __future__ import annotations`
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -218,3 +220,74 @@ def asof_join(
             out = out.withColumn(f"_c_{c}", F.when(within, F.col(f"_c_{c}")))
     sel = [F.col(c) for c in lcols] + [F.col(f"_c_{c}").alias(c) for c in rcols]
     return out.select(*sel)
+
+
+def asof_broadcast_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_ts_left: str,
+    on_ts_right: str,
+    by: Sequence[str],
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
+    out_col: str = "asof_ts_us",
+) -> DataFrame:
+    """As-of against a SMALL right side: the right rows fold to one
+    sorted timestamp array per key (a few thousand keys × history), the
+    key table broadcasts, and each left row binary-searches its match —
+    an Arrow-batched ``searchsorted`` per batch, no shuffle of the left
+    side at all.
+
+    This is (a) the broadcast-dimension batch plan when the right side
+    fits the driver/broadcast budget (the union+window :func:`asof_join`
+    is the big-big path), and (b) the STREAMING as-of enrichment plan:
+    every op here is stateless, so it runs under any output mode with
+    watermarks passing through untouched — no custom state needed.
+
+    Emits ``left.* + out_col`` (epoch µs of the matched right row, null
+    when nothing qualifies).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    import numpy as np
+    import pandas as pd
+
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    by = list(by)
+    r = (
+        right.withColumn("_rt", epoch_us(right, on_ts_right))
+        .groupBy(*by)
+        .agg(F.sort_array(F.collect_list("_rt")).alias("_rts"))
+    )
+    j = left.withColumn("_lt", epoch_us(left, on_ts_left)).join(
+        F.broadcast(r), by, "left"
+    )
+    tol_us = None if tolerance_sec is None else int(tolerance_sec) * 1_000_000
+    back = direction == "backward"
+
+    @F.pandas_udf("bigint")
+    def _lookup(ts: pd.Series, arrs: pd.Series) -> pd.Series:
+        out = []
+        for t, arr in zip(ts, arrs):
+            if arr is None or len(arr) == 0 or pd.isna(t):
+                out.append(None)
+                continue
+            a = np.asarray(arr, dtype=np.int64)
+            t = int(t)
+            if back:
+                i = int(np.searchsorted(a, t, side="right")) - 1
+                m = int(a[i]) if i >= 0 else None
+                if m is not None and tol_us is not None and t - m > tol_us:
+                    m = None
+            else:
+                i = int(np.searchsorted(a, t, side="left"))
+                m = int(a[i]) if i < len(a) else None
+                if m is not None and tol_us is not None and m - t > tol_us:
+                    m = None
+            out.append(m)
+        return pd.Series(out, dtype="object")
+
+    return j.withColumn(out_col, _lookup(F.col("_lt"), F.col("_rts"))).drop(
+        "_lt", "_rts"
+    )

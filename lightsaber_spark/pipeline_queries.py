@@ -2502,3 +2502,30 @@ def q_session_duration_quantiles(spark, sf_dir):
         F.col("p90").alias("p90_us"),
         F.col("p99").alias("p99_us"),
     )
+
+
+@query(
+    "asof_broadcast_last_order",
+    """
+    SELECT e.event_id, epoch_us(o.o_orderdate) AS last_order_us
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    """,
+)
+def q_asof_broadcast(spark, sf_dir):
+    """The broadcast-dimension as-of plan (operators/joins.py
+    asof_broadcast_join): per-key sorted timestamp arrays broadcast to
+    every task, Arrow-batched binary search per event — the LEFT side
+    never shuffles, which is also what makes the same operator the
+    STREAMING as-of enrichment (all ops stateless; see the streaming
+    equivalence test). Must agree row-for-row with DuckDB's native
+    ASOF LEFT JOIN."""
+    from lightsaber_spark.operators.joins import asof_broadcast_join
+
+    t = load_tables(spark, sf_dir, ("orders", "events"))
+    left = t["events"].select("event_id", F.col("user_id").alias("cust"), "ts")
+    right = t["orders"].select(F.col("o_custkey").alias("cust"), "o_orderdate")
+    out = asof_broadcast_join(
+        left, right, "ts", "o_orderdate", ["cust"], out_col="last_order_us"
+    )
+    return out.select("event_id", "last_order_us")

@@ -873,3 +873,35 @@ def test_streaming_neardup_lsh_matches_batch_candidates(spark, tmp_path):
     finally:
         release_shingle_caches()
     assert got == want and len(want) > 0
+
+
+def test_streaming_asof_broadcast_enrichment(spark, events, events_stream_src, tmp_path):
+    """asof_broadcast_join is fully stateless (broadcast of per-key
+    sorted arrays + a per-row binary search), so the SAME operator
+    runs unchanged on a stream — availableNow output equals the batch
+    result exactly, no watermark holdback."""
+    from lightsaber_spark.operators.joins import asof_broadcast_join
+    from lightsaber_spark.session import load_tables
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"].select(
+        F.col("o_custkey").alias("cust"), "o_orderdate"
+    )
+
+    def build(left):
+        out = asof_broadcast_join(
+            left.select("event_id", F.col("user_id").alias("cust"), "ts"),
+            orders, "ts", "o_orderdate", ["cust"], out_col="m_us",
+        )
+        return out.select("event_id", "m_us")
+
+    got = {
+        (r.event_id, r.m_us)
+        for r in run_available_now(
+            build(_stream(spark, events_stream_src)),
+            str(tmp_path / "ck_asof"),
+            table_name="t_asof_bc",
+            output_mode="append",
+        ).collect()
+    }
+    want = {(r.event_id, r.m_us) for r in build(events).collect()}
+    assert got == want and len(want) > 0
