@@ -98,3 +98,32 @@ def test_asof_forward_tolerance(frames):
     assert got[3] is None
     assert got[4] == 4
     assert got[5] is None
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 10])
+def test_asof_broadcast_matches_union_scan(frames, direction, tolerance):
+    """The broadcast binary-search plan and the union+window-scan plan
+    are two physical strategies for the SAME operator: matched right
+    TIMESTAMPS must agree on every left row, for both directions, with
+    and without tolerance (value ties at equal timestamps are
+    unspecified in both, so the comparison is on timestamps)."""
+    from lightsaber_spark.operators.joins import asof_broadcast_join
+
+    left, right = frames
+    scan = asof_join(
+        left, right, "lts", "rts", by=["key"],
+        direction=direction, tolerance_sec=tolerance,
+    )
+    scan_ts = {
+        r.lid: r.m
+        for r in scan.select(
+            "lid", F.expr("unix_micros(rts)").alias("m")
+        ).collect()
+    }
+    bc = asof_broadcast_join(
+        left, right, "lts", "rts", ["key"],
+        direction=direction, tolerance_sec=tolerance, out_col="m",
+    )
+    bc_ts = {r.lid: r.m for r in bc.select("lid", "m").collect()}
+    assert bc_ts == scan_ts
