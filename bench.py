@@ -56,6 +56,7 @@ def main() -> None:
     from lightsaber_spark.session import load_tables
 
     tables = load_tables(spark, sf_dir)
+    events_rows = tables["events"].count()
     warm = tables["events"].groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     warm.write.format("noop").mode("overwrite").save()
     pup = F.pandas_udf(lambda s: s, "bigint")
@@ -88,6 +89,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # the reference's own metric is tuples/s (BASELINE.md:
+        # Measurement.cpp:42-47); events_rows / queries[q] gives the
+        # input-throughput analog for the event-stream queries
+        "events_rows": events_rows,
         "sf": sf,
     }
     with open(os.path.join(_REPO, "BENCH.json"), "w") as f:
@@ -101,6 +106,7 @@ def main() -> None:
             "unit": "sec",
             "queries": headline,
             "n_queries_total": len(timings),
+            "events_rows": events_rows,
             "detail": "BENCH.json",
             "sf": sf,
         },
