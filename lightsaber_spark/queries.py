@@ -2737,3 +2737,55 @@ def calendar_month_revenue_q(spark, sf_dir):
         .cast("bigint")
         .alias("revenue_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — the classic event-analytics rollup (cohort = first
+# active day per user; retention = how many of the cohort are active k
+# days later). Two map-combinable aggregates + one shuffle join on
+# user_id; the matrix is (cohorts × offsets)-bounded regardless of
+# event volume.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention_matrix",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    act AS (SELECT DISTINCT user_id, day FROM e),
+    first AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY 1)
+    SELECT CAST(f.cohort AS BIGINT) AS cohort_day,
+           CAST(a.day - f.cohort AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           s.cohort_size
+    FROM act a JOIN first f USING (user_id) JOIN sizes s ON f.cohort = s.cohort
+    GROUP BY 1, 2, s.cohort_size
+    """,
+)
+def cohort_retention_q(spark, sf_dir):
+    """Cohort × day-offset activity counts with cohort sizes: exact
+    integer day buckets, per-user daily dedup done LOCALLY before the
+    join (distinct on (user, day) — bounded by users × days, not
+    events)."""
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        "user_id", (epoch_us(ev, "ts") / 86_400_000_000).cast("bigint").alias("day")
+    )
+    act = e.distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        act.join(first, "user_id")
+        .join(sizes, "cohort")
+        .groupBy(
+            F.col("cohort").cast("bigint").alias("cohort_day"),
+            (F.col("day") - F.col("cohort")).cast("bigint").alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .select("cohort_day", "day_offset", "n_active", "cohort_size")
+    )
