@@ -136,6 +136,8 @@ _JACCARD_CUT_CTE = f"""
     """,
 )
 def q_text_stats(spark, sf_dir):
+    """Per-document cheap text features (chars/tokens/punct/stopwords)
+    in one Arrow pass."""
     d = text_stats(_docs(spark, sf_dir))
     return d.select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_token_len")
 
@@ -184,6 +186,8 @@ def q_text_repetition(spark, sf_dir):
     """,
 )
 def q_langid(spark, sf_dir):
+    """Marker-pattern language ID: per-language hit counts,
+    deterministic argmax."""
     return _docs(spark, sf_dir).select(
         "doc_id", language_id(F.col("text")).alias("lang_pred")
     )
@@ -196,6 +200,8 @@ def q_langid(spark, sf_dir):
     """,
 )
 def q_fingerprint(spark, sf_dir):
+    """60-bit md5 content fingerprint of normalized text (cross-engine
+    identical)."""
     return _docs(spark, sf_dir).select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -212,6 +218,8 @@ def q_fingerprint(spark, sf_dir):
     """,
 )
 def q_token_count(spark, sf_dir):
+    """BPE-ish regex token totals per source (the corpus token-budget
+    number)."""
     d = _docs(spark, sf_dir)
     return d.groupBy("source").agg(
         F.sum(token_count(F.col("text"), BPE_RE)).alias("total_tokens"),
@@ -239,6 +247,8 @@ def q_token_count(spark, sf_dir):
     """,
 )
 def q_quality_gate(spark, sf_dir):
+    """Pretraining quality gate: integer-permille thresholds on
+    tokens/punct/stopwords — bit-stable keep set."""
     from lightsaber_spark.functions.text import quality_filter
 
     kept = quality_filter(_docs(spark, sf_dir))
@@ -454,6 +464,8 @@ def q_context_length_histogram(spark, sf_dir):
     f"WITH {_JACCARD_CTE} SELECT * FROM jacc",
 )
 def q_dedup_ngram(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram Jaccard >= 0.5 via the PPJoin
+    prefix+positional-filtered inverted index."""
     from lightsaber_spark.functions.dedup import ngram_jaccard_pairs_prefix
 
     return ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.5, k=3)
@@ -491,6 +503,8 @@ def _minhash_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
 
 @query("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash(spark, sf_dir):
+    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard —
+    banded equi-join retrieval, never all-pairs."""
     return minhash_lsh_pairs(
         _docs(spark, sf_dir), threshold=0.5, n_hashes=32, bands=8, k=3
     )
@@ -514,6 +528,8 @@ def q_dedup_minhash(spark, sf_dir):
     """,
 )
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup retrieval: 4x15-bit pigeonhole bands,
+    hamming<=3 by equi-join only."""
     out = simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
     return out.withColumn("hamming", F.col("hamming").cast("bigint"))
 
@@ -601,6 +617,8 @@ _COS = (
     """,
 )
 def q_dedup_embedding(spark, sf_dir):
+    """Embedding near-dup pairs above a cosine threshold: LSH-banded
+    candidates + exact integer verify."""
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.35)
 
 
@@ -623,6 +641,8 @@ def q_dedup_embedding(spark, sf_dir):
     """,
 )
 def q_sim_brute(spark, sf_dir):
+    """Exact cosine top-k for a bounded query set: blocked integer
+    GEMM, per-partition local top-k."""
     e = _embs(spark, sf_dir)
     out = brute_force_topk(e.filter(F.col("vec_id") < 10), e, k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
@@ -829,6 +849,8 @@ def q_sim_ivf_kmeans(spark, sf_dir):
     """,
 )
 def q_multimodal_decode(spark, sf_dir):
+    """Declared-stub media decode: mapInPandas plumbing
+    (schema/batching) with deterministic fake dims."""
     return decode_media(documents_as_media(_docs(spark, sf_dir)))
 
 
@@ -870,6 +892,8 @@ def q_multimodal_decode_real(spark, sf_dir):
     """,
 )
 def q_multimodal_features(spark, sf_dir):
+    """Deterministic 16-dim feature extraction from binary payloads
+    (mapInPandas batch shape)."""
     out = extract_features(documents_as_media(_docs(spark, sf_dir)))
     return out.select("media_id", *[F.col(f"feature.f{i}").alias(f"f{i}") for i in range(16)])
 
@@ -936,6 +960,8 @@ def q_multimodal_frames(spark, sf_dir):
     """,
 )
 def q_sessions(spark, sf_dir):
+    """Session windows (1800 s gap) per user — gaps-and-islands; live
+    here though a dead enum in the reference."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     out = session_window_agg(ev, "ts", 1800, [("count", None, "n")], ["user_id"])
     return out.select("user_id", "session_start_us", "session_end_us", "n")
@@ -950,6 +976,8 @@ def q_sessions(spark, sf_dir):
     """,
 )
 def q_asof(spark, sf_dir):
+    """As-of join: each event's latest order at-or-before its
+    timestamp (union + carry-forward scan, no pair space)."""
     t = load_tables(spark, sf_dir, ("orders", "events"))
     left = t["events"].select("event_id", F.col("user_id").alias("cust"), "ts")
     right = t["orders"].select(
@@ -1071,6 +1099,8 @@ from lightsaber_spark.functions.sampling import (
     """,
 )
 def q_hash_sample(spark, sf_dir):
+    """Deterministic keyed 10% sample: md5(user) threshold —
+    partition- and retry-stable, leakage-safe."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     s = hash_sample(ev, 0.1, ["user_id"])
     return s.groupBy("event_type").agg(
@@ -1089,6 +1119,8 @@ def q_hash_sample(spark, sf_dir):
     """,
 )
 def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 split routing by md5(doc_id) —
+    reproducible across runs and engines."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     s = hash_split(docs, [0.8, 0.1, 0.1], ["doc_id"])
     return s.groupBy("split_id").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1427,6 +1459,8 @@ def q_feature_hash(spark, sf_dir):
     f"WITH {_JACCARD_CUT_CTE} SELECT * FROM jacc",
 )
 def q_dedup_ngram_cut(spark, sf_dir):
+    """Jaccard near-dup with document-frequency cutoff on the inverted
+    index — the Sigma-df^2-bounded scale default."""
     return ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.5, k=3, max_doc_freq=_JACCARD_CUT
     )
@@ -1662,8 +1696,7 @@ def q_collocations_pmi(spark, sf_dir):
     """Collocation extraction: top-k bigrams by log-free PMI — the
     rational score ``cnt(xy)·N / (cnt(x)·cnt(y))`` is monotone in PMI
     and stays exact: integer products (< 2^53) then ONE IEEE division,
-    identical on both engines. Unigram/bigram tables are map-side-
-    combinable aggregates; the scalar token total joins in as a 1-row
+    identical on both engines. Unigram/bigram tables are map-side-combinable aggregates; the scalar token total joins in as a 1-row
     broadcast; the top-k is TakeOrderedAndProject."""
     from lightsaber_spark.functions.dedup import register_cache
     from lightsaber_spark.functions.text import corpus_ngram_counts

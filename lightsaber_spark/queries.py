@@ -106,6 +106,8 @@ def _slide_expand(size: int, slide: int, src: str = "events", pred: str = "TRUE"
     """,
 )
 def cm1(spark, sf_dir):
+    """CM1 (ClusterMonitoring): sliding sum(value cents) per
+    event_type, window 60/1 s — gcd-pane path."""
     ev = _with_cents(_events(spark, sf_dir))
     r = windowed_agg(ev, "ts", 1800, 300,
                      [("sum", "value_c", "sum_c"), ("count", None, "n")],
@@ -131,6 +133,8 @@ def cm1(spark, sf_dir):
     """,
 )
 def cm2(spark, sf_dir):
+    """CM2: filtered (event_type) sliding sum per user_id, window 60/1
+    s."""
     ev = _with_cents(_events(spark, sf_dir).filter(F.col("event_type") == "click"))
     r = windowed_agg(ev, "ts", 1800, 300, [("sum", "value_c", "sum_c")], ["user_id"])
     return r.select("window_start", "user_id", (F.col("sum_c") / 100.0).alias("sum_value"))
@@ -152,6 +156,7 @@ def cm2(spark, sf_dir):
     """,
 )
 def sg1(spark, sf_dir):
+    """SG1 (SmartGrid): GLOBAL (ungrouped) sliding avg(value), pane-decomposed."""
     ev = _with_cents(_events(spark, sf_dir))
     r = windowed_agg(ev, "ts", 3600, 600,
                      [("sum", "value_c", "sum_c"), ("count", None, "n")])
@@ -195,6 +200,9 @@ def sg1(spark, sf_dir):
     """,
 )
 def sg1_ref(spark, sf_dir):
+    """SG1 at the reference's true window(3600,1): prefix-sum path —
+    subtract-on-evict as distributed prefix sums, O(rows + spans) not
+    O(rows*3600)."""
     ev = _with_cents(_events(spark, sf_dir))
     r = windowed_agg(ev, "ts", 3600, 1,
                      [("sum", "value_c", "sum_c"), ("count", None, "n")])
@@ -239,6 +247,8 @@ def sg1_ref(spark, sf_dir):
     """,
 )
 def sg1_ref_minmax(spark, sf_dir):
+    """Non-invertible MIN/MAX at window(3600,1): van Herk two-level
+    pane hierarchy — O(1) amortized per pane, never a 3600x explode."""
     ev = _with_cents(_events(spark, sf_dir))
     r = windowed_agg(
         ev, "ts", 3600, 1,
@@ -270,6 +280,8 @@ def sg1_ref_minmax(spark, sf_dir):
     """,
 )
 def cm1_ref(spark, sf_dir):
+    """CM1 at the reference's true window(60,1) parameters via the
+    gcd-pane path."""
     ev = _with_cents(
         _events(spark, sf_dir).withColumn("category", F.col("user_id") % 5)
     )
@@ -296,6 +308,7 @@ def cm1_ref(spark, sf_dir):
     """,
 )
 def sg2(spark, sf_dir):
+    """SG2: tumbling avg grouped by (user_id, event_type) — one map-combinable aggregate."""
     ev = _with_cents(_events(spark, sf_dir))
     r = windowed_agg(ev, "ts", 3600, 3600,
                      [("sum", "value_c", "sum_c"), ("count", None, "n")],
@@ -322,6 +335,8 @@ def sg2(spark, sf_dir):
     """,
 )
 def sg3(spark, sf_dir):
+    """SG3: filtered sliding avg per user — selection pushed below the
+    window aggregation."""
     ev = _with_cents(_events(spark, sf_dir).filter(F.col("user_id") % 10 == 3))
     r = windowed_agg(ev, "ts", 3600, 600,
                      [("sum", "value_c", "sum_c"), ("count", None, "n")], ["user_id"])
@@ -353,6 +368,8 @@ def sg3(spark, sf_dir):
     """,
 )
 def lrb1(spark, sf_dir):
+    """LRB1 (LinearRoad): derived expression group key + HAVING over
+    the windowed aggregate."""
     ev = _with_cents(
         _events(spark, sf_dir).withColumn(
             "segment", F.floor(F.col("value") / 50).cast("bigint")
@@ -387,6 +404,8 @@ def lrb1(spark, sf_dir):
     """,
 )
 def me1(spark, sf_dir):
+    """ME1 (ManufacturingEquipment): multiple aggregates
+    (sum/avg/min/max) in ONE tumbling pass."""
     ev = _with_cents(_events(spark, sf_dir))
     r = windowed_agg(ev, "ts", 3600, 3600, [
         ("sum", "value_c", "sum_c"),
@@ -417,6 +436,8 @@ def me1(spark, sf_dir):
     """,
 )
 def ysb(spark, sf_dir):
+    """YSB (Yahoo): stream x static broadcast hash join then tumbling
+    count per campaign."""
     t = load_tables(spark, sf_dir, ("events", "customer"))
     stream = (
         t["events"].filter(F.col("event_type") == "view")
@@ -450,6 +471,8 @@ def ysb(spark, sf_dir):
     """,
 )
 def nbq5(spark, sf_dir):
+    """NBQ5 (NEXMark): windowed count per key + post-window argmax
+    (the reference's custom post-op)."""
     ev = _events(spark, sf_dir)
     counts = windowed_agg(ev, "ts", 3600, 3600, [("count", None, "n")], ["user_id"])
     return post_window_argmax(counts, ["window_start"], "user_id", "n", keep_ties=True)
@@ -475,6 +498,8 @@ def nbq5(spark, sf_dir):
     """,
 )
 def lrb2(spark, sf_dir):
+    """LRB2: COUNT-based (row) window — global two-pass row indexing,
+    no single-task sort."""
     ev = _with_cents(_events(spark, sf_dir))
     r = row_window_agg(
         ev, ["ts", "event_id"], 1000, None,
@@ -510,6 +535,8 @@ def lrb2(spark, sf_dir):
     """,
 )
 def gapfill(spark, sf_dir):
+    """Empty-window emission: tumbling counts left-joined onto the
+    full window spine (count->0)."""
     ev = _with_cents(_events(spark, sf_dir))
     aggs = [("count", None, "n"), ("sum", "value_c", "sum_c")]
     agg = windowed_agg(ev, "ts", 21600, 21600, aggs).select(
@@ -569,6 +596,8 @@ def range_join_q(spark, sf_dir):
     """,
 )
 def salted_skew_join(spark, sf_dir):
+    """Skew-safe equi-join: deterministic salt on the hot key x
+    replicated build side — exact result."""
     from lightsaber_spark.operators import salted_join
 
     t = load_tables(spark, sf_dir, ("events", "customer"))
@@ -594,6 +623,8 @@ def salted_skew_join(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query("window_approx_distinct_users", None)
 def window_approx_distinct(spark, sf_dir):
+    """Windowed approx_count_distinct (HLL++) — native estimator,
+    rows-only check by design."""
     from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
 
     ev = _events(spark, sf_dir)
@@ -625,6 +656,8 @@ from lightsaber_spark.functions.sketches import (  # noqa: E402
                    out_col="n_users_kmv"),
 )
 def kmv_distinct_users(spark, sf_dir):
+    """KMV (k-minimum-values) distinct estimate per event_type —
+    md5-deterministic, oracle reproduces the exact estimate."""
     ev = _events(spark, sf_dir)
     return kmv_distinct(ev, ["event_type"], "user_id", k=64, out_col="n_users_kmv")
 
@@ -684,6 +717,7 @@ def cm_sketch_user_counts(spark, sf_dir):
     "SELECT event_id, user_id, event_type, value FROM events",
 )
 def noop_scan(spark, sf_dir):
+    """NoOp operator: full scan pass-through (data-movement baseline)."""
     return _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
 
 
@@ -711,6 +745,8 @@ def noop_scan(spark, sf_dir):
     """,
 )
 def window_profile(spark, sf_dir):
+    """Tumbling multi-statistic value profile (count/sum/min/max/avg)
+    per window."""
     from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
 
     ev = _with_cents(_events(spark, sf_dir))
@@ -752,6 +788,8 @@ def window_profile(spark, sf_dir):
     """,
 )
 def wavg_sliding(spark, sf_dir):
+    """Reference W_AVG aggregate: weighted avg over sliding windows
+    per type (sum(w*v)/sum(w) lift)."""
     ev = _with_cents(_events(spark, sf_dir)).withColumn(
         "w", F.col("event_id") % 7 + 1
     )
@@ -787,6 +825,8 @@ def wavg_sliding(spark, sf_dir):
     """,
 )
 def gapfill_sliding(spark, sf_dir):
+    """Empty-window emission for a SLIDING window spine (distributed
+    spine generation)."""
     ev = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 7)
     agg = windowed_agg(ev, "ts", 7200, 1800, [("count", None, "n")])
     spine = window_spine(ev, "ts", 7200, 1800)
@@ -810,6 +850,8 @@ def gapfill_sliding(spark, sf_dir):
     """,
 )
 def theta(spark, sf_dir):
+    """Windowed THETA join (arbitrary band predicate) bucketized into
+    an equi-join + post-filter — no nested loop."""
     ev = _events(spark, sf_dir)
     l = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("err_id"),
@@ -854,6 +896,7 @@ def theta(spark, sf_dir):
     """,
 )
 def tpch_q1(spark, sf_dir):
+    """TPC-H Q1: one-pass pricing summary, integer-cents exact, plan-contract-pinned single exchange."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     e = li.select(
         "l_returnflag", "l_linestatus",
@@ -889,6 +932,8 @@ def tpch_q1(spark, sf_dir):
     """,
 )
 def rollup_revenue(spark, sf_dir):
+    """ROLLUP hierarchy totals over (returnflag, linestatus), exact
+    cents."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     e = li.select(
         "l_returnflag", "l_linestatus", _cents("l_extendedprice").alias("price_c")
@@ -963,6 +1008,8 @@ def setop_engaged_non_buyers(spark, sf_dir):
     """,
 )
 def lrb3(spark, sf_dir):
+    """LRB3: two chained windowed aggregations (the reference's
+    connectTo query DAG)."""
     ev = _events(spark, sf_dir)
     stage1 = windowed_agg(ev, "ts", 3600, 3600, [("count", None, "n")], ["user_id"])
     return row_window_agg(
@@ -985,6 +1032,8 @@ def lrb3(spark, sf_dir):
     """,
 )
 def window_distinct(spark, sf_dir):
+    """Exact distinct users per tumbling window (count_distinct inside
+    the window bucket)."""
     from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
 
     ev = _events(spark, sf_dir)
@@ -1016,6 +1065,8 @@ def window_distinct(spark, sf_dir):
     """,
 )
 def window_top3(spark, sf_dir):
+    """Top-3 users per window by count via rank over the windowed
+    aggregate (deterministic ties)."""
     ev = _events(spark, sf_dir)
     counts = windowed_agg(ev, "ts", 3600, 3600, [("count", None, "n")], ["user_id"])
     return window_topk(counts, ["window_start"], "n", 3, tie_breakers=["user_id"])
@@ -1037,6 +1088,8 @@ def window_top3(spark, sf_dir):
     """,
 )
 def tpch_q3(spark, sf_dir):
+    """TPC-H Q3: unshipped-order revenue top-10 (join + agg +
+    TakeOrderedAndProject)."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     joined = (
@@ -1075,6 +1128,8 @@ def tpch_q3(spark, sf_dir):
     """,
 )
 def tpch_q18(spark, sf_dir):
+    """TPC-H Q18: large-quantity orders via a HAVING semi-join on the
+    lineitem rollup."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     big = (
         t["lineitem"]
@@ -1112,6 +1167,8 @@ def tpch_q18(spark, sf_dir):
     """,
 )
 def tpch_q19(spark, sf_dir):
+    """TPC-H Q19: disjunctive bracket predicates folded into one join
+    condition."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     li, part = t["lineitem"], t["part"]
     j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -1148,6 +1205,8 @@ def tpch_q19(spark, sf_dir):
     """,
 )
 def cube_order_counts(spark, sf_dir):
+    """CUBE over (priority, status): all 4 grouping combinations with
+    grouping-id."""
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
@@ -1173,6 +1232,8 @@ def cube_order_counts(spark, sf_dir):
     """,
 )
 def lag_value_delta(spark, sf_dir):
+    """LAG window function: per-user consecutive event value deltas in
+    exact cents."""
     from pyspark.sql import Window
 
     ev = _with_cents(_events(spark, sf_dir))
@@ -1202,6 +1263,8 @@ def lag_value_delta(spark, sf_dir):
     """,
 )
 def json_props_stats(spark, sf_dir):
+    """JSON column ops: get_json_object extraction + per-type
+    aggregate over the parsed field."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
@@ -1284,6 +1347,8 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     """,
 )
 def pivot_event_counts(spark, sf_dir):
+    """PIVOT: per-day event counts spread into one column per
+    event_type (fixed pivot domain)."""
     from lightsaber_spark.operators.window_agg import epoch_us
 
     ev = _events(spark, sf_dir)
@@ -1401,6 +1466,7 @@ def tpch_q5(spark, sf_dir):
     """,
 )
 def tpch_q10(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue per customer, top-20."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -1515,6 +1581,7 @@ def tpch_q6(spark, sf_dir):
     """,
 )
 def tpch_q7(spark, sf_dir):
+    """TPC-H Q7: bi-directional nation-pair shipping volumes by year."""
     t = load_tables(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
     pair = t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_8"))
     n1 = pair.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
@@ -1568,6 +1635,8 @@ def tpch_q7(spark, sf_dir):
     """,
 )
 def tpch_q8(spark, sf_dir):
+    """TPC-H Q8: market-share ratio emitted as exact
+    numerator/denominator cents."""
     t = load_tables(
         spark, sf_dir,
         ("part", "lineitem", "orders", "customer", "supplier", "nation", "region"),
@@ -1625,6 +1694,8 @@ def tpch_q8(spark, sf_dir):
     """,
 )
 def tpch_q13(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution via left join +
+    double aggregate."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     per_cust = (
         t["customer"]
@@ -1663,6 +1734,7 @@ def tpch_q13(spark, sf_dir):
     """,
 )
 def tpch_q15(spark, sf_dir):
+    """TPC-H Q15: top supplier against the max of a revenue view (tie-complete)."""
     t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
     rev = (
         t["lineitem"]
@@ -1710,6 +1782,8 @@ def tpch_q15(spark, sf_dir):
     """,
 )
 def tpch_q17(spark, sf_dir):
+    """TPC-H Q17: small-quantity revenue vs per-part avg threshold,
+    decorrelated into one join."""
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
     brand_parts = t["part"].filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     li = t["lineitem"].join(F.broadcast(brand_parts),
@@ -1758,6 +1832,8 @@ def tpch_q17(spark, sf_dir):
     """,
 )
 def tpch_q22(spark, sf_dir):
+    """TPC-H Q22: country-code acquisition analysis with anti-join and
+    scalar avg threshold."""
     t = load_tables(spark, sf_dir, ("customer", "orders"))
     c = t["customer"].select(
         "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c")
@@ -1813,6 +1889,8 @@ def tpch_q22(spark, sf_dir):
     """,
 )
 def tpch_q2(spark, sf_dir):
+    """TPC-H Q2: min-cost supplier per part via min-window over the
+    join, top-100."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
     eu_nations = (
         t["nation"]
@@ -1868,6 +1946,8 @@ def tpch_q2(spark, sf_dir):
     """,
 )
 def tpch_q9(spark, sf_dir):
+    """TPC-H Q9: product profit by nation x year across the 6-table
+    join."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "orders", "nation"))
     widget_parts = (
         t["part"].filter(F.col("p_name").like("%widget%"))
@@ -1921,6 +2001,8 @@ def tpch_q9(spark, sf_dir):
     """,
 )
 def tpch_q11(spark, sf_dir):
+    """TPC-H Q11: group-share filter against a scalar subquery
+    threshold (broadcast one-row total)."""
     t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
     supp = (
         t["supplier"]
@@ -1976,6 +2058,7 @@ def tpch_q11(spark, sf_dir):
     """,
 )
 def tpch_q12(spark, sf_dir):
+    """TPC-H Q12: shipmode buckets with CASE-conditional counts."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     joined = (
@@ -2009,6 +2092,8 @@ def tpch_q12(spark, sf_dir):
     """,
 )
 def tpch_q16(spark, sf_dir):
+    """TPC-H Q16: anti-join on complained suppliers + count_distinct
+    per part attribute group."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
     parts = t["part"].filter(
         (F.col("p_type") != "PROMO")
@@ -2052,6 +2137,8 @@ def tpch_q16(spark, sf_dir):
     """,
 )
 def tpch_q20(spark, sf_dir):
+    """TPC-H Q20: nested semi-joins — suppliers with excess stock of
+    shipped parts."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation"))
     small_parts = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
     sp = t["lineitem"].groupBy(
@@ -2107,6 +2194,8 @@ def tpch_q20(spark, sf_dir):
     """,
 )
 def tpch_q21(spark, sf_dir):
+    """TPC-H Q21: multi-lineitem order correlation decorrelated into
+    one per-order aggregate (no per-row EXISTS)."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders", "supplier"))
     per_pair = (
         t["lineitem"]
@@ -2159,6 +2248,8 @@ def tpch_q21(spark, sf_dir):
     """,
 )
 def grouping_sets_order_revenue(spark, sf_dir):
+    """GROUPING SETS over (priority, status) with grouping-id
+    disambiguation, exact cents."""
     orders = load_tables(spark, sf_dir, ("orders",))["orders"]
     orders.createOrReplaceTempView("gs_orders")
     return spark.sql(
@@ -2201,6 +2292,8 @@ def grouping_sets_order_revenue(spark, sf_dir):
     """,
 )
 def ntile_user_revenue_quartiles(spark, sf_dir):
+    """NTILE(4) quartile assignment over per-user revenue
+    (deterministic tiebreak)."""
     from pyspark.sql import Window
 
     ev = _with_cents(_events(spark, sf_dir))
@@ -2273,6 +2366,8 @@ def rank_users_by_revenue(spark, sf_dir):
     """,
 )
 def first_last_value_per_user(spark, sf_dir):
+    """first_value/last_value over each user's event-time ordering in
+    one window pass."""
     from pyspark.sql import Window
 
     ev = _with_cents(_events(spark, sf_dir))
@@ -2320,6 +2415,8 @@ def first_last_value_per_user(spark, sf_dir):
     """,
 )
 def udaf_weighted_avg_by_type(spark, sf_dir):
+    """Grouped-agg pandas UDAF (weighted avg) — the custom-reduction
+    surface, Arrow-batched."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
@@ -2367,6 +2464,7 @@ def udaf_weighted_avg_by_type(spark, sf_dir):
     """,
 )
 def full_outer_user_activity(spark, sf_dir):
+    """FULL OUTER join of event-active vs order-active users (both-null-side preserving)."""
     t = load_tables(spark, sf_dir, ("events", "orders"))
     e = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     o = (
@@ -2400,6 +2498,8 @@ def full_outer_user_activity(spark, sf_dir):
     """,
 )
 def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (stack) of lineitem measures into (measure, value)
+    rows, exact cents."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     long = li.select(
         "l_returnflag",
@@ -2443,6 +2543,7 @@ from lightsaber_spark.functions.sketches import (  # noqa: E402
     """,
 )
 def sample_quantiles_value_by_type(spark, sf_dir):
+    """p50/p90/p99 per event_type from the deterministic bottom-k-by-hash sample (mergeable, oracle-exact)."""
     ev = _with_cents(_events(spark, sf_dir))
     q = bottomk_sample_quantiles(
         ev, ["event_type"], "value_c", "event_id", k=256
