@@ -19,13 +19,21 @@ Cost model (bits, deliberately simple and engine-portable):
   base-delta 64 + n·bits(hi − lo)          (base + fixed-width deltas;
              inapplicable — NULL — when the range reaches 2^62, which
              also guards the hi − lo bigint overflow)
+An EMPTY relation plans as ``plain`` with 0 bits (nothing to encode)
+on both engines.
 
 ``runs`` is computed DISTRIBUTED: rows are chunked on the order column
-(``chunk = order DIV chunk_rows``) and value-change counts are summed
-per chunk (window partitioned by chunk — parallel, never a global
-sort). Cross-chunk boundary changes are not counted — an undercount of
-at most n_chunks, identical on both engines, irrelevant to the
-decision at any realistic chunk size.
+(``chunk = order DIV chunk_rows`` — integer division, exact at any
+magnitude) and value-change counts are summed per chunk (window
+partitioned by chunk — parallel, never a global sort). Cross-chunk
+boundary changes are not counted — an undercount of at most n_chunks,
+identical on both engines, irrelevant to the decision at any realistic
+chunk size.
+
+ONE PASS for all columns: a single projection carries every column's
+run flag (all lags share one window spec → one shuffle), a single
+global aggregate computes every column's (d, runs, lo, hi), and the
+per-column rows are cheap selects from that one stats row.
 """
 
 from __future__ import annotations
@@ -46,27 +54,37 @@ def compression_plan(
     order_col: str,
     chunk_rows: int = 1 << 16,
 ) -> DataFrame:
-    """One row per column in ``cols`` (must be bigint, non-negative
-    deltas assumed via hi−lo): ``(column_name, codec, est_bits,
-    plain_bits)`` — the winning codec by the cost model above, ties
-    broken in CODECS order (base_delta < dictionary < rle < plain)."""
-    chunk = (F.col(order_col) / chunk_rows).cast("bigint").alias("_chunk")
+    """One row per column in ``cols`` (must be bigint): ``(column_name,
+    codec, est_bits, plain_bits)`` — the winning codec by the cost
+    model above, ties broken in CODECS order (base_delta < dictionary
+    < rle < plain)."""
+    chunk = F.expr(f"CAST({order_col} DIV {chunk_rows} AS BIGINT)").alias("_chunk")
+    base = df.select(chunk, F.col(order_col), *[F.col(c) for c in cols])
+    w = Window.partitionBy("_chunk").orderBy(order_col)
+    flags = [
+        F.when(
+            F.lag(col).over(w).isNull() | (F.lag(col).over(w) != F.col(col)), 1
+        )
+        .otherwise(0)
+        .alias(f"_r_{col}")
+        for col in cols
+    ]
+    per = base.select("*", *flags)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for col in cols:
+        aggs += [
+            F.count_distinct(col).cast("bigint").alias(f"d_{col}"),
+            F.sum(f"_r_{col}").cast("bigint").alias(f"runs_{col}"),
+            F.min(col).cast("bigint").alias(f"lo_{col}"),
+            F.max(col).cast("bigint").alias(f"hi_{col}"),
+        ]
+    stats = per.agg(*aggs)
+
     plans = []
     for col in cols:
-        c = F.col(col)
-        w = Window.partitionBy("_chunk").orderBy(order_col)
-        runs_flag = F.when(
-            F.lag(col).over(w).isNull() | (F.lag(col).over(w) != c), 1
-        ).otherwise(0)
-        per = df.select(chunk, F.col(order_col), c).withColumn("_r", runs_flag)
-        stats = per.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.count_distinct(col).cast("bigint").alias("d"),
-            F.sum("_r").cast("bigint").alias("runs"),
-            F.min(col).cast("bigint").alias("lo"),
-            F.max(col).cast("bigint").alias("hi"),
-        )
-        n, d, runs = F.col("n"), F.col("d"), F.col("runs")
+        n = F.col("n")
+        d, runs = F.col(f"d_{col}"), F.col(f"runs_{col}")
+        lo, hi = F.col(f"lo_{col}"), F.col(f"hi_{col}")
         code_bits = F.when(d <= 1, F.lit(1)).otherwise(_bits(d - 1))
         plain = 64 * n
         dictionary = n * code_bits + 64 * d
@@ -75,25 +93,25 @@ def compression_plan(
         # extremes; base-delta is inapplicable (NULL) past 2^62 — the
         # double-compare guard is overflow-safe and int64→double
         # rounding is exactly specified on both engines
-        range_ok = (
-            F.col("hi").cast("double") - F.col("lo").cast("double")
-        ) < float(1 << 62)
-        delta = (
-            F.when(F.col("hi") == F.col("lo"), F.lit(64))
-            .when(range_ok, F.lit(64) + n * _bits(F.col("hi") - F.col("lo")))
+        range_ok = (hi.cast("double") - lo.cast("double")) < float(1 << 62)
+        delta = F.when(hi == lo, F.lit(64)).when(
+            range_ok, F.lit(64) + n * _bits(hi - lo)
         )
         best = F.least(delta, dictionary, rle, plain)
-        codec = (
+        # n = 0: every stat is NULL/0 — plan 'plain' with 0 bits (both
+        # engines; without the guard the NULL propagation differs)
+        codec = F.when(n == 0, F.lit("plain")).otherwise(
             F.when(delta.isNotNull() & (delta == best), F.lit("base_delta"))
             .when(dictionary == best, F.lit("dictionary"))
             .when(rle == best, F.lit("rle"))
             .otherwise(F.lit("plain"))
         )
+        est = F.when(n == 0, F.lit(0)).otherwise(best)
         plans.append(
             stats.select(
                 F.lit(col).alias("column_name"),
                 codec.alias("codec"),
-                best.cast("bigint").alias("est_bits"),
+                est.cast("bigint").alias("est_bits"),
                 plain.cast("bigint").alias("plain_bits"),
             )
         )
@@ -110,19 +128,21 @@ def compression_plan_oracle_sql(
     chunk_rows: int = 1 << 16,
 ) -> str:
     """DuckDB twin of :func:`compression_plan` (same cost model, same
-    chunked runs count, same tie order)."""
+    chunked runs count, same tie order, same empty-input plan)."""
     parts = []
     for col in cols:
         parts.append(f"""
     SELECT '{col}' AS column_name,
-           CASE WHEN delta <= dict AND delta <= rle AND delta <= plain THEN 'base_delta'
+           CASE WHEN n = 0 THEN 'plain'
+                WHEN delta <= dict AND delta <= rle AND delta <= plain THEN 'base_delta'
                 WHEN dict <= rle AND dict <= plain THEN 'dictionary'
                 WHEN rle <= plain THEN 'rle'
                 ELSE 'plain' END AS codec,
-           CAST(least(delta, dict, rle, plain) AS BIGINT) AS est_bits,
+           CAST(CASE WHEN n = 0 THEN 0
+                     ELSE least(delta, dict, rle, plain) END AS BIGINT) AS est_bits,
            CAST(plain AS BIGINT) AS plain_bits
     FROM (
-      SELECT 64 * n AS plain,
+      SELECT n, 64 * n AS plain,
              n * code_bits + 64 * d AS dict,
              96 * runs AS rle,
              CASE WHEN hi = lo THEN 64

@@ -486,6 +486,8 @@ def decode_video(data: bytes) -> list[bytes]:
     like any real demuxer."""
     if data[:4] != _VID_MAGIC:
         raise ValueError("not an LSVC container: bad magic")
+    if len(data) < 8:
+        raise ValueError("truncated container header")
     (n,) = struct.unpack(">I", data[4:8])
     pos, frames = 8, []
     for _ in range(n):

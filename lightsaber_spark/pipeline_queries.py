@@ -2129,8 +2129,12 @@ def q_passage_coverage(spark, sf_dir):
     dp = hit.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_positions")
     )
-    n_tok = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    # every doc surviving the inner joins has >= 1 shingle, for which
+    # n_tokens = n_positional_shingles + (k - 1) exactly — derived from
+    # the already-persisted index instead of a second full-text regex
+    # pass over the corpus
+    n_tok = sh.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) + F.lit(_PASSAGE_K - 1)).cast("bigint").alias("n_tokens")
     )
     return n_tok.join(cov, "doc_id").join(dp, "doc_id").select(
         "doc_id", "n_tokens", "n_covered", "n_dup_positions"
@@ -2343,7 +2347,7 @@ _PAD_CTX = 512
     """,
 )
 def q_padding_waste(spark, sf_dir):
-    """Padding tokens wasted per assembly strategy at ctx={_PAD_CTX}:
+    """Padding tokens wasted per assembly strategy at ctx=512:
     one-doc-per-sequence (pad every truncated doc to ctx), pow2
     length-bucketed batching (pad to the next power of two, capped at
     ctx), and concat-and-chunk packing (only the final window's tail —

@@ -2871,8 +2871,11 @@ def cohort_retention_q(spark, sf_dir):
     from lightsaber_spark.operators.window_agg import epoch_us
 
     ev = _events(spark, sf_dir)
-    e = ev.select(
-        "user_id", (epoch_us(ev, "ts") / 86_400_000_000).cast("bigint").alias("day")
+    # integer DIV on the epoch (never float epoch math — CLAUDE.md):
+    # double division truncates wrong 1 us before a boundary once the
+    # quotient's ulp/2 exceeds 1/86400000000
+    e = ev.select("user_id", epoch_us(ev, "ts").alias("_us")).select(
+        "user_id", F.expr("CAST(_us DIV 86400000000 AS BIGINT)").alias("day")
     )
     act = e.distinct()
     first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))

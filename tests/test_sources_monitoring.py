@@ -289,3 +289,20 @@ def test_compression_plan_each_codec_wins(spark):
         "c_delta": "base_delta",
         "c_plain": "plain",
     }, got
+
+
+def test_compression_plan_empty_input(spark):
+    """A 0-row relation plans 'plain' with 0 estimated bits — the
+    NULL-stats edge where naive NULL propagation would let the two
+    engines pick different codecs."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.compression import compression_plan
+
+    df = spark.range(10).filter(F.col("id") < 0).select(
+        F.col("id").alias("ord"), F.col("id").alias("c")
+    )
+    rows = compression_plan(df, ["c"], "ord").collect()
+    assert [(r.column_name, r.codec, r.est_bits, r.plain_bits) for r in rows] == [
+        ("c", "plain", 0, 0)
+    ]
