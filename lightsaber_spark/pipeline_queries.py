@@ -2566,3 +2566,121 @@ def q_asof_broadcast(spark, sf_dir):
         left, right, "ts", "o_orderdate", ["cust"], out_col="last_order_us"
     )
     return out.select("event_id", "last_order_us")
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card — the per-source summary a dataset release ships:
+# volume, quality-gate survival, token budget, and near-dup exposure,
+# composed from the existing operators in ONE lazy plan.
+# ---------------------------------------------------------------------------
+def _data_card_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
+    consts = _lcg_constants(n_hashes, seed)
+    r = n_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
+        for b in range(bands)
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_JACCARD_CTE},
+    xs AS (SELECT doc_id, ({H60.format(x='s')}) % {X_BITS} AS x FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM xs GROUP BY 1),
+    banded AS (SELECT doc_id,
+           {band_cols}
+           FROM sig),
+    stacked AS ({stacked}),
+    near AS (SELECT DISTINCT a.doc_id FROM stacked a JOIN stacked b
+             ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id <> b.doc_id),
+    feat AS (SELECT source, doc_id, length(text) AS n_chars,
+                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))
+                      AS n_bpe,
+                    {TOKS} AS toks,
+                    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+             FROM documents),
+    keep AS (SELECT source, doc_id FROM feat
+             WHERE len(toks) >= 20
+               AND n_punct * 1000 <= 150 * n_chars
+               AND len(list_filter(toks, x -> x IN ({_QSCORE_STOP_IN})))
+                     * 1000 <= 600 * len(toks))
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(sum(f.n_bpe) AS BIGINT) AS total_tokens,
+           CAST(sum(f.n_chars) AS BIGINT) AS total_chars,
+           CAST(count(nr.doc_id) AS BIGINT) AS n_neardup
+    FROM feat f
+    LEFT JOIN keep k USING (source, doc_id)
+    LEFT JOIN near nr ON f.doc_id = nr.doc_id
+    GROUP BY 1
+    """
+
+
+@query("corpus_data_card", _data_card_oracle())
+def q_corpus_data_card(spark, sf_dir):
+    """Per-source release summary: document count, quality-gate
+    survivors, exact BPE-regex token budget, character volume, and
+    near-dup exposure (docs sharing any MinHash band bucket with
+    another doc — the retrieval-stage flag). Every signal reuses the
+    corresponding operator (quality_filter, token_count, the per-row
+    band-key UDF) and the whole card is one lazy Catalyst plan: one
+    corpus scan for features + one for signatures, aggregates keyed on
+    the small source domain."""
+    from lightsaber_spark.functions.dedup import minhash_band_keys_udf
+    from lightsaber_spark.functions.text import quality_filter
+
+    docs = _docs(spark, sf_dir)
+    feat = docs.select(
+        "source",
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        token_count(F.col("text"), BPE_RE).alias("n_bpe"),
+    )
+    keep = quality_filter(docs).select("source", "doc_id").withColumn(
+        "_k", F.lit(1)
+    )
+    from lightsaber_spark.functions.dedup import register_cache
+
+    # the Arrow-UDF signature subplan feeds both self-join sides —
+    # pin one materialization (multiply-referenced-subplan rule)
+    bands = register_cache(
+        docs.select(
+            "doc_id",
+            F.posexplode(minhash_band_keys_udf(32, 8, 3, 42)(F.col("text"))).alias(
+                "band", "bucket"
+            ),
+        )
+    )
+    near = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    return (
+        feat.join(keep, ["source", "doc_id"], "left")
+        .join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("_k"), F.lit(0))).cast("bigint").alias("n_kept"),
+            F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.coalesce(F.col("_n"), F.lit(0))).cast("bigint").alias("n_neardup"),
+        )
+    )
