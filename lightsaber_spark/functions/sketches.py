@@ -406,3 +406,114 @@ def bloom_probe(
         ) != 0
         conds = c if conds is None else (conds & c)
     return out.select(*df.columns, conds.alias(flag_col))
+
+
+def kmv_intersection(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-intersection cardinality estimates from MERGED KMV
+    sketches (Beyer et al. SIGMOD'07) — the sketch composition that
+    makes KMV a join-planning tool: the union sketch of two sets is the
+    bottom-k of their merged hashes (min-merge, associative), the
+    Jaccard estimate is the fraction of those k hashes present in both
+    sets, and |A∩B| ≈ m/k · |A∪B|-est.
+
+    For every unordered pair of ``set_col`` values: ``(set_a, set_b,
+    m_both, union_est, inter_est)`` — all exact integer arithmetic
+    (the same decimal floor-division as :func:`kmv_distinct`, then
+    ``m·union_est DIV k``), so the DuckDB twin is bit-identical.
+
+    Scale shape: one distinct on (set, h) — the same shuffle the
+    per-set sketch needs — then a tiny pairs×k relation; nothing
+    pairwise ever touches raw rows.
+    """
+    sets = df.select(F.col(set_col).alias("_s")).distinct()
+    pairs = (
+        sets.alias("a")
+        .join(sets.alias("b"), F.col("a._s") < F.col("b._s"))
+        .select(F.col("a._s").alias("set_a"), F.col("b._s").alias("set_b"))
+    )
+    dh = df.select(
+        F.col(set_col).alias("_s"),
+        shingle_hash(F.col(value_col).cast("string")).alias("_h"),
+    ).distinct()
+    # per (pair, hash): membership flags on each side
+    ph = (
+        # pairs is tiny (|sets|^2 rows) — broadcast it against the
+        # hash relation; the OR-condition fans each hash row out to
+        # every pair containing its set
+        F.broadcast(pairs).join(
+            dh,
+            (F.col("_s") == F.col("set_a")) | (F.col("_s") == F.col("set_b")),
+        )
+        .groupBy("set_a", "set_b", "_h")
+        .agg(
+            F.max(F.when(F.col("_s") == F.col("set_a"), 1).otherwise(0)).alias("_ina"),
+            F.max(F.when(F.col("_s") == F.col("set_b"), 1).otherwise(0)).alias("_inb"),
+        )
+    )
+    w = Window.partitionBy("set_a", "set_b").orderBy("_h")
+    bk = ph.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    a_lit = F.expr(f"CAST('{(k - 1) * TWO60}' AS DECIMAL(38,0))")
+    agg = bk.groupBy("set_a", "set_b").agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.max("_h").alias("_hk"),
+        F.sum(F.col("_ina") * F.col("_inb")).cast("bigint").alias("m_both"),
+    )
+    union_est = F.when(F.col("_nk") < k, F.col("_nk").cast("bigint")).otherwise(
+        ((a_lit - a_lit % F.col("_hk")) / F.col("_hk")).cast("bigint")
+    )
+    return (
+        agg.withColumn("union_est", union_est)
+        .withColumn(
+            "inter_est",
+            # below-k sketches are EXACT: m_both IS the intersection
+            F.when(F.col("_nk") < k, F.col("m_both")).otherwise(
+                F.expr(f"CAST(m_both * union_est DIV {k} AS BIGINT)")
+            ),
+        )
+        .select("set_a", "set_b", "m_both", "union_est", "inter_est")
+    )
+
+
+def kmv_intersection_oracle_sql(
+    table_expr: str,
+    set_expr: str,
+    value_expr: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_intersection`."""
+    a = (k - 1) * TWO60
+    return f"""
+    WITH src AS (SELECT {set_expr} AS s, {value_expr} AS v FROM {table_expr}),
+    sets AS (SELECT DISTINCT s FROM src),
+    pairs AS (SELECT a.s AS set_a, b.s AS set_b
+              FROM sets a JOIN sets b ON a.s < b.s),
+    dh AS (SELECT DISTINCT s,
+                  ('0x'||substr(md5(CAST(v AS VARCHAR)),1,15))::BIGINT AS h
+           FROM src),
+    ph AS (SELECT set_a, set_b, h,
+                  max(CASE WHEN s = set_a THEN 1 ELSE 0 END) AS ina,
+                  max(CASE WHEN s = set_b THEN 1 ELSE 0 END) AS inb
+           FROM pairs JOIN dh ON s = set_a OR s = set_b
+           GROUP BY 1, 2, 3),
+    bk AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY set_a, set_b ORDER BY h)
+                       AS rn FROM ph)
+           WHERE rn <= {k}),
+    agg AS (SELECT set_a, set_b, count(*) AS nk, max(h) AS hk,
+                   CAST(sum(ina * inb) AS BIGINT) AS m_both
+            FROM bk GROUP BY 1, 2)
+    SELECT set_a, set_b, m_both,
+           CAST(CASE WHEN nk < {k} THEN nk
+                ELSE (({a}::HUGEINT) // hk::HUGEINT)::BIGINT END AS BIGINT)
+             AS union_est,
+           CAST(CASE WHEN nk < {k} THEN m_both
+                ELSE m_both * (CASE WHEN nk < {k} THEN nk
+                     ELSE (({a}::HUGEINT) // hk::HUGEINT)::BIGINT END) // {k}
+                END AS BIGINT) AS inter_est
+    FROM agg
+    """

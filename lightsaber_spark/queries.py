@@ -2893,3 +2893,68 @@ def cohort_retention_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
         .select("cohort_day", "day_offset", "n_active", "cohort_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch COMPOSITION — pairwise set-overlap estimation from merged
+# sketches (the join-cardinality-planning use of KMV: Beyer et al.
+# SIGMOD'07). Nothing pairwise ever touches raw rows.
+# ---------------------------------------------------------------------------
+@query(
+    "kmv_user_overlap_by_type",
+    None,  # oracle attached below (generator)
+)
+def kmv_user_overlap_q(spark, sf_dir):
+    """For every pair of event types: the merged-sketch union estimate,
+    the k-sample both-sides count, and the derived intersection
+    estimate of their distinct-user sets — plus the EXACT intersection
+    for comparison. All estimator arithmetic is integer/decimal exact,
+    so both engines produce identical estimates (and identical
+    errors)."""
+    from lightsaber_spark.functions.sketches import kmv_intersection
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    est = kmv_intersection(ev, "event_type", "user_id", k=64)
+    d = ev.distinct()
+    exact = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("set_a"),
+            F.col("b.event_type").alias("set_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exact"))
+    )
+    return est.join(exact, ["set_a", "set_b"], "left").select(
+        "set_a",
+        "set_b",
+        "m_both",
+        "union_est",
+        "inter_est",
+        F.coalesce(F.col("inter_exact"), F.lit(0)).cast("bigint").alias("inter_exact"),
+    )
+
+
+def _kmv_overlap_oracle() -> str:
+    from lightsaber_spark.functions.sketches import kmv_intersection_oracle_sql
+
+    est = kmv_intersection_oracle_sql("events", "event_type", "user_id", k=64)
+    return f"""
+    WITH est AS ({est}),
+    d AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (SELECT a.event_type AS set_a, b.event_type AS set_b,
+                  CAST(count(*) AS BIGINT) AS inter_exact
+           FROM d a JOIN d b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+    SELECT est.set_a, est.set_b, est.m_both, est.union_est, est.inter_est,
+           CAST(coalesce(ex.inter_exact, 0) AS BIGINT) AS inter_exact
+    FROM est LEFT JOIN ex USING (set_a, set_b)
+    """
+
+
+ORACLE_SQL["kmv_user_overlap_by_type"] = _kmv_overlap_oracle()
