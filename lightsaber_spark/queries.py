@@ -2958,3 +2958,72 @@ def _kmv_overlap_oracle() -> str:
 
 
 ORACLE_SQL["kmv_user_overlap_by_type"] = _kmv_overlap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation — sufficient statistics for Pearson r
+# between every pair of event types' hourly sums, all exact integers
+# (the division/sqrt happens client-side; emitting n/Σx/Σy/Σxy/Σx²/Σy²
+# keeps the oracle compare bit-exact AND the stats mergeable across
+# partitions/time ranges).
+# ---------------------------------------------------------------------------
+@query(
+    "window_corr_stats_by_type_pair",
+    """
+    WITH h AS (SELECT event_type,
+                      (epoch_us(ts) // 3600000000) * 3600 AS w,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+               FROM events GROUP BY 1, 2)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(a.s) AS BIGINT) AS sx,
+           CAST(sum(b.s) AS BIGINT) AS sy,
+           CAST(sum(a.s * b.s) AS BIGINT) AS sxy,
+           CAST(sum(a.s * a.s) AS BIGINT) AS sxx,
+           CAST(sum(b.s * b.s) AS BIGINT) AS syy
+    FROM h a JOIN h b ON a.w = b.w AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def window_corr_stats_q(spark, sf_dir):
+    """Pearson-r sufficient statistics per event-type pair over their
+    hourly sum series (windows where BOTH series have data): one
+    map-combinable hourly aggregate, an equi-join on the window key
+    (never a raw-row pair space), one pair-keyed aggregate. r =
+    (n·Σxy − ΣxΣy)/√((n·Σxx − Σx²)(n·Σyy − Σy²)) is derivable
+    client-side; the stats themselves stay integer-exact and
+    mergeable."""
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ev = _events(spark, sf_dir)
+    h = (
+        ev.select(
+            "event_type",
+            _exact_bucket(epoch_us(ev, "ts"), 3600).alias("w"),
+            _cents("value").alias("v"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.sum("v").cast("bigint").alias("s"))
+    )
+    # the hourly aggregate feeds both self-join sides — pin one
+    # materialization (multiply-referenced-subplan rule, CLAUDE.md)
+    from lightsaber_spark.functions.dedup import register_cache
+
+    h = register_cache(h)
+    j = h.alias("a").join(
+        h.alias("b"),
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    )
+    sa, sb = F.col("a.s"), F.col("b.s")
+    return j.groupBy(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(sa).cast("bigint").alias("sx"),
+        F.sum(sb).cast("bigint").alias("sy"),
+        F.sum(sa * sb).cast("bigint").alias("sxy"),
+        F.sum(sa * sa).cast("bigint").alias("sxx"),
+        F.sum(sb * sb).cast("bigint").alias("syy"),
+    )
