@@ -384,3 +384,24 @@ def test_bloom_no_false_negatives_and_plan(spark):
     # plan is bloom_build's tiny word aggregate (~m/60 rows)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_kmv_intersection_exact_below_k(spark):
+    """Below k the merged sketch IS the merged set: union and
+    intersection come back exact; above k the estimator still bounds
+    sensibly (m_both <= k, estimates within the k=16 error band)."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.sketches import kmv_intersection
+
+    rows = [("A", v) for v in range(100)] + [("B", v) for v in range(50, 150)]
+    df = spark.createDataFrame(rows, "s string, v long")
+    exact = {r.asDict()["set_a"]: r for r in
+             kmv_intersection(df, "s", "v", k=256).collect()}
+    r = exact["A"]
+    assert (r.set_b, r.m_both, r.union_est, r.inter_est) == ("B", 50, 150, 50)
+
+    est = kmv_intersection(df, "s", "v", k=16).collect()[0]
+    assert est.m_both <= 16
+    assert 75 <= est.union_est <= 300   # 150 true, k=16 → se ~ 27%
+    assert 10 <= est.inter_est <= 120   # 50 true
