@@ -430,25 +430,32 @@ def kmv_intersection(
     per-set sketch needs — then a tiny pairs×k relation; nothing
     pairwise ever touches raw rows.
     """
-    sets = df.select(F.col(set_col).alias("_s")).distinct()
+    # unordered pairs WITHOUT a join: fold the distinct sets into one
+    # scalar array row, then explode twice — the quadratic fan-out
+    # happens in Generate ops over a provably-one-row relation, so the
+    # plan carries no nested-loop join at all
+    sets_arr = df.agg(F.collect_set(F.col(set_col)).alias("_ss"))
     pairs = (
-        sets.alias("a")
-        .join(sets.alias("b"), F.col("a._s") < F.col("b._s"))
-        .select(F.col("a._s").alias("set_a"), F.col("b._s").alias("set_b"))
+        sets_arr.select(F.explode("_ss").alias("set_a"), "_ss")
+        .select("set_a", F.explode("_ss").alias("set_b"))
+        .filter(F.col("set_a") < F.col("set_b"))
     )
     dh = df.select(
         F.col(set_col).alias("_s"),
         shingle_hash(F.col(value_col).cast("string")).alias("_h"),
     ).distinct()
-    # per (pair, hash): membership flags on each side
+    # per (pair, hash): membership flags on each side. The pair list
+    # is exploded to one row per (pair, member set) so the fan-out is a
+    # broadcast HASH join on the set key — an OR-condition join would
+    # plan as a nested loop
+    pair_sides = pairs.select(
+        "set_a",
+        "set_b",
+        F.explode(F.array(F.col("set_a"), F.col("set_b"))).alias("_s"),
+    )
     ph = (
-        # pairs is tiny (|sets|^2 rows) — broadcast it against the
-        # hash relation; the OR-condition fans each hash row out to
-        # every pair containing its set
-        F.broadcast(pairs).join(
-            dh,
-            (F.col("_s") == F.col("set_a")) | (F.col("_s") == F.col("set_b")),
-        )
+        F.broadcast(pair_sides)
+        .join(dh, "_s")
         .groupBy("set_a", "set_b", "_h")
         .agg(
             F.max(F.when(F.col("_s") == F.col("set_a"), 1).otherwise(0)).alias("_ina"),
