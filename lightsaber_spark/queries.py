@@ -3027,3 +3027,57 @@ def window_corr_stats_q(spark, sf_dir):
         F.sum(sa * sa).cast("bigint").alias("sxx"),
         F.sum(sb * sb).cast("bigint").alias("syy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT order statistics without a global sort — the counting trick:
+# aggregate counts per distinct value (map-combinable), then a
+# cumulative scan over the value DOMAIN (bounded by distinct values,
+# not rows) locates any rank exactly. Complements the sampled
+# bottom-k quantiles with an exact answer.
+# ---------------------------------------------------------------------------
+@query(
+    "exact_median_value_cents",
+    """
+    WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1),
+    r AS (SELECT v, cnt,
+                 sum(cnt) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM c)
+    SELECT CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT)
+             AS median_lo,
+           CAST(min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS BIGINT)
+             AS median_hi,
+           CAST(max(n) AS BIGINT) AS n
+    FROM r
+    """,
+)
+def exact_median_q(spark, sf_dir):
+    """Exact median (lower/upper order statistic for even n) of value
+    cents over all events: one map-combinable count-per-value
+    aggregate, then a cumulative scan over the ~|domain| distinct
+    values — the scan is single-partition but bounded by the value
+    DOMAIN, not the row count, which is what makes exact medians
+    feasible at 100 TB (the alternative is a full sort). Both order
+    statistics emitted so the even-n case needs no division."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    c = ev.select(_cents("value").alias("v")).groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    r = c.select(
+        "v",
+        F.sum("cnt").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("n"),
+    )
+    lo_rank = F.expr("CAST((n + 1) DIV 2 AS BIGINT)")
+    hi_rank = F.expr("CAST(n DIV 2 + 1 AS BIGINT)")
+    return r.agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).cast("bigint").alias("median_lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).cast("bigint").alias("median_hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
