@@ -513,14 +513,13 @@ def kmv_intersection_oracle_sql(
            WHERE rn <= {k}),
     agg AS (SELECT set_a, set_b, count(*) AS nk, max(h) AS hk,
                    CAST(sum(ina * inb) AS BIGINT) AS m_both
-            FROM bk GROUP BY 1, 2)
-    SELECT set_a, set_b, m_both,
-           CAST(CASE WHEN nk < {k} THEN nk
-                ELSE (({a}::HUGEINT) // hk::HUGEINT)::BIGINT END AS BIGINT)
-             AS union_est,
+            FROM bk GROUP BY 1, 2),
+    u AS (SELECT *, CAST(CASE WHEN nk < {k} THEN nk
+                    ELSE (({a}::HUGEINT) // hk::HUGEINT)::BIGINT END AS BIGINT)
+                    AS union_est
+          FROM agg)
+    SELECT set_a, set_b, m_both, union_est,
            CAST(CASE WHEN nk < {k} THEN m_both
-                ELSE m_both * (CASE WHEN nk < {k} THEN nk
-                     ELSE (({a}::HUGEINT) // hk::HUGEINT)::BIGINT END) // {k}
-                END AS BIGINT) AS inter_est
-    FROM agg
+                ELSE m_both * union_est // {k} END AS BIGINT) AS inter_est
+    FROM u
     """

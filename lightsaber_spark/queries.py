@@ -2913,9 +2913,12 @@ def kmv_user_overlap_q(spark, sf_dir):
     errors)."""
     from lightsaber_spark.functions.sketches import kmv_intersection
 
+    from lightsaber_spark.functions.dedup import register_cache
+
     ev = _events(spark, sf_dir).select("event_type", "user_id")
     est = kmv_intersection(ev, "event_type", "user_id", k=64)
-    d = ev.distinct()
+    # the distinct relation feeds both exact-twin self-join sides
+    d = register_cache(ev.distinct())
     exact = (
         d.alias("a")
         .join(
@@ -3041,7 +3044,7 @@ def window_corr_stats_q(spark, sf_dir):
     """
     WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
                       CAST(count(*) AS BIGINT) AS cnt
-               FROM events GROUP BY 1),
+               FROM events WHERE value IS NOT NULL GROUP BY 1),
     r AS (SELECT v, cnt,
                  sum(cnt) OVER (ORDER BY v
                                 ROWS UNBOUNDED PRECEDING) AS cum,
@@ -3066,8 +3069,13 @@ def exact_median_q(spark, sf_dir):
     ev = _events(spark, sf_dir)
     from pyspark.sql import Window as W
 
-    c = ev.select(_cents("value").alias("v")).groupBy("v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # explicit NULL guard: the engines ORDER NULLs differently (Spark
+    # first, DuckDB last), which would shift every cumulative count
+    c = (
+        ev.filter(F.col("value").isNotNull())
+        .select(_cents("value").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     r = c.select(
         "v",

@@ -390,8 +390,6 @@ def test_kmv_intersection_exact_below_k(spark):
     """Below k the merged sketch IS the merged set: union and
     intersection come back exact; above k the estimator still bounds
     sensibly (m_both <= k, estimates within the k=16 error band)."""
-    from pyspark.sql import functions as F
-
     from lightsaber_spark.functions.sketches import kmv_intersection
 
     rows = [("A", v) for v in range(100)] + [("B", v) for v in range(50, 150)]
