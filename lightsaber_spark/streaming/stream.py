@@ -292,3 +292,56 @@ def streaming_neardup_lsh(
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def streaming_order_violations(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Monitor for the in-order contract every operator here assumes
+    (SURVEY §2.9: the reference processes strictly in-order streams and
+    has no late-data path). Emits one row per violation — an event
+    whose timestamp regresses below the maximum already seen for its
+    key — so a pipeline can alert (or quarantine) instead of silently
+    folding bad state. State is ONE long (max ts) per key.
+
+    Within a micro-batch rows are folded in event-time order (matching
+    the operators' own convention), so only CROSS-batch regressions —
+    the kind that actually corrupt carried state — are reported.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("ts_us", LongType()),
+            StructField("max_seen_us", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("max_us", LongType())])
+
+    def fn(key, pdf_iter, state):
+        max_us = state.get[0] if state.exists else None
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            ts_us = sorted(int(t) // 1000 for t in pdf[ts_col].astype("int64"))
+            for t in ts_us:
+                if max_us is not None and t < max_us:
+                    rows.append([int(key[0]), t, max_us])
+                else:
+                    max_us = t
+            state.update((max_us,))
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    return (
+        stream.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
+    )

@@ -905,3 +905,39 @@ def test_streaming_asof_broadcast_enrichment(spark, events, events_stream_src, t
     }
     want = {(r.event_id, r.m_us) for r in build(events).collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_order_violation_monitor(spark, tmp_path):
+    """The in-order contract guard: events whose timestamp regresses
+    below their key's already-seen maximum ACROSS micro-batches are
+    reported (with the offending max); in-order streams report
+    nothing."""
+    from lightsaber_spark.streaming.stream import streaming_order_violations
+
+    def _ts(s):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    # batch 1: user 1 up to t=100; batch 2: regression to t=50 (user 1)
+    # and a fine row for user 2
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(100)), (2, _ts(20))], "user_id long, ts timestamp"
+    )
+    b2 = spark.createDataFrame(
+        [(1, _ts(50)), (2, _ts(30))], "user_id long, ts timestamp"
+    )
+    b1.coalesce(1).write.parquet(src + "/b=1")
+    b2.coalesce(1).write.parquet(src + "/b=2")
+    schema = spark.read.parquet(src + "/b=1").schema
+    stream = read_stream(spark, src + "/b=*", schema, max_files_per_trigger=1)
+
+    out = run_available_now(
+        streaming_order_violations(stream, "ts", "user_id"),
+        str(tmp_path / "ck_ord"),
+        table_name="t_ord",
+        output_mode="update",
+    ).collect()
+    got = {(r.user_id, r.ts_us, r.max_seen_us) for r in out}
+    assert got == {(1, 50_000_000, 100_000_000)}
