@@ -3089,3 +3089,56 @@ def exact_median_q(spark, sf_dir):
         F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).cast("bigint").alias("median_hi"),
         F.max("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "exact_median_value_by_type",
+    """
+    WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT event_type, v, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM c)
+    SELECT event_type,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS BIGINT)
+             AS median_lo,
+           CAST(min(CASE WHEN cum >= n // 2 + 1 THEN v END) AS BIGINT)
+             AS median_hi,
+           CAST(max(n) AS BIGINT) AS n
+    FROM r GROUP BY 1
+    """,
+)
+def exact_median_by_type_q(spark, sf_dir):
+    """Keyed exact median via value-domain counting: same technique as
+    the global `exact_median_value_cents` but the cumulative scan is
+    PARTITIONED BY the key — fully parallel, each partition bounded by
+    that key's distinct-value domain. The grouped form is the
+    production shape; the global one documents the technique's
+    single-series limit."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    c = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", _cents("value").alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wc = W.partitionBy("event_type").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    lo_rank = F.expr("CAST((n + 1) DIV 2 AS BIGINT)")
+    hi_rank = F.expr("CAST(n DIV 2 + 1 AS BIGINT)")
+    return r.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).cast("bigint").alias("median_lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).cast("bigint").alias("median_hi"),
+        F.max("n").cast("bigint").alias("n"),
+    )
