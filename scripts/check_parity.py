@@ -77,6 +77,18 @@ def main() -> int:
             continue
         finally:
             release_shingle_caches()
+        # driver-canonicalizer compatibility: the driver sorts columns
+        # into a pandas frame and hashes cell values — list/dict cells
+        # crash it (round-2's text_feature_hash_vectors failure), even
+        # though this script's own tuple-normalization would cope.
+        bad_cell = next(
+            (v for r in srows[:100] for v in r if isinstance(v, (list, dict, set))),
+            None,
+        )
+        if bad_cell is not None:
+            failures.append((name, f"driver-unhashable cell type {type(bad_cell).__name__}"))
+            print(f"[FAIL] {name}: driver-unhashable cell type {type(bad_cell).__name__}")
+            continue
         if name not in oracles:
             weak.append(name)
             print(f"[weak] {name}: {len(srows)} rows (no oracle, rows-only)")
