@@ -345,3 +345,72 @@ def streaming_order_violations(
         .groupBy(key_col)
         .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
     )
+
+
+def streaming_asof_backward(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    side_col: str,
+    id_col: str,
+) -> DataFrame:
+    """STREAM-STREAM as-of join (backward, the enrichment direction):
+    the two streams arrive pre-unioned with a ``side_col`` tag
+    (0 = reference/right, 1 = probe/left — the same union shape the
+    batch ``asof_join`` scan uses), and every probe row emits the most
+    recent reference timestamp at-or-before it for its key.
+
+    Backward as-of needs only the LAST reference row per key — ONE
+    long of state — which is why this direction streams with O(1)
+    state while forward would have to buffer probes until a reference
+    arrives. Within a batch rows fold in (ts, side) order (reference
+    first on ties, matching the batch operator's at-or-before
+    inclusion); across batches the in-order model applies per key
+    (SURVEY §2.9 — pair with ``streaming_order_violations`` to observe
+    violations).
+
+    Spark's native stream-stream joins require an equality-plus-range
+    predicate and hold full range-window state on both sides; the
+    as-of "latest only" semantics collapses that to a scalar — a
+    custom stateful operator is the right plan, not a join.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("asof_ts_us", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_ref_us", LongType())])
+
+    def fn(key, pdf_iter, state):
+        last = state.get[0] if state.exists else None
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            recs = sorted(
+                zip(
+                    (int(t) // 1000 for t in pdf[ts_col].astype("int64")),
+                    pdf[side_col].astype("int64"),
+                    pdf[id_col].astype("int64"),
+                )
+            )
+            for t, side, rid in recs:
+                if side == 0:
+                    last = t
+                else:
+                    rows.append([int(rid), last])
+            state.update((last,))
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    return (
+        stream.select(key_col, ts_col, side_col, id_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
+    )

@@ -941,3 +941,51 @@ def test_streaming_order_violation_monitor(spark, tmp_path):
     ).collect()
     got = {(r.user_id, r.ts_us, r.max_seen_us) for r in out}
     assert got == {(1, 50_000_000, 100_000_000)}
+
+
+def test_streaming_asof_backward_matches_batch(spark, events, tmp_path):
+    """Stream-stream backward as-of (one long of state per key) equals
+    the batch union+scan asof_join on the same interleaved replay —
+    update mode, so no trailing holdback: exact equality."""
+    from lightsaber_spark.operators.joins import asof_join
+    from lightsaber_spark.session import load_tables
+    from lightsaber_spark.streaming.stream import streaming_asof_backward
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    left = events.select(
+        F.col("user_id").alias("k"), F.col("ts"), F.lit(1).alias("side"),
+        F.col("event_id").alias("rid"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(0).alias("side"), F.col("o_orderkey").alias("rid"),
+    )
+    both = left.unionByName(right)
+    src = str(tmp_path / "asof_union")
+    # two sequential in-order files → two micro-batches, state carries
+    both.sort("ts", "side").coalesce(1).write.parquet(src + "/b=1")
+    schema = spark.read.parquet(src + "/b=1").schema
+    stream = read_stream(spark, src + "/b=*", schema, max_files_per_trigger=1)
+
+    got = {
+        (r.rid, r.asof_ts_us)
+        for r in run_available_now(
+            streaming_asof_backward(stream, "ts", "k", "side", "rid"),
+            str(tmp_path / "ck_ssasof"),
+            table_name="t_ss_asof",
+            output_mode="update",
+        ).collect()
+    }
+
+    b = asof_join(
+        events.select("event_id", F.col("user_id").alias("k"), "ts"),
+        orders.select(F.col("o_custkey").alias("k"),
+                      F.col("o_orderdate").cast("timestamp").alias("rts")),
+        "ts", "rts", by=["k"],
+    )
+    want = {
+        (r.event_id, r.m)
+        for r in b.select("event_id", F.expr("unix_micros(rts)").alias("m")).collect()
+    }
+    assert got == want and len(want) > 0
