@@ -414,3 +414,72 @@ def streaming_asof_backward(
         .groupBy(key_col)
         .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
     )
+
+
+def streaming_gapfill_count(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size_sec: int,
+) -> DataFrame:
+    """Streaming EMPTY-WINDOW emission — the reference's native gap
+    fill (``OperatorKernel.h:3830-3988``: every tumbling window emits,
+    zero rows or not), which Spark's built-in streaming windows do not
+    do. Per key, when an event lands in a LATER window than the one
+    being accumulated, the accumulated window closes and every skipped
+    window in between emits with ``n = 0``.
+
+    State per key is two longs (current window, running count) — the
+    in-order model (SURVEY §2.9) is what makes window-close detection
+    this cheap. The final un-closed window per key stays in state
+    (exactly the append-mode holdback batch comparisons must exclude —
+    see the equivalence test)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("window_start", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("cw", LongType()), StructField("cn", LongType())]
+    )
+    size_us = size_sec * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        cw, cn = state.get if state.exists else (None, 0)
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for t in sorted(int(t) // 1000 for t in pdf[ts_col].astype("int64")):
+                w = (t // size_us) * size_sec
+                if cw is None:
+                    cw, cn = w, 1
+                elif w == cw:
+                    cn += 1
+                elif w > cw:
+                    rows.append([int(key[0]), cw, cn])
+                    for x in range(cw + size_sec, w, size_sec):
+                        rows.append([int(key[0]), x, 0])
+                    cw, cn = w, 1
+                # w < cw would be an in-order violation; the monitor
+                # operator exists to surface those — here the row still
+                # counts into the CURRENT window rather than corrupting
+                # a closed one
+                else:
+                    cn += 1
+            state.update((cw, cn))
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    return (
+        stream.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
+    )

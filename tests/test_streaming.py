@@ -989,3 +989,36 @@ def test_streaming_asof_backward_matches_batch(spark, events, tmp_path):
         for r in b.select("event_id", F.expr("unix_micros(rts)").alias("m")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_gapfill_matches_batch_spine(spark, events, events_stream_src, tmp_path):
+    """Streaming empty-window emission equals the batch per-key spine
+    fill on every CLOSED window (each key's final window stays in
+    state): zero-count interior windows must appear, with n = 0."""
+    from lightsaber_spark.operators.window_agg import windowed_agg
+    from lightsaber_spark.streaming.stream import streaming_gapfill_count
+
+    size = 21600
+    got = {
+        (r.user_id, r.window_start, r.n)
+        for r in run_available_now(
+            streaming_gapfill_count(
+                _stream(spark, events_stream_src), "ts", "user_id", size
+            ),
+            str(tmp_path / "ck_gf"),
+            table_name="t_gapfill_s",
+            output_mode="update",
+        ).collect()
+    }
+    assert any(n == 0 for _, _, n in got), "no empty windows exercised"
+
+    agg = windowed_agg(events, "ts", size, size, [("count", None, "n")], ["user_id"])
+    per_key = {}
+    for r in agg.collect():
+        per_key.setdefault(r.user_id, {})[r.window_start] = r.n
+    want = set()
+    for u, wins in per_key.items():
+        lo, hi = min(wins), max(wins)
+        for w in range(lo, hi, size):        # hi excluded: un-closed
+            want.add((u, w, wins.get(w, 0)))
+    assert got == want
