@@ -48,3 +48,84 @@ def session_window_agg(
             *[F.col(a) for _, _, a in aggs],
         )
     )
+
+
+def streaming_sessions_timeout(
+    stream,
+    ts_col: str,
+    key_col: str,
+    gap_sec: int,
+    watermark: str = "0 seconds",
+):
+    """Streaming session windows that close on EVENT-TIME TIMEOUT: a
+    key whose stream goes silent still gets its session emitted once
+    the watermark passes ``last_event + gap`` — the piece next-event
+    closing (all the other stateful ops here) cannot provide, and the
+    production semantics for session analytics over sparse keys.
+
+    State per key: (start_us, last_us, n) plus a registered timeout at
+    ``last + gap``. A same-key event after the gap ALSO closes the
+    previous session in-state (both paths tested). Output:
+    ``(key, session_start_us, session_end_us, n)``, end = last + gap,
+    matching the batch ``session_window_agg`` convention. Update mode.
+
+    Watermark caveat (CLAUDE.md): the watermark a micro-batch enforces
+    lags one batch, so a timeout fires two batches after the data that
+    outdates it — the equivalence test replays three batches.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", LongType()),
+            StructField("l", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = gap_sec * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        cols = [f.name for f in out_schema.fields]
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield pd.DataFrame([[int(key[0]), s, l + gap_us, n]], columns=cols)
+            return
+        s, l, n = state.get if state.exists else (None, None, 0)
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for t in sorted(int(t) // 1000 for t in pdf[ts_col].astype("int64")):
+                if s is None:
+                    s, l, n = t, t, 1
+                elif t - l <= gap_us:
+                    l, n = max(l, t), n + 1
+                else:
+                    rows.append([int(key[0]), s, l + gap_us, n])
+                    s, l, n = t, t, 1
+        state.update((s, l, n))
+        # close when the watermark passes last + gap (epoch ms)
+        state.setTimeoutTimestamp((l + gap_us) // 1000)
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", "EventTimeTimeout"
+        )
+    )

@@ -1022,3 +1022,46 @@ def test_streaming_gapfill_matches_batch_spine(spark, events, events_stream_src,
         for w in range(lo, hi, size):        # hi excluded: un-closed
             want.add((u, w, wins.get(w, 0)))
     assert got == want
+
+
+def test_streaming_sessions_close_on_timeout(spark, tmp_path):
+    """A key that goes SILENT still gets its session emitted once the
+    watermark passes last+gap (event-time timeout) — next-event closing
+    can't do this. Key A sends two events then stops; key B's later
+    traffic advances the watermark; A's session must emit without any
+    further A event. In-state gap closing is exercised by B's far
+    events splitting into two sessions."""
+    from datetime import datetime, timezone
+
+    from lightsaber_spark.streaming.sessions import streaming_sessions_timeout
+
+    def _ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    src = str(tmp_path / "src")
+    gap = 30
+    # away from epoch 0: the initial watermark IS 1970-01-01, and a
+    # stateful op drops rows at/below the watermark
+    b1 = spark.createDataFrame(
+        [(1, _ts(100)), (1, _ts(105))], "user_id long, ts timestamp"
+    )
+    b2 = spark.createDataFrame([(2, _ts(1000))], "user_id long, ts timestamp")
+    b3 = spark.createDataFrame([(2, _ts(2000))], "user_id long, ts timestamp")
+    for i, b in ((1, b1), (2, b2), (3, b3)):
+        b.coalesce(1).write.parquet(src + f"/b={i}")
+    schema = spark.read.parquet(src + "/b=1").schema
+    stream = read_stream(spark, src + "/b=*", schema, max_files_per_trigger=1)
+
+    out = run_available_now(
+        streaming_sessions_timeout(stream, "ts", "user_id", gap),
+        str(tmp_path / "ck_sto"),
+        table_name="t_sess_to",
+        output_mode="update",
+    ).collect()
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n) for r in out}
+    # A: closed by TIMEOUT (no further A events). B's t=2000 is beyond
+    # gap from t=1000 → first B session closes in-state; B's second
+    # session (t=2000) stays open (watermark never passes 2030).
+    assert (1, 100 * 1_000_000, (105 + gap) * 1_000_000, 2) in got
+    assert (2, 1000 * 1_000_000, (1000 + gap) * 1_000_000, 1) in got
+    assert len(got) == 2
