@@ -1,19 +1,35 @@
-from lightsaber_spark.streaming.sessions import session_window_agg
+from lightsaber_spark.streaming.anomaly import streaming_zscore_outliers
+from lightsaber_spark.streaming.funnel import streaming_funnel
+from lightsaber_spark.streaming.sessions import (
+    session_window_agg,
+    streaming_sessions_timeout,
+)
 from lightsaber_spark.streaming.stream import (
     read_stream,
+    run_available_now,
+    streaming_asof_backward,
     streaming_dedup,
+    streaming_gapfill_count,
+    streaming_neardup_lsh,
+    streaming_order_violations,
     streaming_post_window_argmax,
     streaming_windowed_agg,
-    run_available_now,
 )
 from lightsaber_spark.streaming.row_windows import streaming_row_window_agg
 
 __all__ = [
     "session_window_agg",
+    "streaming_sessions_timeout",
     "read_stream",
+    "run_available_now",
+    "streaming_asof_backward",
     "streaming_dedup",
+    "streaming_funnel",
+    "streaming_gapfill_count",
+    "streaming_neardup_lsh",
+    "streaming_order_violations",
     "streaming_post_window_argmax",
     "streaming_windowed_agg",
-    "run_available_now",
     "streaming_row_window_agg",
+    "streaming_zscore_outliers",
 ]
