@@ -403,3 +403,36 @@ def test_kmv_intersection_exact_below_k(spark):
     assert est.m_both <= 16
     assert 75 <= est.union_est <= 300   # 150 true, k=16 → se ~ 27%
     assert 10 <= est.inter_est <= 120   # 50 true
+
+
+def test_kmv_sketch_merge_equals_whole(spark):
+    """Mergeability — the property that makes KMV a distributed/
+    cross-day sketch: the bottom-k of the UNION of two parts' bottom-k
+    hash sets equals the bottom-k of the whole (min-merge is
+    associative), so estimates computed from merged part-sketches are
+    IDENTICAL to whole-input estimates."""
+    from lightsaber_spark.functions.dedup import shingle_hash
+    from lightsaber_spark.functions.sketches import kmv_distinct
+
+    df = spark.range(0, 5000).select(F.lit(1).alias("g"), F.col("id").alias("v"))
+    whole = kmv_distinct(df, ["g"], "v", k=128, out_col="n").collect()[0]["n"]
+
+    # part-wise: bottom-128 hashes per part, then min-merge and re-rank
+    parts = [df.filter(F.col("v") % 2 == i) for i in (0, 1)]
+    from pyspark.sql import Window
+
+    merged = None
+    for p in parts:
+        h = p.select(shingle_hash(F.col("v").cast("string")).alias("_h")).distinct()
+        w = Window.orderBy("_h")
+        bk = h.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 128).select("_h")
+        merged = bk if merged is None else merged.unionAll(bk)
+    w = Window.orderBy("_h")
+    top = merged.distinct().withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 128
+    )
+    import pyspark.sql.functions as _F
+
+    hk = top.agg(_F.max("_h").alias("hk")).collect()[0]["hk"]
+    est = ((128 - 1) * (1 << 60)) // hk
+    assert est == whole
