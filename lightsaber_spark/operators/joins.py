@@ -247,8 +247,8 @@ def asof_broadcast_join(
     Emits ``left.* + out_col`` (epoch µs of the matched right row, null
     when nothing qualifies).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be backward|forward")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward|forward|nearest")
     import numpy as np
     import pandas as pd
 
@@ -264,7 +264,6 @@ def asof_broadcast_join(
         F.broadcast(r), by, "left"
     )
     tol_us = None if tolerance_sec is None else int(tolerance_sec) * 1_000_000
-    back = direction == "backward"
 
     @F.pandas_udf("bigint")
     def _lookup(ts: pd.Series, arrs: pd.Series) -> pd.Series:
@@ -275,16 +274,25 @@ def asof_broadcast_join(
                 continue
             a = np.asarray(arr, dtype=np.int64)
             t = int(t)
-            if back:
-                i = int(np.searchsorted(a, t, side="right")) - 1
-                m = int(a[i]) if i >= 0 else None
-                if m is not None and tol_us is not None and t - m > tol_us:
-                    m = None
-            else:
-                i = int(np.searchsorted(a, t, side="left"))
-                m = int(a[i]) if i < len(a) else None
-                if m is not None and tol_us is not None and m - t > tol_us:
-                    m = None
+            i = int(np.searchsorted(a, t, side="right"))
+            prev = int(a[i - 1]) if i >= 1 else None
+            # side="right" means an exact-equality match lands in prev;
+            # nxt is the first strictly-later timestamp
+            nxt = int(a[i]) if i < len(a) else None
+            if direction == "backward":
+                m = prev
+            elif direction == "forward":
+                # at-or-after: equality belongs to the match
+                m = t if prev == t else nxt
+            else:  # nearest — ties to backward
+                if prev is None:
+                    m = nxt
+                elif nxt is None:
+                    m = prev
+                else:
+                    m = prev if t - prev <= nxt - t else nxt
+            if m is not None and tol_us is not None and abs(m - t) > tol_us:
+                m = None
             out.append(m)
         return pd.Series(out, dtype="object")
 

@@ -127,3 +127,39 @@ def test_asof_broadcast_matches_union_scan(frames, direction, tolerance):
     )
     bc_ts = {r.lid: r.m for r in bc.select("lid", "m").collect()}
     assert bc_ts == scan_ts
+
+
+def test_asof_broadcast_nearest(frames):
+    """nearest: whichever side is closer wins, ties to backward;
+    tolerance nulls matches farther than the bound in EITHER
+    direction."""
+    from lightsaber_spark.operators.joins import asof_broadcast_join
+
+    left, right = frames
+    got = {
+        r.lid: r.m
+        for r in asof_broadcast_join(
+            left, right, "lts", "rts", ["key"], direction="nearest", out_col="m"
+        ).collect()
+    }
+    # lefts at 5,10,15,25,40,50 vs rights at 10,20,20,40:
+    # 5→10 (only forward), 10→10 (exact), 15→10 or 20 (equidistant —
+    # tie to backward → 10), 25→20, 40→40, 50→40; other-key → null
+    assert got[0] == 10_000_000
+    assert got[1] == 10_000_000
+    assert got[2] == 10_000_000       # tie 15±5 → backward
+    assert got[3] == 20_000_000
+    assert got[4] == 40_000_000
+    assert got[5] == 40_000_000
+    assert got[100] is None
+
+    tol = {
+        r.lid: r.m
+        for r in asof_broadcast_join(
+            left, right, "lts", "rts", ["key"],
+            direction="nearest", tolerance_sec=6, out_col="m",
+        ).collect()
+    }
+    assert tol[0] == 10_000_000       # |5-10|=5 <= 6
+    assert tol[3] == 20_000_000       # |25-20|=5 <= 6
+    assert tol[5] is None             # |50-40|=10 > 6
