@@ -523,3 +523,62 @@ def kmv_intersection_oracle_sql(
                 ELSE m_both * union_est // {k} END AS BIGINT) AS inter_est
     FROM u
     """
+
+
+def sliding_kmv_distinct(
+    df: DataFrame,
+    ts_col: str,
+    size_sec: int,
+    slide_sec: int,
+    value_col: str,
+    k: int = 64,
+    out_col: str = "n_distinct_kmv",
+) -> DataFrame:
+    """Sliding-window distinct estimate via PANE-SKETCH MERGING — the
+    composition that makes sliding distinct tractable: exact sliding
+    distinct is not pane-decomposable (you cannot subtract a leaving
+    pane's contribution), but the KMV sketch IS (min-merge): keep the
+    bottom-k hashes per pane, fan panes out to their containing
+    windows, and the bottom-k of the merged pane sketches EQUALS the
+    bottom-k of the window's full value set — so the estimate is
+    bit-identical to computing KMV per window from raw rows (which is
+    exactly what the oracle does), while rows are touched once per
+    PANE instead of once per window (size/slide× less).
+
+    Requires ``slide | size`` (pane = slide). Returns
+    ``(window_start, out_col)``.
+    """
+    if size_sec % slide_sec != 0:
+        raise ValueError("slide must divide size for the pane decomposition")
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ph = df.select(
+        _exact_bucket(epoch_us(df, ts_col), slide_sec).alias("_p"),
+        shingle_hash(F.col(value_col).cast("string")).alias("_h"),
+    ).distinct()
+    wp = Window.partitionBy("_p").orderBy("_h")
+    pk = ph.withColumn("_rn", F.row_number().over(wp)).filter(F.col("_rn") <= k)
+    wins = pk.select(
+        F.explode(
+            F.sequence(
+                F.col("_p") - F.lit(size_sec - slide_sec),
+                F.col("_p"),
+                F.lit(slide_sec),
+            )
+        ).alias("window_start"),
+        "_h",
+    ).distinct()
+    ww = Window.partitionBy("window_start").orderBy("_h")
+    bk = wins.withColumn("_rn", F.row_number().over(ww)).filter(F.col("_rn") <= k)
+    a_lit = F.expr(f"CAST('{(k - 1) * TWO60}' AS DECIMAL(38,0))")
+    return (
+        bk.groupBy("window_start")
+        .agg(F.count(F.lit(1)).alias("_nk"), F.max("_h").alias("_hk"))
+        .withColumn(
+            out_col,
+            F.when(F.col("_nk") < k, F.col("_nk").cast("bigint")).otherwise(
+                ((a_lit - a_lit % F.col("_hk")) / F.col("_hk")).cast("bigint")
+            ),
+        )
+        .select("window_start", out_col)
+    )

@@ -3142,3 +3142,31 @@ def exact_median_by_type_q(spark, sf_dir):
         F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).cast("bigint").alias("median_hi"),
         F.max("n").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "sliding_kmv_distinct_users",
+    f"""
+    WITH e AS (
+    {_slide_expand(3600, 600)}
+    ),
+    q AS (
+    {kmv_oracle_sql("e", ["window_start"], "user_id", k=64, out_col="n_users_kmv")}
+    )
+    SELECT window_start, n_users_kmv FROM q
+    """,
+)
+def sliding_kmv_distinct_users_q(spark, sf_dir):
+    """SLIDING-window distinct-user estimate (3600/600) via pane-sketch
+    merging: rows are hashed once per PANE, the per-pane bottom-64
+    sketches fan out to their 6 containing windows, and min-merge makes
+    the merged estimate bit-identical to the oracle's direct
+    per-window KMV over the expanded rows — the composition that makes
+    sliding distinct tractable where exact sliding distinct cannot be
+    pane-decomposed at all."""
+    from lightsaber_spark.functions.sketches import sliding_kmv_distinct
+
+    return sliding_kmv_distinct(
+        _events(spark, sf_dir), "ts", 3600, 600, "user_id", k=64,
+        out_col="n_users_kmv",
+    )
