@@ -2684,3 +2684,97 @@ def q_corpus_data_card(spark, sf_dir):
             F.sum(F.coalesce(F.col("_n"), F.lit(0))).cast("bigint").alias("n_neardup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage SCRUB — materialize the exact-substring removal itself:
+# every token position covered by a cross-doc duplicated k-gram is cut,
+# and the cleaned text is re-assembled in order, verified by md5.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_passage_scrub_k10",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    tp AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS BIGINT) AS pos,
+                  unnest(toks) AS tok
+           FROM t),
+    sh AS (SELECT doc_id,
+                  CAST(unnest(range(greatest(len(toks) - {_PASSAGE_K - 1}, 0)))
+                       AS BIGINT) AS pos,
+                  unnest(list_transform(
+                      range(greatest(len(toks) - {_PASSAGE_K - 1}, 0)),
+                      i -> {H60.format(x=f"array_to_string(toks[i + 1:i + {_PASSAGE_K}], ' ')")}))
+                    AS h
+           FROM t),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT sh.doc_id, sh.pos + j AS cp
+            FROM sh JOIN dup USING (h), range({_PASSAGE_K}) u(j)),
+    clean AS (SELECT tp.doc_id, tp.pos, tp.tok
+              FROM tp LEFT JOIN cov
+                ON tp.doc_id = cov.doc_id AND tp.pos = cov.cp
+              WHERE cov.cp IS NULL)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clean,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+    FROM clean GROUP BY 1
+    """,
+)
+def q_passage_scrub(spark, sf_dir):
+    """The REMOVAL itself (Lee et al. 2021 applied): cut every token
+    position inside a cross-doc duplicated 10-gram and re-assemble
+    what's left in original order — verified by md5 of the cleaned
+    token stream, so a single mis-cut or mis-ordered token diverges.
+    Docs whose every token is covered drop out (no clean tokens);
+    untouched docs pass through whole. The positional token explode
+    is pure Catalyst (posexplode of the token array); coverage comes
+    from the same persisted positional-shingle index as the coverage
+    query."""
+    from lightsaber_spark.functions.dedup import (
+        positional_shingles_udf,
+        register_cache,
+        shingle_hash,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tp = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+    sh = register_cache(
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                positional_shingles_udf(_PASSAGE_K)(F.col("text"))
+            ).alias("pos", "_sh"),
+        ).select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            shingle_hash(F.col("_sh")).alias("h"),
+        )
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        sh.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_PASSAGE_K - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    clean = tp.join(
+        cov,
+        (tp["doc_id"] == cov["doc_id"]) & (tp["pos"] == cov["cp"]),
+        "left_anti",
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    return clean.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda x: x["tok"]), " ")
+        ).alias("clean_md5"),
+    )
