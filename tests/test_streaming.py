@@ -1065,3 +1065,63 @@ def test_streaming_sessions_close_on_timeout(spark, tmp_path):
     assert (1, 100 * 1_000_000, (105 + gap) * 1_000_000, 2) in got
     assert (2, 1000 * 1_000_000, (1000 + gap) * 1_000_000, 1) in got
     assert len(got) == 2
+
+
+def test_streaming_gapfill_state_survives_restart(spark, tmp_path):
+    """The gap-fill state (current window, count) recovers from the
+    checkpoint: batch 1 runs and the query STOPS; a restarted query
+    sees only batch 2, and the windows it emits prove the carried
+    state — including empty windows spanning the restart boundary."""
+    from datetime import datetime, timezone
+
+    from lightsaber_spark.streaming.stream import streaming_gapfill_count
+
+    def _ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    size = 100
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    # windows: [100,200) has 2 events; [200,300) empty; [400,500) next
+    b1 = spark.createDataFrame(
+        [(1, _ts(110)), (1, _ts(150))], "user_id long, ts timestamp"
+    )
+    b2 = spark.createDataFrame([(1, _ts(450))], "user_id long, ts timestamp")
+
+    def run():
+        schema = spark.read.parquet(src + "/b=1").schema
+        stream = read_stream(spark, src + "/b=*", schema, max_files_per_trigger=1)
+        # parquet sink only accepts append, and an update-mode stateful
+        # op rejects it — foreachBatch is the standard bridge (and its
+        # batch-id makes the parquet writes replay-idempotent enough
+        # for this availableNow test)
+        q = (
+            streaming_gapfill_count(stream, "ts", "user_id", size)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import os
+
+        if not os.path.isdir(out):
+            return set()
+        return {
+            (r.user_id, r.window_start, r.n)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    b1.coalesce(1).write.parquet(src + "/b=1")
+    first = run()
+    assert first == set()  # window [100,200) still open — nothing closed
+
+    b2.coalesce(1).write.parquet(src + "/b=2")
+    second = run()
+    # the restarted query closes [100,200) with the RECOVERED count 2,
+    # emits the empty [200,300) and [300,400) windows, holds [400,500)
+    assert second == {(1, 100, 2), (1, 200, 0), (1, 300, 0)}
