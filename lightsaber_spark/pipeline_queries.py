@@ -2778,3 +2778,72 @@ def q_passage_scrub(spark, sf_dir):
             F.array_join(F.transform(ordered, lambda x: x["tok"]), " ")
         ).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps' law) — distinct-token count as a function
+# of corpus prefix size: the curve a tokenizer/vocab budget decision
+# reads. Token first-occurrence decile → one aggregate + a 10-row
+# cumulative sum.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_growth_by_decile",
+    f"""
+    WITH nd AS (SELECT count(*) AS n FROM documents),
+    t0 AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    dt AS (SELECT doc_id, unnest({SHINGLES}) AS tok FROM t0),
+    fo AS (SELECT tok,
+                  CAST(min(doc_id * 10 // (SELECT n FROM nd)) AS BIGINT)
+                    AS first_decile
+           FROM dt GROUP BY 1),
+    per AS (SELECT least(first_decile, 9) AS decile,
+                   CAST(count(*) AS BIGINT) AS new_tokens
+            FROM fo GROUP BY 1)
+    SELECT CAST(decile AS BIGINT) AS decile, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY decile
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS vocab_size
+    FROM per
+    """,
+)
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law curve over the 3-gram SHINGLE vocabulary (the token
+    vocabulary of the synthetic corpus is closed — 31 types — so
+    shingles are the unit with real growth): per corpus decile (by
+    doc_id), how many shingles appear for the FIRST time and the
+    cumulative vocabulary size. One Arrow-UDF shingle explode, one min
+    aggregate keyed on shingle, then a 10-row running sum. Integer
+    decile arithmetic matches the oracle exactly."""
+    docs = _docs(spark, sf_dir)
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    from lightsaber_spark.functions.dedup import word_shingles_udf
+
+    dt = docs.select(
+        "doc_id", F.explode(word_shingles_udf(3)(F.col("text"))).alias("tok")
+    )
+    fo = (
+        dt.crossJoin(F.broadcast(n))
+        .groupBy("tok")
+        .agg(
+            # integer DIV on both engines (DuckDB CAST-of-float ROUNDS
+            # while Spark cast truncates — // sidesteps both)
+            F.min(F.expr("CAST(doc_id * 10 DIV n AS BIGINT)")).alias(
+                "first_decile"
+            )
+        )
+    )
+    per = (
+        fo.select(F.least(F.col("first_decile"), F.lit(9)).alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+    )
+    from pyspark.sql import Window as W
+
+    return per.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "new_tokens",
+        F.sum("new_tokens")
+        .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("vocab_size"),
+    )
