@@ -34,39 +34,28 @@ _CANONICAL = [
     "nbq5_post_window_argmax",
 ]
 
-# Queries whose past green row no longer vouches for the current code —
-# mapped to the round whose re-implementation staled them: a driver
-# row from any round < the value does NOT count as green (so the query
-# rotates forward), while a row >= the value clears the flag
-# automatically — no manual cleanup once the driver re-verifies.
-# Round 3 stales (value 3, r02 rows don't vouch): the two as-of
-# queries whose r02 green was vacuous (0 rows on both engines —
-# rewritten to be non-empty by construction), and every r02-green query
-# whose implementation this round rewrote: the Jaccard join (uncut →
-# prefix+positional filtering), banded LSH top-k (different result
-# set), the distributed-spine rewrite (prefix-path + gap-fill spine
-# generation), the packing localCheckpoint change, the brute-force
-# query-set cap, and the IVF k-means vecs_scaled fix.
-_FORCE_RECHECK = {
-    # candidate-stage extraction refactor (minhash_lsh_candidates) sits
-    # under this query — plan-identical, but re-verify per the rule
-    "dedup_minhash_lsh": 3,
-    "asof_event_last_order_3d": 3,
-    "asof_event_next_order": 3,
-    "dedup_ngram_jaccard": 3,
-    "sim_lsh_topk": 3,
-    "dedup_embedding_lsh": 3,
-    "sim_brute_topk": 3,
-    "sim_ivf_kmeans_topk": 3,
-    "sg1_ref_window_3600_1": 3,
-    "gapfill_tumbling_count": 3,
-    "gapfill_sliding_count": 3,
-    "pack_sequences_ctx512": 3,
-    "pack_sequences_shuffled_ctx512": 3,
-    # r02 green was vacuous (the corpus has no exact dups — 0 rows on
-    # both engines); rewritten over a dup-injected corpus
-    "dedup_exact_groups": 3,
-}
+# Staleness is MECHANIZED (round-3 verdict #2): a green driver row
+# vouches for a query only while the query's implementation hash
+# (lightsaber_spark.staleness.impl_hash — callable source + transitive
+# lightsaber_spark call closure + oracle SQL) matches the hash recorded
+# in QUERY_HASHES.json at the time of that green row.  Any rewrite —
+# of the query wrapper OR of an engine function it calls — changes the
+# hash and automatically rotates the query to the front of the sweep;
+# scripts/record_hashes.py re-records after the next driver sweep
+# greens it.  This replaces round-3's hand-maintained _FORCE_RECHECK
+# list (whose 13 entries are now expressed as absent/old hash records).
+
+
+def _vouch_state() -> tuple[dict[str, str], dict[str, dict]]:
+    from lightsaber_spark.staleness import current_hashes, recorded_hashes
+
+    global _VOUCH_CACHE
+    if _VOUCH_CACHE is None:
+        _VOUCH_CACHE = (current_hashes(), recorded_hashes())
+    return _VOUCH_CACHE
+
+
+_VOUCH_CACHE: tuple[dict[str, str], dict[str, dict]] | None = None
 
 
 def _last_green_round() -> dict[str, int]:
@@ -107,20 +96,24 @@ def _last_green_round() -> dict[str, int]:
 def _ordered(mapping: dict) -> dict:
     """Canonical reference-benchmark queries first, then everything else
     by staleness tier: never-green (no driver row EVER — the judge's
-    top verification ask) before force-rechecked stale-greens before
-    older-green before recently-green, original registration order as
-    the tie-break. New queries have no CORRECTNESS row → front. The
-    driver's sweep cap (~50) truncates the tail, so tier order is what
-    guarantees the highest-information queries get their row first."""
+    top verification ask) before hash-staled greens (implementation
+    changed since the row — see _vouch_state) before older-green before
+    recently-green, original registration order as the tie-break. New
+    queries have no CORRECTNESS row → front. The driver's sweep cap
+    (~50) truncates the tail, so tier order is what guarantees the
+    highest-information queries get their row first."""
+    from lightsaber_spark.staleness import is_vouched
+
     last = _last_green_round()
+    current, recorded = _vouch_state()
     reg_index = {n: i for i, n in enumerate(mapping)}
     rest = [n for n in mapping if n not in set(_CANONICAL)]
 
     def tier(n: str) -> int:
         if n not in last:
             return -2  # never had any green driver row
-        if last[n] < _FORCE_RECHECK.get(n, 0):
-            return -1  # green, but from before the staling rewrite
+        if not is_vouched(n, current, recorded):
+            return -1  # green, but the implementation changed since
         return last[n]
 
     rest.sort(key=lambda n: (tier(n), reg_index[n]))

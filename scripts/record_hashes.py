@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Snapshot implementation hashes for driver-verified queries.
+
+Run at ROUND START, right after a driver correctness sweep lands and
+BEFORE any code changes: for every query with a green row in the
+newest ``CORRECTNESS_r*.json``, records the current ``impl_hash`` into
+``QUERY_HASHES.json`` as "the implementation the driver verified".
+That equivalence only holds while the working tree is unchanged since
+the sweep — hence round start, never mid-round.
+
+``__spark_entry__`` then treats a query as stale (fronted for the next
+sweep) whenever its current hash differs from the recorded one — the
+mechanized replacement for round-3's hand-maintained
+``_FORCE_RECHECK`` list.
+
+Usage::
+
+    python scripts/record_hashes.py            # merge newest round's greens
+    python scripts/record_hashes.py --round 3  # merge a specific round
+    python scripts/record_hashes.py --prune    # also drop unregistered names
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lightsaber_spark.staleness import (  # noqa: E402
+    HASHES_FILENAME,
+    current_hashes,
+    recorded_hashes,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _green_in_round(rnd: int) -> set[str]:
+    path = os.path.join(ROOT, f"CORRECTNESS_r{rnd:02d}.json")
+    if not os.path.exists(path):
+        path = os.path.join(ROOT, f"CORRECTNESS_r{rnd}.json")
+    with open(path) as f:
+        rows = json.load(f)
+    out = set()
+    for name, row in rows.items():
+        if not isinstance(row, dict):
+            continue
+        if bool(row.get("hash_match")) or (
+            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+        ):
+            out.add(name)
+    return out
+
+
+def _newest_round() -> int:
+    rounds = []
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if m:
+            rounds.append(int(m.group(1)))
+    if not rounds:
+        raise SystemExit("no CORRECTNESS_r*.json found")
+    return max(rounds)
+
+
+def main(argv: list[str]) -> int:
+    rnd = _newest_round()
+    if "--round" in argv:
+        rnd = int(argv[argv.index("--round") + 1])
+    prune = "--prune" in argv
+
+    green = _green_in_round(rnd)
+    cur = current_hashes()
+    rec = recorded_hashes()
+
+    updated, skipped = 0, []
+    for name in sorted(green):
+        if name not in cur:
+            skipped.append(name)
+            continue
+        prev = rec.get(name, {})
+        if prev.get("hash") != cur[name] or prev.get("round") != rnd:
+            rec[name] = {"hash": cur[name], "round": rnd}
+            updated += 1
+    if prune:
+        dropped = [n for n in rec if n not in cur]
+        for n in dropped:
+            del rec[n]
+        if dropped:
+            print(f"pruned {len(dropped)} unregistered: {sorted(dropped)}")
+
+    out = os.path.join(ROOT, HASHES_FILENAME)
+    with open(out, "w") as f:
+        json.dump({k: rec[k] for k in sorted(rec)}, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"round r{rnd:02d}: {len(green)} green, {updated} records updated, "
+        f"{len(rec)} total recorded → {out}"
+    )
+    if skipped:
+        print(f"green-but-unregistered (not recorded): {sorted(skipped)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
