@@ -3170,3 +3170,33 @@ def sliding_kmv_distinct_users_q(spark, sf_dir):
         _events(spark, sf_dir), "ts", 3600, 600, "user_id", k=64,
         out_col="n_users_kmv",
     )
+
+
+@query(
+    "me1_multi_agg_tumbling_f32",
+    f"""
+    WITH e AS (SELECT ts, value, {CENTS} AS value_c FROM events)
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+           CAST(CAST(sum(value_c) AS BIGINT) AS REAL) AS sum_cents_f,
+           CAST(min(value) AS REAL) AS min_value,
+           CAST(max(value) AS REAL) AS max_value,
+           CAST(count(*) AS REAL) AS n_f
+    FROM e GROUP BY 1
+    """,
+)
+def me1_f32(spark, sf_dir):
+    """ME1 shape with the reference's OUTPUT TYPE: every aggregate
+    emitted as float32 (``float32_output=True`` → ``_cast_outputs``),
+    matching ``Aggregation.h:53-87`` which emits float for ALL
+    aggregates regardless of input width. Exactness holds because both
+    engines cast the SAME exact value (bigint cents sum / bigint count
+    / raw double min-max) to float32 with IEEE round-to-nearest —
+    bit-identical even where float32 cannot represent the integer."""
+    ev = _with_cents(_events(spark, sf_dir))
+    r = windowed_agg(ev, "ts", 3600, 3600, [
+        ("sum", "value_c", "sum_cents_f"),
+        ("min", "value", "min_value"),
+        ("max", "value", "max_value"),
+        ("count", None, "n_f"),
+    ], float32_output=True)
+    return r.select("window_start", "sum_cents_f", "min_value", "max_value", "n_f")
