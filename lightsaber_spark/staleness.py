@@ -19,10 +19,13 @@ stale green row.  This module derives staleness mechanically:
   differs from (or is missing) the recorded one as stale and rotates
   it to the front of the driver's correctness sweep.
 
-Known limits (conservative by design): references reached only via
-``getattr``/dispatch tables and module-level *data* constants are not
-chased — but oracle SQL built from such constants IS hashed via the
-registered oracle string, which covers the catalog's actual usage.
+References are chased through both global names and function-LOCAL
+``from lightsaber_spark.x import y`` statements (the catalog's
+dominant import style, resolved via AST).  Known limits (conservative
+by design): references reached only via ``getattr``/dispatch tables
+and module-level *data* constants are not chased — but oracle SQL
+built from such constants IS hashed via the registered oracle string,
+which covers the catalog's actual usage.
 """
 
 from __future__ import annotations
@@ -78,6 +81,34 @@ def _referenced_names(code: types.CodeType) -> set[str]:
     return names
 
 
+def _local_imports(source: str):
+    """Objects pulled in via function-LOCAL ``from lightsaber_spark.x
+    import y`` statements — these bind local names, invisible to
+    ``__globals__``, yet are the catalog's dominant pattern for calling
+    engine functions. Resolved via AST + the already-imported module."""
+    import ast
+    import importlib
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(source))
+    except SyntaxError:
+        return
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom) or node.level:
+            continue
+        if not (node.module or "").startswith(_PKG_PREFIX):
+            continue
+        try:
+            mod = importlib.import_module(node.module)
+        except ImportError:
+            continue
+        for alias in node.names:
+            tgt = getattr(mod, alias.name, None)
+            if tgt is not None:
+                yield tgt
+
+
 def _sources_for(fn) -> dict[str, str]:
     """``{qualified_name: source}`` for ``fn`` and every
     lightsaber_spark function/class transitively reachable from it by
@@ -112,6 +143,9 @@ def _sources_for(fn) -> dict[str, str]:
         if qual in seen:
             continue
         seen[qual] = _source_of(obj)
+        for tgt in _local_imports(seen[qual]):
+            if callable(tgt) or inspect.isclass(tgt):
+                stack.append((tgt, False))
 
         g = getattr(obj, "__globals__", {})
         for nm in _referenced_names(code):

@@ -74,6 +74,24 @@ def test_transitive_helper_mutation_changes_hash(tmp_path):
     assert impl_hash(a.query) != impl_hash(b.query)
 
 
+def test_function_local_import_is_chased():
+    """The catalog's dominant pattern — ``from lightsaber_spark.x
+    import y`` INSIDE the query function — must pull y's source into
+    the hash closure (it binds a local name, invisible to
+    ``__globals__``)."""
+    from lightsaber_spark.staleness import _sources_for
+
+    def q(spark, sf_dir):
+        from lightsaber_spark.functions.dedup import minhash_levenshtein_pairs
+
+        return minhash_levenshtein_pairs(None)
+
+    quals = set(_sources_for(q))
+    assert any("minhash_levenshtein_pairs" in s for s in quals), quals
+    # and the chase is transitive: the pairs fn calls the candidate fn
+    assert any("minhash_lsh_candidates" in s for s in quals), quals
+
+
 def test_oracle_mutation_changes_hash(tmp_path):
     a = _load(tmp_path, "or_a", _MODULE_V1)
     h1 = impl_hash(a.query, "SELECT 1 AS x")
