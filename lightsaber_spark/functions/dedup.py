@@ -536,6 +536,13 @@ def minhash_levenshtein_pairs(
         f"CAST(({max_dist_permille} * greatest(length(_ta), length(_tb)))"
         " DIV 1000 AS INT)"
     )
+    # Length-difference pre-filter: levenshtein(a,b) >= |len(a)-len(b)|,
+    # so |len_a - len_b| > T cannot qualify — drop the pair BEFORE the
+    # O(len·T) band computation. Exact (never prunes a qualifying
+    # pair), and integer arithmetic on lengths, so the kept set is
+    # unchanged; it only moves work off the hot UDF-free-but-quadratic
+    # step for wildly length-mismatched LSH candidates.
+    joined = joined.filter(F.expr(f"abs(length(_ta) - length(_tb)) <= {thr}"))
     out = joined.select(
         "id_a",
         "id_b",
