@@ -56,15 +56,48 @@ def rate_source(
     spark: SparkSession,
     rows_per_second: int = 1000,
     num_partitions: int | None = None,
+    ramp_up_time: str | None = None,
 ) -> DataFrame:
     """Synthetic benchmark stream: monotonically increasing ``value``
     with a ``timestamp`` column — the Spark analog of the reference's
-    replay/generator drivers (``RandomDataGenerator.h:102-110``)."""
+    replay/generator drivers (``RandomDataGenerator.h:102-110``).
+    ``rows_per_second`` is itself the ingest-rate bound; for a
+    per-BATCH bound independent of wall clock use
+    :func:`rate_micro_batch_source`."""
     reader = spark.readStream.format("rate").option(
         "rowsPerSecond", rows_per_second
     )
     if num_partitions is not None:
         reader = reader.option("numPartitions", num_partitions)
+    if ramp_up_time is not None:
+        reader = reader.option("rampUpTime", ramp_up_time)
+    return reader.load()
+
+
+def rate_micro_batch_source(
+    spark: SparkSession,
+    rows_per_batch: int,
+    num_partitions: int | None = None,
+    start_timestamp_ms: int | None = None,
+    advance_ms_per_batch: int | None = None,
+) -> DataFrame:
+    """Deterministic bounded-batch feed: EXACTLY ``rows_per_batch``
+    rows per trigger, regardless of wall clock — the direct analog of
+    the reference's bounded ring-buffer ingest, where a full
+    ``CircularQueryBuffer`` blocks the producer until the query drains
+    it (``CircularQueryBuffer.h:35-54``: put → -1 + retry). Spark
+    inverts the mechanism (the source admits a bounded batch per
+    trigger instead of blocking the producer) but the invariant is the
+    same: per-batch work is bounded no matter how fast data arrives."""
+    reader = spark.readStream.format("rate-micro-batch").option(
+        "rowsPerBatch", rows_per_batch
+    )
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", num_partitions)
+    if start_timestamp_ms is not None:
+        reader = reader.option("startTimestamp", start_timestamp_ms)
+    if advance_ms_per_batch is not None:
+        reader = reader.option("advanceMillisPerBatch", advance_ms_per_batch)
     return reader.load()
 
 
@@ -75,6 +108,8 @@ def kafka_source(
     value_schema: StructType | str | None = None,
     starting_offsets: str = "latest",
     fail_on_data_loss: bool = True,
+    max_offsets_per_trigger: int | None = None,
+    min_offsets_per_trigger: int | None = None,
     **options: str,
 ) -> DataFrame:
     """Kafka stream source — the production replacement for the
@@ -86,6 +121,14 @@ def kafka_source(
     Kafka ``timestamp`` — ready for ``windowed_agg``. One Kafka
     partition maps to one Spark input partition; scale consumer
     parallelism by topic partition count, not executor count.
+
+    Backpressure: ``max_offsets_per_trigger`` caps records admitted
+    per micro-batch (split proportionally across topic partitions) —
+    the bounded-ingest semantic of the reference's ring buffer
+    (``CircularQueryBuffer.h:35-54``); without it a restart after
+    downtime admits the full backlog as one giant batch.
+    ``min_offsets_per_trigger`` batches up trickles (with
+    ``maxTriggerDelay`` as the staleness bound).
 
     Requires the ``spark-sql-kafka`` connector on the classpath
     (``spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:
@@ -99,6 +142,10 @@ def kafka_source(
         .option("startingOffsets", starting_offsets)
         .option("failOnDataLoss", str(fail_on_data_loss).lower())
     )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    if min_offsets_per_trigger is not None:
+        reader = reader.option("minOffsetsPerTrigger", min_offsets_per_trigger)
     for k, v in options.items():
         reader = reader.option(k, v)
     raw = reader.load()

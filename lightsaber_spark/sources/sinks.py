@@ -57,6 +57,142 @@ def memory_sink(stream_df: DataFrame, name: str, checkpoint: str, output_mode: s
     )
 
 
+def to_kafka_frame(
+    df: DataFrame,
+    key_col: str | None = None,
+    value_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Project any DataFrame onto the Kafka wire schema the sink
+    requires (``key``/``value`` strings): value = JSON of
+    ``value_cols`` (default: every non-key column), key = ``key_col``
+    cast to string (key-hash partitioning → per-key ordering in the
+    topic). Split out of :func:`kafka_sink` so the serialization is
+    testable without a broker — the same split as
+    ``readers.parse_kafka_value`` on the source side."""
+    from pyspark.sql import functions as F
+
+    cols = list(value_cols or [c for c in df.columns if c != key_col])
+    out = df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+    )
+    return out
+
+
+def kafka_sink(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+    value_cols: Sequence[str] | None = None,
+    output_mode: str = "append",
+    **options: str,
+):
+    """Network sink — the production analog of the reference's TCP
+    result forwarding (``ResultHandler.h:108-111``, ``ResultHandler
+    .cpp:73``): serialize to the Kafka wire frame and start a
+    ``writeStream`` to the topic. Exactly-once is per Kafka's
+    transactional defaults at-least-once — consumers dedupe on key —
+    while the checkpoint guarantees no batch is lost or re-read.
+    Requires the spark-sql-kafka connector jar (absent in this
+    container; wiring is exercised by resolution tests)."""
+    frame = to_kafka_frame(stream_df, key_col, value_cols)
+    writer = (
+        frame.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def socket_sink(
+    stream_df: DataFrame,
+    host: str,
+    port: int,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger_available_now: bool = False,
+):
+    """Line-oriented TCP sink via ``foreachBatch`` — the direct analog
+    of the reference's single-socket TCP result forwarder
+    (``ResultHandler.cpp:73``: one connection, rows serialized in
+    order). One JSON line per row. Like the reference's, this funnels
+    through ONE connection, so rows stream through the driver
+    (``toLocalIterator`` — bounded memory, one partition in flight);
+    it is a bridge/debug sink — the scale path is :func:`kafka_sink`.
+    Delivery is at-least-once under retries (same as a raw socket)."""
+    import socket as socketlib
+
+    def _send(batch_df: DataFrame, batch_id: int) -> None:
+        with socketlib.create_connection((host, port)) as sock:
+            w = sock.makefile("w", encoding="utf-8")
+            for row in batch_df.toJSON().toLocalIterator():
+                w.write(row)
+                w.write("\n")
+            w.flush()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_send)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def upsert_batch_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "update",
+    trigger_available_now: bool = False,
+):
+    """Bridge an UPDATE-mode stateful stream onto an append-only file
+    sink, idempotently: each micro-batch lands in its own
+    ``_batch=<id>`` partition with overwrite, so a replayed batch
+    (restart after failure) overwrites itself instead of duplicating —
+    effective exactly-once on top of at-least-once foreachBatch, the
+    Scabbard role (``FileBackedCheckpointCoordinator.h:34-42``) for
+    sinks Spark can't transact against. Read the final state back with
+    :func:`read_upsert_state`."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # the batch id lives in the DIRECTORY name only (partition
+        # discovery surfaces it as a column on read — carrying it in
+        # the data too would collide at read time)
+        batch_df.write.mode("overwrite").parquet(f"{path}/_batch={batch_id}")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_upsert_state(spark, path: str, keys: Sequence[str]) -> DataFrame:
+    """Reconstruct the latest value per key from an
+    :func:`upsert_batch_sink` directory: max-``_batch`` row wins (an
+    update-mode stream re-emits a key only when its value changed)."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.read.option("basePath", path).parquet(f"{path}/_batch=*")
+    w = Window.partitionBy(*keys).orderBy(F.col("_batch").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_batch")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

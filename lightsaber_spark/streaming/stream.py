@@ -33,13 +33,24 @@ def read_stream(
     schema: StructType,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = 1,
+    max_bytes_per_trigger: str | None = None,
 ) -> DataFrame:
     """File-based stream source (the batch fixtures replayed as a
     stream — the Spark analog of the reference's dataset replay driver,
-    ``test/benchmarks/applications/BenchmarkQuery.h:144-240``)."""
+    ``test/benchmarks/applications/BenchmarkQuery.h:144-240``).
+
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound the
+    work admitted per micro-batch — the backpressure role of the
+    reference's fixed-capacity ring buffer
+    (``CircularQueryBuffer.h:35-54``): ingest can never outrun the
+    query by more than one bounded batch, and a cold start over a deep
+    backlog replays it as many bounded batches instead of one
+    unbounded one."""
     reader = spark.readStream.schema(schema).format(fmt)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     return reader.load(path)
 
 
