@@ -65,7 +65,7 @@ QUERIES = [
 _COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")
 
 
-def build_scaled(base: str, out: str, k: int) -> None:
+def build_scaled(base: str, out: str, k: int, only_tables=None) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -110,6 +110,9 @@ def build_scaled(base: str, out: str, k: int) -> None:
     for t in _COPY_UNCHANGED:
         shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     for t, sql in specs.items():
+        if only_tables is not None and t not in only_tables:
+            shutil.copyfile(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+            continue
         con.execute(
             f"CREATE OR REPLACE VIEW src AS SELECT * FROM read_parquet('{base}/{t}.parquet')"
         )
@@ -117,23 +120,36 @@ def build_scaled(base: str, out: str, k: int) -> None:
     con.close()
 
 
-def run(sf_dir: str, spark, names) -> dict[str, float]:
+def run(sf_dir: str, spark, names, count_rows: bool = False):
+    """Per query: noop-sink wall time, and (optionally, as a SEPARATE
+    untimed pass so the measurement stays the same plan as always) the
+    output ROW COUNT — the evidence that super-linear runtime ratios on
+    pair-emitting queries are output-bound, not machinery-bound."""
     import __spark_entry__ as entrymod
     from lightsaber_spark.functions.dedup import release_shingle_caches
 
     qmap = entrymod.queries()
-    out: dict[str, float] = {}
+    secs: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in names:
         t0 = time.time()
         try:
             qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 2)
+            secs[name] = round(time.time() - t0, 2)
         except Exception as ex:  # noqa: BLE001
             print(f"# error in {name}: {ex}", file=sys.stderr)
-            out[name] = -1.0
+            secs[name] = -1.0
         finally:
             release_shingle_caches()
-    return out
+        if count_rows and secs[name] >= 0:
+            try:
+                rows[name] = qmap[name](spark, sf_dir).count()
+            except Exception as ex:  # noqa: BLE001
+                print(f"# count error in {name}: {ex}", file=sys.stderr)
+                rows[name] = -1
+            finally:
+                release_shingle_caches()
+    return (secs, rows) if count_rows else secs
 
 
 def main() -> None:
@@ -142,10 +158,20 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/lightsaber_scale")
     ap.add_argument("--write", default=None)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of QUERIES to run")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated fact tables to replicate "
+                         "(others copied at base scale) — keeps huge-K "
+                         "builds cheap when only one table matters")
+    ap.add_argument("--append", action="store_true",
+                    help="append a section to --write instead of rewriting")
     args = ap.parse_args()
+    queries = args.queries.split(",") if args.queries else QUERIES
+    only_tables = set(args.tables.split(",")) if args.tables else None
 
     t0 = time.time()
-    build_scaled(args.base, args.out, args.k)
+    build_scaled(args.base, args.out, args.k, only_tables)
     build_s = round(time.time() - t0, 1)
     print(f"built {args.k}x data in {build_s}s -> {args.out}")
 
@@ -160,55 +186,82 @@ def main() -> None:
 
     # discard a full cold pass (codegen + python-worker startup lands
     # on whichever query runs first), then measure base warm, then
-    # scaled on the already-warm JVM — both measured passes warm
-    run(args.base, spark, QUERIES)
-    base_t = run(args.base, spark, QUERIES)
-    scaled_t = run(args.out, spark, QUERIES)
+    # scaled on the already-warm JVM — both measured passes warm.
+    # Output-row counts run as separate untimed passes, so the timed
+    # plan is unchanged vs previous rounds.
+    run(args.base, spark, queries)
+    base_t, base_n = run(args.base, spark, queries, count_rows=True)
+    scaled_t, scaled_n = run(args.out, spark, queries, count_rows=True)
 
     rows = []
-    for n in QUERIES:
+    for n in queries:
         b, s = base_t[n], scaled_t[n]
         ratio = round(s / b, 1) if b > 0 and s > 0 else None
-        rows.append((n, b, s, ratio))
-        print(f"{n:38s} base {b:7.2f}s  {args.k}x {s:7.2f}s  ratio {ratio}")
+        nb, ns = base_n.get(n, -1), scaled_n.get(n, -1)
+        out_ratio = round(ns / nb, 1) if nb > 0 and ns > 0 else None
+        rows.append((n, b, s, ratio, nb, ns, out_ratio))
+        print(
+            f"{n:38s} base {b:7.2f}s  {args.k}x {s:7.2f}s  ratio {ratio}"
+            f"  rows {nb}->{ns} (out ratio {out_ratio})"
+        )
 
     if args.write:
-        lines = [
-            "# Scale smoke (generated by scripts/scale_smoke.py — do not edit)",
+        lines = []
+        if not args.append:
+            lines += [
+                "# Scale smoke (generated by scripts/scale_smoke.py — do not edit)",
+                "",
+            ]
+        lines += [
+            f"## {args.k}× replication"
+            + (f" ({args.tables} only)" if args.tables else ""),
             "",
             f"Base: `{args.base}`; scaled: {args.k}× replicated facts "
             "(offset keys, per-copy ts jitter, perturbed near-dup document "
             "copies), fixed dimensions — the fact/dim growth shape of a real "
             "corpus. Both passes measured warm (a discarded cold pass "
-            "precedes them).",
+            "precedes them). `out rows` is the query's OUTPUT row count at "
+            "each scale (counted in separate untimed passes).",
             "",
             "Reading the ratios:",
-            f"- ratio ≲ {args.k} ⇒ at-most-linear scaling; fixed per-stage "
-            "overhead pushes small-input ratios well under K.",
+            f"- time ratio ≲ {args.k} ⇒ at-most-linear scaling; fixed "
+            "per-stage overhead pushes small-input ratios well under K.",
             "- the window-spine queries (sg1*) are SPAN-bound, not "
             "data-bound — the replicated data covers the same time span, "
             "so their cost barely moves: the design property the prefix "
             "path exists for.",
-            f"- the pair-emitting dedup queries (jaccard/minhash/groups) "
-            f"face ~K²/2 = {args.k * args.k // 2}× more qualifying pairs "
-            "per near-dup family in this corpus (every copy pairs with "
-            "every other), so their OUTPUT grows far faster than the "
-            "input; a ratio well under K² means the candidate machinery "
-            "is output-bound, which is the correct shape.",
+            f"- the pair-emitting dedup queries (jaccard/minhash/"
+            f"levenshtein/theta) face ~K²/2 = {args.k * args.k // 2}× more "
+            "qualifying pairs per near-dup family (every copy pairs with "
+            "every other). For those, the check is **time ratio ≤ out "
+            "ratio**: runtime growing no faster than the answer itself is "
+            "output-bound — the correct shape; runtime above output growth "
+            "would be machinery-bound and a plan bug.",
             "",
-            f"| query | base s | {args.k}× s | ratio |",
-            "|---|---|---|---|",
+            f"| query | base s | {args.k}× s | time ratio | out rows base |"
+            f" out rows {args.k}× | out ratio |",
+            "|---|---|---|---|---|---|---|",
         ]
-        for n, b, s, r in rows:
-            lines.append(f"| {n} | {b} | {s} | {r} |")
-        with open(args.write, "w") as f:
+        for n, b, s, r, nb, ns, orat in rows:
+            lines.append(f"| {n} | {b} | {s} | {r} | {nb} | {ns} | {orat} |")
+        mode = "a" if args.append else "w"
+        with open(args.write, mode) as f:
+            if args.append:
+                f.write("\n")
             f.write("\n".join(lines) + "\n")
         print(f"wrote {args.write}")
+    payload = {
+        "k": args.k, "base": base_t, "scaled": scaled_t,
+        "base_rows": base_n, "scaled_rows": scaled_n, "build_s": build_s,
+    }
+    if args.append and os.path.exists("SCALE.json"):
+        with open("SCALE.json") as f:
+            prior = json.load(f)
+        prior = prior if isinstance(prior, list) else [prior]
+        prior.append(payload)
+        payload = prior
     with open("SCALE.json", "w") as f:
-        json.dump(
-            {"k": args.k, "base": base_t, "scaled": scaled_t, "build_s": build_s},
-            f,
-        )
+        json.dump(payload, f)
     spark.stop()
 
 
