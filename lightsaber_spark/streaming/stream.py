@@ -62,6 +62,7 @@ def streaming_windowed_agg(
     aggs: Sequence[AggSpec],
     keys: Sequence[str] = (),
     watermark: str = "0 seconds",
+    float32_output: bool = False,
 ) -> DataFrame:
     """The streaming twin of ``operators.windowed_agg``.
 
@@ -72,9 +73,12 @@ def streaming_windowed_agg(
     dropped, exactly as the reference would never see one.
 
     Output schema matches the batch operator (window_start bigint
-    seconds) so streaming-vs-batch equivalence tests can diff results
-    directly.
+    seconds, ``float32_output`` casts aggregate outputs to float32 —
+    the reference's universal output type, ``Aggregation.h:53-87``) so
+    streaming-vs-batch equivalence tests can diff results directly.
     """
+    from lightsaber_spark.operators.window_agg import _cast_outputs
+
     slide_sec = slide_sec or size_sec
     wm = stream.withWatermark(ts_col, watermark)
     w = (
@@ -83,12 +87,13 @@ def streaming_windowed_agg(
         else F.window(F.col(ts_col), f"{size_sec} seconds", f"{slide_sec} seconds")
     )
     out = wm.groupBy(w.alias("_w"), *keys).agg(*_agg_exprs(aggs))
-    return out.select(
+    out = out.select(
         F.unix_micros(F.col("_w.start")).cast("bigint").alias("window_start_us"),
         *keys,
         *[F.col(a) for _, _, a in aggs],
     ).withColumn("window_start", (F.col("window_start_us") / 1_000_000).cast("bigint")) \
      .drop("window_start_us")
+    return _cast_outputs(out, aggs, float32_output)
 
 
 def streaming_post_window_argmax(

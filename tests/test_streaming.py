@@ -1125,3 +1125,30 @@ def test_streaming_gapfill_state_survives_restart(spark, tmp_path):
     # the restarted query closes [100,200) with the RECOVERED count 2,
     # emits the empty [200,300) and [300,400) windows, holds [400,500)
     assert second == {(1, 100, 2), (1, 200, 0), (1, 300, 0)}
+
+
+def test_streaming_float32_outputs_match_batch_bitwise(
+    spark, events, events_stream_src, tmp_path
+):
+    """float32_output on the streaming twin: aggregate outputs arrive
+    as float32 and are BIT-identical to the batch operator's float32
+    path (both cast the same exact values with IEEE round-to-nearest —
+    the reference's universal output type, Aggregation.h:53-87)."""
+    ev = events.withColumn("value_c", F.round(F.col("value") * 100).cast("bigint"))
+    aggs = [("sum", "value_c", "sum_cents_f"), ("count", None, "n_f")]
+    stream = _stream(spark, events_stream_src).withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
+    s = streaming_windowed_agg(
+        stream, "ts", 3600, None, aggs, ["event_type"], float32_output=True
+    )
+    got = run_available_now(s, str(tmp_path / "ck"), "complete", table_name="t_f32")
+    assert dict(got.dtypes)["sum_cents_f"] == "float"
+    assert dict(got.dtypes)["n_f"] == "float"
+    want = windowed_agg(ev, "ts", 3600, None, aggs, ["event_type"], float32_output=True)
+    ok, msg = rows_match(
+        got.select("window_start", "event_type", "sum_cents_f", "n_f").collect(),
+        want.select("window_start", "event_type", "sum_cents_f", "n_f").collect(),
+        float_tol=0.0,
+    )
+    assert ok, msg
