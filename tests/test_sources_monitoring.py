@@ -189,7 +189,11 @@ def test_kafka_source_wiring_reaches_resolution(spark):
     from lightsaber_spark.sources import kafka_source
 
     with pytest.raises(Exception, match="(?i)kafka"):
-        kafka_source(spark, "localhost:9092", "events")
+        kafka_source(
+            spark, "localhost:9092", "events",
+            max_offsets_per_trigger=10_000,  # backpressure knobs wire through
+            min_offsets_per_trigger=100,
+        )
 
 
 def test_write_training_shards_deterministic(spark, tables, tmp_path):
