@@ -1,0 +1,127 @@
+"""Iterative graph computation: integer-scaled PageRank.
+
+Companion to the connected-components engine in
+``functions/dedup.py:duplicate_groups`` (min-label + pointer jumping) —
+together they cover the two iterative-fixpoint shapes a data pipeline
+needs (equivalence classes, and importance/propagation scores).
+
+Design for exact cross-engine parity: every arithmetic step is integer.
+Ranks are scaled by ``scale`` (default 10^12); each iteration computes
+
+    rank'(v) = (15 * (scale div N)) div 100
+             + (85 * sum_{u -> v} (rank(u) div outdeg(u))) div 100
+
+with truncating integer division on both engines (Spark ``div``, DuckDB
+``//`` — all operands non-negative, so truncation == floor and the two
+agree; see the CLAUDE.md cast-rounding gotcha).  A fixed iteration
+count (not a convergence test) keeps the computation a deterministic
+finite plan that a chained-CTE SQL oracle reproduces bit for bit.
+
+Scale: each iteration is one equi-join (edges ⋈ ranks, shuffled on the
+node key) plus one groupBy — the standard Pregel-on-relational shape
+that survives 1000 executors.  ``localCheckpoint`` per iteration stops
+the lazy plan doubling (the iterated relation appears twice per round —
+see CLAUDE.md); the checkpoint is a documented bounded materialization
+of |V| rows, like ``duplicate_groups``.
+
+Overflow: rank ≤ scale ≤ 10^12, so 85 * rank ≤ 8.5e13 and the contrib
+sum over all in-edges ≤ total rank mass ≤ scale — everything stays far
+below 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list (pass both directions for an
+    undirected graph). Returns (node, rank_scaled) for every node that
+    appears in the edge list.
+
+    Every node must have out-degree ≥ 1 (true for symmetrized graphs);
+    rank mass from dangling nodes is otherwise dropped, mirroring the
+    oracle.
+    """
+    edges = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # Lazy scalar N via a broadcast 1-row cross join — no driver action.
+    n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n1))
+        .select("node", "_n", F.expr(f"{scale} div _n").alias("rank"))
+        .localCheckpoint()
+    )
+    out = edges.join(deg, "src")  # (src, dst, deg) — reused every round
+    for _ in range(iterations):
+        contrib = out.join(
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
+        ).select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("_sc"))
+        ranks = (
+            ranks.select("node", "_n")
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                "_n",
+                F.expr(
+                    f"(15 * ({scale} div _n)) div 100"
+                    " + (85 * coalesce(_sc, 0)) div 100"
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 4,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank` as chained CTEs (one per
+    iteration — the fixed iteration count makes the unrolling finite).
+    ``edges_sql`` must select columns ``src, dst``. Returns a relation
+    ``(node, rank_scaled)``; embed with ``WITH _pr_edges AS (...)``."""
+    parts = [
+        f"_pr_edges AS ({edges_sql})",
+        "_pr_deg AS (SELECT src, COUNT(*) AS deg FROM _pr_edges GROUP BY src)",
+        "_pr_nodes AS (SELECT src AS node FROM _pr_edges"
+        " UNION SELECT dst FROM _pr_edges)",
+        "_pr_n AS (SELECT COUNT(*) AS n FROM _pr_nodes)",
+        f"_pr_r0 AS (SELECT node, {scale} // (SELECT n FROM _pr_n) AS rank"
+        " FROM _pr_nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"_pr_r{i - 1}"
+        parts.append(
+            f"_pr_r{i} AS ("
+            f"SELECT nd.node, "
+            f"(15 * ({scale} // (SELECT n FROM _pr_n))) // 100"
+            f" + (85 * COALESCE(CAST(s.sc AS BIGINT), 0)) // 100 AS rank "
+            f"FROM _pr_nodes nd LEFT JOIN ("
+            f"SELECT e.dst AS node, SUM(r.rank // d.deg) AS sc "
+            f"FROM _pr_edges e JOIN _pr_deg d ON e.src = d.src "
+            f"JOIN {prev} r ON r.node = e.src GROUP BY e.dst) s "
+            f"ON nd.node = s.node)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT node, CAST(rank AS BIGINT) AS rank_scaled"
+        f" FROM _pr_r{iterations}"
+    )

@@ -1,0 +1,331 @@
+"""Queries STAGED for registration after the round-4 driver sweep.
+
+Round-3 verdict item #1 froze the `__spark_entry__` registry for round
+4: the fronted block (13 canonical + 24 never-swept + 13 hash-staled)
+is exactly the driver's ~50-query sweep cap, so registering anything
+new this round would push a pending query out of its verification slot.
+
+These queries are therefore built, oracle-twinned, and pytest-verified
+now (tests/test_staged_queries.py runs the driver-mirror compare at
+sf0.001) but kept OUT of ``lightsaber_spark.queries`` /
+``__spark_entry__`` until round 5.  To register: import this module
+from ``pipeline_queries.py`` and merge the two dicts (one line each) —
+their staleness hashes are recorded at that point like any new query.
+
+Contents (each fills a genuine gap in the 146-query catalog):
+
+- ``hll_distinct_users_by_type`` — HyperLogLog with exact integer
+  register math (functions/hll.py).  Upgrades the catalog's "HLL can
+  only be rows-checked" note on ``window_kmv_distinct_users``: this
+  formulation IS strong-checkable.
+- ``pagerank_customer_supplier`` — iterative integer-scaled PageRank
+  (operators/iterative.py) over the symmetrized customer↔supplier
+  purchase graph; the importance-propagation counterpart of the
+  connected-components engine.
+- ``weighted_poisson_sample_by_source`` — length-proportional
+  (token-budget) Poisson sampling of documents, md5-deterministic.
+- ``mad_outlier_bounds_by_type`` — robust outlier detection via
+  median / MAD in exact integer cents (doubling trick keeps even-count
+  medians integral).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lightsaber_spark.functions.hll import hll_distinct, hll_oracle_sql
+from lightsaber_spark.operators.iterative import pagerank, pagerank_oracle_sql
+from lightsaber_spark.session import load_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+STAGED_SPARK_QUERIES: dict[str, QueryFn] = {}
+STAGED_ORACLE_SQL: dict[str, str] = {}
+
+
+def staged_query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        STAGED_SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            STAGED_ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct users per event_type — exact-register HLL next to
+# the catalog's KMV (`kmv_distinct_users_by_type`): HLL state is m bytes
+# per group vs KMV's k hashes, the right trade at very large group
+# counts. n_exact rides along so the driver row also pins the sketch's
+# accuracy envelope at sweep scale.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "hll_distinct_users_by_type",
+    f"""
+WITH _est AS ({hll_oracle_sql("events", ["event_type"], "user_id", m=256,
+                              out_col="n_users_hll")}),
+_ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT _est.event_type, reg_sum, buckets_seen, n_users_hll, n_exact
+FROM _est JOIN _ex ON _est.event_type = _ex.event_type
+""",
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL (m=256) distinct-user estimate per event_type, registers
+    folded as exact BIGINTs so the DuckDB twin reproduces the estimate
+    bit for bit (see functions/hll.py for the exactness contract)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    est = hll_distinct(ev, ["event_type"], "user_id", m=256,
+                       out_col="n_users_hll")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return est.join(exact, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer↔supplier purchase graph.
+# ---------------------------------------------------------------------------
+
+_PR_EDGES_SQL = """
+SELECT 2 * c AS src, 2 * s + 1 AS dst FROM (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey) p
+UNION ALL
+SELECT 2 * s + 1 AS src, 2 * c AS dst FROM (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey) p
+"""
+
+
+@staged_query(
+    "pagerank_customer_supplier",
+    f"""
+WITH _ranked AS ({pagerank_oracle_sql(_PR_EDGES_SQL, iterations=4)})
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS role,
+       node // 2 AS entity_key, rank_scaled
+FROM _ranked
+ORDER BY rank_scaled DESC, node ASC
+LIMIT 20
+""",
+)
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by 4-iteration integer-scaled PageRank over the
+    symmetrized customer↔supplier graph (edge iff a lineitem links
+    them). Node ids are 2*custkey / 2*suppkey+1 to keep the two key
+    spaces disjoint; ties broken by node id so LIMIT is deterministic.
+
+    Reference parity: the reference has no graph operator — this is
+    part of the beyond-reference pipeline surface (supplier-importance
+    ranking), exercising the iterative-fixpoint engine shape
+    (operators/iterative.py) the same way duplicate_groups exercises
+    connected components."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    pairs = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"].o_orderkey == t["lineitem"].l_orderkey,
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    fwd = pairs.select(
+        (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+    )
+    edges = fwd.union(
+        pairs.select(
+            (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
+        )
+    )
+    ranks = pagerank(edges, iterations=4)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("role"),
+            F.expr("node div 2").alias("entity_key"),
+            "rank_scaled",
+            "node",
+        )
+        .orderBy(F.col("rank_scaled").desc(), F.col("node").asc())
+        .limit(20)
+        .drop("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-proportional Poisson sampling — the token-budget downsampling
+# primitive: P(keep doc) = min(1, n_chars / 20000), decided by the
+# md5 hash of doc_id, so the sample is reproducible, cluster-size-
+# independent, and embarrassingly parallel (pure map-side filter).
+# ---------------------------------------------------------------------------
+
+_WPS_COND = "h % 20000 < LEAST(n_chars, 20000)"
+
+
+@staged_query(
+    "weighted_poisson_sample_by_source",
+    f"""
+WITH _h AS (
+  SELECT source, n_chars,
+         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_total,
+       CAST(SUM(CASE WHEN {_WPS_COND} THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_sampled,
+       CAST(SUM(CASE WHEN {_WPS_COND} THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_sampled
+FROM _h GROUP BY source
+""",
+)
+def weighted_poisson_sample_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source yield of a length-proportional Poisson sample
+    (keep iff md5(doc_id) % 20000 < min(n_chars, 20000)) — deterministic
+    weighted downsampling for token-budget mixture construction, in the
+    md5-keyed family of functions/sampling.py."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    keep = (h % 20000) < F.least(F.col("n_chars"), F.lit(20000))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(
+            "docs_sampled"
+        ),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD in exact integer cents. The doubling
+# trick (med2 = sum of the two middle values = 2*median) keeps
+# even-count medians integral; the outlier test |x - med| > 3*MAD is
+# compared as 2*dev2 > 3*mad4 — all-integer, so both engines agree on
+# every boundary case.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "mad_outlier_bounds_by_type",
+    """
+WITH _c AS (
+  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+),
+_o AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM _c
+),
+_m AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END) AS BIGINT)
+           AS med2,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM _o GROUP BY event_type
+),
+_d AS (
+  SELECT _c.event_type, ABS(2 * v - med2) AS dev2, n
+  FROM _c JOIN _m ON _c.event_type = _m.event_type
+),
+_do AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn
+  FROM _d
+),
+_mad AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END) AS BIGINT)
+           AS mad4
+  FROM _do GROUP BY event_type
+)
+SELECT _m.event_type,
+       med2 / 200.0 AS median_value,
+       mad4 / 400.0 AS mad_value,
+       _m.n AS n,
+       CAST(SUM(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM _d JOIN _m ON _d.event_type = _m.event_type
+        JOIN _mad ON _d.event_type = _mad.event_type
+GROUP BY _m.event_type, med2, mad4, _m.n
+""",
+)
+def mad_outlier_bounds_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD robust outlier counts per event_type in exact
+    integer cents — the robust companion to window_zscore_outliers
+    (mean/stddev z-scores break down under the heavy tails this is
+    meant to find). Exact distributed selection, same two-pass shape as
+    exact_median_value_by_type; windows are partitioned by event_type
+    so the sort is partition-parallel."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("event_type")
+    o = c.withColumn(
+        "rn", F.row_number().over(w.orderBy("v", "event_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    mid_lo = F.expr("(n + 1) div 2")
+    mid_hi = F.expr("(n + 2) div 2")
+    m = o.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == mid_lo, F.col("v")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == mid_hi, F.col("v")).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("med2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    d = c.join(m, "event_type").select(
+        "event_type", F.abs(2 * F.col("v") - F.col("med2")).alias("dev2"), "n"
+    )
+    do = d.withColumn("rn", F.row_number().over(w.orderBy("dev2")))
+    mad = do.groupBy("event_type").agg(
+        (
+            F.sum(F.when(F.col("rn") == mid_lo, F.col("dev2")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == mid_hi, F.col("dev2")).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("mad4")
+    )
+    return (
+        d.join(mad, "event_type")
+        .join(m.select("event_type", "med2"), "event_type")
+        .groupBy("event_type", "med2", "mad4", "n")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            (F.col("med2") / F.lit(200.0)).alias("median_value"),
+            (F.col("mad4") / F.lit(400.0)).alias("mad_value"),
+            "n",
+            "n_outliers",
+        )
+    )
