@@ -27,6 +27,15 @@ Contents (each fills a genuine gap in the 146-query catalog):
 - ``mad_outlier_bounds_by_type`` — robust outlier detection via
   median / MAD in exact integer cents (doubling trick keeps even-count
   medians integral).
+- ``window_hll_distinct_users`` — the windowed HLL, strong-checkable
+  where the catalog's ``window_approx_distinct_users`` (built-in
+  HLL++) can only ever be rows-checked.
+- ``mixture_temperature_targets`` — alpha=0.5 temperature sampling
+  quotas per source (floor(sqrt(chars)) weights: IEEE sqrt is
+  correctly rounded, so even the float step is cross-engine exact).
+- ``source_ngram_overlap_matrix`` — 3-gram Jaccard between source
+  pairs over the distinct per-source shingle sets (cross-source
+  contamination diagnostic).
 """
 
 from __future__ import annotations
@@ -327,5 +336,176 @@ def mad_outlier_bounds_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mad4") / F.lit(400.0)).alias("mad_value"),
             "n",
             "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed HLL — upgrades the catalog's weak-checked
+# window_approx_distinct_users (Spark approx_count_distinct, whose HLL++
+# internals no SQL oracle can reproduce): the exact-register HLL makes
+# the windowed sketch STRONG-checkable. Same 6h tumbling bucketing as
+# window_kmv_distinct_users, so the two sketch families sit side by
+# side on identical windows.
+# ---------------------------------------------------------------------------
+
+from lightsaber_spark.functions.hll import hll_distinct as _hll_distinct  # noqa: E402
+
+
+@staged_query(
+    "window_hll_distinct_users",
+    hll_oracle_sql(
+        "(SELECT (epoch_us(ts) // 21600000000) * 21600 AS window_start, "
+        "user_id FROM events)",
+        ["window_start"], "user_id", m=256, out_col="n_users_hll",
+    ),
+)
+def window_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL (m=256) distinct-user estimate per 6h tumbling window with
+    exact integer registers — bounded state (m bytes/window) at 100 TB,
+    and bit-identical to the DuckDB twin (see functions/hll.py)."""
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = ev.withColumn("window_start", _exact_bucket(epoch_us(ev, "ts"), 21600))
+    return hll_distinct(w, ["window_start"], "user_id", m=256,
+                        out_col="n_users_hll")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture targets (alpha = 0.5): per-source sampling
+# quotas proportional to sqrt(char mass) — the standard low-resource
+# upsampling rule for multilingual / multi-source training mixtures
+# (cf. XLM-R's p_i^alpha sampling). Exactness: IEEE sqrt is correctly
+# rounded (unlike pow/ln), FLOOR makes the weight an integer, and the
+# quota is integer `div` against the exact integer weight sum — every
+# step reproduces bit-for-bit on both engines.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "mixture_temperature_targets",
+    """
+WITH _src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_n,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total
+  FROM documents GROUP BY source
+),
+_w AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(chars_total AS DOUBLE))) AS BIGINT)
+              AS weight
+  FROM _src
+)
+SELECT source, docs_n, chars_total, weight,
+       CAST((100000 * weight) // (SELECT SUM(weight) FROM _w) AS BIGINT)
+         AS target_docs
+FROM _w
+""",
+)
+def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quotas for a 100k-doc training mixture at
+    temperature alpha=0.5 (weight = floor(sqrt(total chars)), quota =
+    100000*w div sum(w)) — flattens the source distribution so
+    low-resource sources are upsampled, in the deterministic md5/integer
+    family of functions/sampling.py."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_n"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    w = per_src.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("chars_total").cast("double"))).cast("bigint"),
+    )
+    total = w.agg(F.sum("weight").alias("_tw"))
+    return w.crossJoin(F.broadcast(total)).select(
+        "source", "docs_n", "chars_total", "weight",
+        F.expr("(100000 * weight) div _tw").cast("bigint").alias(
+            "target_docs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram contamination matrix: 3-gram Jaccard between every
+# source pair. Same shingle machinery (and tokenization pins) as the
+# dedup ladder, aggregated to source level — the "is my web crawl
+# leaking into my books split?" diagnostic. Scale: the joined relation
+# is DISTINCT (source, shingle), bounded by vocab x #sources, and each
+# shingle contributes at most #sources^2 pair rows — equi-join-shaped,
+# never all-pairs over documents.
+# ---------------------------------------------------------------------------
+
+_SRC_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(range(greatest(len(t) - 2, 0)),
+                i -> array_to_string(t[i+1:i+3], ' ')))) AS s
+  FROM toks
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       n_shared * 1.0 / (sa.n + sb.n - n_shared) AS jaccard
+FROM pairs JOIN sizes sa ON source_a = sa.source
+           JOIN sizes sb ON source_b = sb.source
+"""
+
+
+@staged_query("source_ngram_overlap_matrix", _SRC_OVERLAP_ORACLE)
+def source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard similarity between every pair of document sources
+    (shared-shingle equi-join over the DISTINCT per-source shingle set —
+    the corpus-level analog of dedup_ngram_jaccard's per-document
+    join). The shingle extraction is the same Arrow-batched UDF as the
+    dedup ladder, so its tokenization parity pins carry over."""
+    from lightsaber_spark.functions.dedup import (
+        register_cache,
+        word_shingles_udf,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = register_cache(
+        docs.select(
+            "source", F.explode(word_shingles_udf(3)(F.col("text"))).alias("s")
+        ).distinct()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("source_a"),
+                         F.col("n").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("source_b"),
+                         F.col("n").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            (
+                F.col("n_shared") * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
         )
     )
