@@ -70,6 +70,37 @@ def _h60(c: Column) -> Column:
     )
 
 
+def hll_bucket_rho(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 256,
+) -> DataFrame:
+    """Map-side (group..., bucket, rho) rows — the pre-aggregation
+    shared by the batch register builder and the streaming windowed
+    twin (streaming/sketches.py). Pure expression work, no shuffle."""
+    assert m & (m - 1) == 0, "m must be a power of two"
+    h = _h60(F.col(value_col))
+    # `div` (not `/` + cast: Spark's float cast would round) — h ≥ 0 so
+    # truncation == floor, matching DuckDB `//`.
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            h.alias("_hll_h"),
+        )
+        .select(
+            *group_cols,
+            (F.col("_hll_h") % F.lit(m)).alias("bucket"),
+            F.expr(f"_hll_h div {m}").alias("_hll_w"),
+        )
+    )
+    rho = F.when(F.col("_hll_w") == 0, F.lit(53)).otherwise(
+        F.expr("bit_count((_hll_w & -_hll_w) - 1) + 1")
+    )
+    return hashed.select(*group_cols, "bucket", rho.alias("rho"))
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: list[str],
@@ -85,30 +116,10 @@ def hll_registers(
     (group, bucket) key. State per group is ≤ m rows regardless of
     input size, which is the entire point at 100 TB.
     """
-    assert m & (m - 1) == 0, "m must be a power of two"
-    h = _h60(F.col(value_col))
-    # `div` (not `/` + cast: Spark's float cast would round) — h ≥ 0 so
-    # truncation == floor, matching DuckDB `//`.
-    hashed = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
-            *group_cols,
-            h.alias("_hll_h"),
-        )
-        .select(
-            *group_cols,
-            (F.col("_hll_h") % F.lit(m)).alias("_hll_bucket"),
-            F.expr(f"_hll_h div {m}").alias("_hll_w"),
-        )
-    )
-    rho = F.when(F.col("_hll_w") == 0, F.lit(53)).otherwise(
-        F.expr("bit_count((_hll_w & -_hll_w) - 1) + 1")
-    )
     return (
-        hashed.select(*group_cols, "_hll_bucket", rho.alias("_hll_rho"))
-        .groupBy(*group_cols, "_hll_bucket")
-        .agg(F.max("_hll_rho").alias("rho"))
-        .withColumnRenamed("_hll_bucket", "bucket")
+        hll_bucket_rho(df, group_cols, value_col, m)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
     )
 
 

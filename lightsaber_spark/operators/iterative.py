@@ -66,7 +66,9 @@ def pagerank(
         .select("node", "_n", F.expr(f"{scale} div _n").alias("rank"))
         .localCheckpoint()
     )
-    out = edges.join(deg, "src")  # (src, dst, deg) — reused every round
+    # (src, dst, deg) is consumed by every iteration — materialize the
+    # join once rather than recomputing it lazily per round.
+    out = edges.join(deg, "src").localCheckpoint()
     for _ in range(iterations):
         contrib = out.join(
             ranks.select(F.col("node").alias("src"), "rank"), "src"

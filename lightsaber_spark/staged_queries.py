@@ -137,8 +137,13 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking), exercising the iterative-fixpoint engine shape
     (operators/iterative.py) the same way duplicate_groups exercises
     connected components."""
+    from lightsaber_spark.functions.dedup import register_cache
+
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
-    pairs = (
+    # pairs feeds BOTH union branches of the symmetrized edge list —
+    # persist it so the edge materialization computes the join once
+    # (AQE exchange reuse is not reliable across union branches).
+    pairs = register_cache(
         t["orders"]
         .join(
             t["lineitem"],
