@@ -514,3 +514,97 @@ def source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quota application: materialize the temperature-sampled corpus. Docs
+# are ranked inside each source by md5(doc_id) (a deterministic uniform
+# shuffle) and the first target_docs survive — so the selected SET is
+# reproducible across cluster sizes and retries, and an
+# order-independent modular checksum of the selected ids lets the
+# oracle pin the exact membership, not just the counts.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "mixture_apply_quotas",
+    """
+WITH _src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_n,
+         CAST(SUM(n_chars) AS BIGINT) AS chars_total
+  FROM documents GROUP BY source
+),
+_w AS (
+  SELECT *, CAST(FLOOR(SQRT(CAST(chars_total AS DOUBLE))) AS BIGINT)
+              AS weight
+  FROM _src
+),
+_t AS (
+  SELECT source,
+         CAST((100000 * weight) // (SELECT SUM(weight) FROM _w) AS BIGINT)
+           AS target_docs
+  FROM _w
+),
+_r AS (
+  SELECT source, doc_id, n_chars,
+         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT,
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT _r.source, MAX(_t.target_docs) AS target_docs,
+       CAST(COUNT(*) AS BIGINT) AS docs_selected,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_selected,
+       CAST(SUM(h % 1000000007) AS BIGINT) AS ids_checksum
+FROM _r JOIN _t ON _r.source = _t.source
+WHERE rk <= _t.target_docs
+GROUP BY _r.source
+""",
+)
+def mixture_apply_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the alpha=0.5 temperature quotas: keep the first
+    target_docs documents of each source in md5(doc_id) order (a
+    deterministic uniform shuffle — same family as
+    functions/sampling.py's md5-keyed splits). Emits per-source counts,
+    char mass, and a modular checksum of the selected ids
+    (sum of h % 1e9+7 — order-independent and overflow-safe at any
+    corpus size), so the oracle verifies exact sample MEMBERSHIP."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+    w = per_src.withColumn(
+        "weight",
+        F.floor(F.sqrt(F.col("chars_total").cast("double"))).cast("bigint"),
+    )
+    total = w.agg(F.sum("weight").alias("_tw"))
+    targets = w.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.expr("(100000 * weight) div _tw").cast("bigint").alias(
+            "target_docs"
+        ),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    ranked = docs.select("source", "doc_id", "n_chars", h.alias("h")).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("h", "doc_id")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "source")
+        .where(F.col("rk") <= F.col("target_docs"))
+        .groupBy("source")
+        .agg(
+            F.max("target_docs").alias("target_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_selected"),
+            F.sum("n_chars").cast("bigint").alias("chars_selected"),
+            F.sum(F.col("h") % F.lit(1000000007))
+            .cast("bigint")
+            .alias("ids_checksum"),
+        )
+    )
