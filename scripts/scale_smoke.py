@@ -125,10 +125,16 @@ def run(sf_dir: str, spark, names, count_rows: bool = False):
     untimed pass so the measurement stays the same plan as always) the
     output ROW COUNT — the evidence that super-linear runtime ratios on
     pair-emitting queries are output-bound, not machinery-bound."""
-    import __spark_entry__ as entrymod
     from lightsaber_spark.functions.dedup import release_shingle_caches
 
-    qmap = entrymod.queries()
+    if os.environ.get("LSSPARK_SCALE_STAGED"):
+        from lightsaber_spark.staged_queries import STAGED_SPARK_QUERIES
+
+        qmap = dict(STAGED_SPARK_QUERIES)
+    else:
+        import __spark_entry__ as entrymod
+
+        qmap = entrymod.queries()
     secs: dict[str, float] = {}
     rows: dict[str, int] = {}
     for name in names:
@@ -160,6 +166,9 @@ def main() -> None:
     ap.add_argument("--write", default=None)
     ap.add_argument("--queries", default=None,
                     help="comma-separated subset of QUERIES to run")
+    ap.add_argument("--staged", action="store_true",
+                    help="measure lightsaber_spark/staged_queries.py "
+                         "(the round-5 queue) instead of the registry")
     ap.add_argument("--tables", default=None,
                     help="comma-separated fact tables to replicate "
                          "(others copied at base scale) — keeps huge-K "
@@ -167,7 +176,13 @@ def main() -> None:
     ap.add_argument("--append", action="store_true",
                     help="append a section to --write instead of rewriting")
     args = ap.parse_args()
-    queries = args.queries.split(",") if args.queries else QUERIES
+    if args.staged:
+        os.environ["LSSPARK_SCALE_STAGED"] = "1"
+        from lightsaber_spark.staged_queries import STAGED_SPARK_QUERIES
+
+        queries = list(STAGED_SPARK_QUERIES)
+    else:
+        queries = args.queries.split(",") if args.queries else QUERIES
     only_tables = set(args.tables.split(",")) if args.tables else None
 
     t0 = time.time()
@@ -254,13 +269,14 @@ def main() -> None:
         "k": args.k, "base": base_t, "scaled": scaled_t,
         "base_rows": base_n, "scaled_rows": scaled_n, "build_s": build_s,
     }
-    if args.append and os.path.exists("SCALE.json"):
-        with open("SCALE.json") as f:
+    json_path = "STAGED_SCALE.json" if args.staged else "SCALE.json"
+    if args.append and os.path.exists(json_path):
+        with open(json_path) as f:
             prior = json.load(f)
         prior = prior if isinstance(prior, list) else [prior]
         prior.append(payload)
         payload = prior
-    with open("SCALE.json", "w") as f:
+    with open(json_path, "w") as f:
         json.dump(payload, f)
     spark.stop()
 

@@ -198,3 +198,118 @@ def test_mad_matches_numpy(spark, events):
         n_out = int(np.sum(np.abs(v - med) > 3 * mad))
         assert row["n_outliers"] == n_out
         assert row["n"] == len(v)
+
+
+def test_hll_registers_match_python_model(spark):
+    """Registers computed by a pure-Python md5 model must equal the
+    Spark registers exactly — an oracle independent of both engines'
+    SQL layers."""
+    import hashlib
+
+    from lightsaber_spark.functions.hll import hll_registers
+
+    m = 64
+    vals = list(range(300))
+    df = spark.createDataFrame([(v,) for v in vals], "v LONG").selectExpr(
+        "'g' AS g", "v"
+    )
+    got = {
+        (r["bucket"], ): r["rho"]
+        for r in hll_registers(df, ["g"], "v", m=m).collect()
+    }
+    model: dict[tuple, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        bucket, w = h % m, h // m
+        rho = 53 if w == 0 else (w & -w).bit_length()
+        model[(bucket,)] = max(model.get((bucket,), 0), rho)
+    assert got == model
+
+
+def test_pagerank_matches_python_model(spark):
+    """The Spark integer PageRank must equal a pure-Python replica of
+    the same recurrence on a seeded random graph — bit-for-bit, every
+    node."""
+    import random
+
+    rng = random.Random(7)
+    n_nodes = 30
+    edge_set = set()
+    for _ in range(120):
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edge_set.add((a, b))
+            edge_set.add((b, a))
+    edges = sorted(edge_set)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    scale, iters = 10**12, 4
+
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    rank = {v: scale // len(nodes) for v in nodes}
+    for _ in range(iters):
+        contrib: dict[int, int] = {v: 0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += rank[a] // deg[a]
+        rank = {
+            v: (15 * (scale // len(nodes))) // 100 + (85 * contrib[v]) // 100
+            for v in nodes
+        }
+
+    from lightsaber_spark.operators.iterative import pagerank
+
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iterations=iters, scale=scale).collect()
+    }
+    assert got == rank
+
+
+@pytest.mark.parametrize(
+    "vals,n_outliers",
+    [
+        ([100], 0),                  # n=1: med=v, MAD=0, dev=0 -> not > 0
+        ([100, 100, 100, 100], 0),   # constant: MAD=0, all dev=0
+        ([100, 101], 0),             # n=2: med=100.5, MAD=0.5
+        ([0, 0, 0, 0, 0, 0, 0, 1000], 1),  # single spike over zero MAD? no:
+        # med=0, devs=[0x7,1000], MAD=0 -> 1000 > 0 -> 1 outlier
+    ],
+)
+def test_mad_edge_cases(spark, tmp_path, vals, n_outliers):
+    """Degenerate shapes (singleton, constant, even-count, zero-MAD
+    spike) through the full staged query path via a tiny parquet dir."""
+    import pathlib
+
+    import duckdb
+
+    from lightsaber_spark.staged_queries import (
+        STAGED_ORACLE_SQL,
+        mad_outlier_bounds_by_type,
+    )
+
+    d = tmp_path / f"sf_mad_{len(vals)}_{n_outliers}"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT row_number() OVER () AS event_id, "
+        "TIMESTAMP '2024-01-01 00:10:00' + INTERVAL (row_number() OVER ()) "
+        "SECOND AS ts, 1::BIGINT AS user_id, 'a' AS event_type, "
+        "v / 100.0 AS value, '' AS props "
+        f"FROM (SELECT unnest({vals}) AS v)"
+    )
+    con.execute(f"COPY ev TO '{d}/events.parquet' (FORMAT PARQUET)")
+
+    got = mad_outlier_bounds_by_type(spark, str(d)).collect()
+    assert len(got) == 1 and got[0]["n_outliers"] == n_outliers
+
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    rel = con.execute(STAGED_ORACLE_SQL["mad_outlier_bounds_by_type"])
+    cols = [dd[0] for dd in rel.description]
+    want = rel.fetchall()
+    assert len(want) == 1
+    wr = dict(zip(cols, want[0]))
+    gr = got[0]
+    for col in ("event_type", "median_value", "mad_value", "n", "n_outliers"):
+        assert gr[col] == wr[col], (col, gr[col], wr[col])
