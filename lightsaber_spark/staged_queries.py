@@ -608,3 +608,125 @@ def mixture_apply_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ids_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration: for every LSH candidate pair, the signature-based
+# Jaccard ESTIMATE (matching components / n_hashes — the unbiased
+# MinHash estimator) next to the EXACT shingle Jaccard. This is the
+# accuracy-evidence query for the whole LSH family: at 100 TB the
+# verify stage is the expensive part, and this table is what tells you
+# whether est_jaccard alone (free at retrieval time) is calibrated well
+# enough to skip or pre-rank verification.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calibration_oracle(
+    n_hashes: int = 32, bands: int = 8, seed: int = 42
+) -> str:
+    from lightsaber_spark.functions.dedup import MERSENNE_61, X_BITS, _lcg_constants
+    from lightsaber_spark.pipeline_queries import H60, SHINGLES, TOKS
+
+    consts = _lcg_constants(n_hashes, seed)
+    r = n_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
+        for j in range(n_hashes)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, unnest({SHINGLES}) AS s FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    xs AS (SELECT doc_id, ({H60.format(x='s')}) % {X_BITS} AS x FROM sh),
+    sig AS (SELECT doc_id,
+           {mins}
+           FROM xs GROUP BY 1),
+    banded AS (SELECT doc_id,
+           {band_cols}
+           FROM sig),
+    stacked AS ({stacked}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM stacked a JOIN stacked b
+               ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.id_a
+               JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+               GROUP BY 1, 2),
+    m AS (SELECT c.id_a, c.id_b, {matches} AS n_match
+          FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                      JOIN sig sb ON sb.doc_id = c.id_b)
+    SELECT m.id_a, m.id_b,
+           CAST(n_match AS BIGINT) AS n_match,
+           n_match * 1.0 / {n_hashes} AS est_jaccard,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           n_common * 1.0 / (sa.n + sb.n - n_common) AS jaccard
+    FROM m JOIN common co ON m.id_a = co.id_a AND m.id_b = co.id_b
+           JOIN sizes sa ON m.id_a = sa.doc_id
+           JOIN sizes sb ON m.id_b = sb.doc_id
+    """
+
+
+@staged_query("minhash_jaccard_calibration", _minhash_calibration_oracle())
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) estimate vs exact 3-gram Jaccard on every LSH(8-band)
+    candidate pair — estimator-calibration table for the LSH retrieval
+    family (``functions/dedup.py:minhash_lsh_pairs``). Candidates come
+    from the banded equi-join; both the estimate (component matches)
+    and the exact verify run only on candidates, so the whole query is
+    equi-join-shaped."""
+    from lightsaber_spark.functions.dedup import (
+        _jaccard_for_pairs,
+        minhash_lsh_candidates,
+        minhash_signature,
+        shingle_arrays,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    arr = shingle_arrays(docs)
+    cands = minhash_lsh_candidates(docs, 32, 8, 3, _arr=arr)
+    sig = minhash_signature(docs, 32, 3, _arr=arr)
+    n_match = sum(
+        (F.when(F.col(f"_a_h{j}") == F.col(f"_b_h{j}"), 1).otherwise(0))
+        for j in range(32)
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{j}").alias(f"_a_h{j}") for j in range(32)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{j}").alias(f"_b_h{j}") for j in range(32)],
+    )
+    est = (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", n_match.cast("bigint").alias("n_match"))
+        .withColumn(
+            "est_jaccard", F.col("n_match") * F.lit(1.0) / F.lit(32)
+        )
+    )
+    exact = _jaccard_for_pairs(docs, cands, 0.0, 3, "text", "doc_id", _arr=arr)
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_match", "est_jaccard",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "jaccard",
+    )
