@@ -730,3 +730,125 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("bigint").alias("n_b"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling: open/high/low/close + count per 6h window per
+# event_type — the telemetry/financial resampling operator. open/close
+# are SELECTED raw values (no arithmetic, so doubles compare exactly)
+# at deterministic positions: first/last by (ts, event_id), the same
+# total order in both engines.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "ohlc_bars_by_type",
+    """
+WITH _b AS (
+  SELECT event_type, event_id, ts, value,
+         (epoch_us(ts) // 21600000000) * 21600 AS window_start
+  FROM events
+),
+_r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM _b
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value
+FROM _r GROUP BY window_start, event_type
+""",
+)
+def ohlc_bars_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars per 6h tumbling window per event_type: open/close are
+    the first/last raw values by the deterministic (ts, event_id) total
+    order (row_number, partition-parallel windows), high/low are
+    min/max — pure selection, no float arithmetic, so every output
+    compares exactly. The time-series downsampling companion to the
+    windowed-agg core (`operators/window_agg.py`)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+    b = ev.withColumn("window_start", _exact_bucket(epoch_us(ev, "ts"), 21600))
+    w = Window.partitionBy("window_start", "event_type")
+    r = b.withColumn(
+        "rn_a", F.row_number().over(w.orderBy("ts", "event_id"))
+    ).withColumn(
+        "rn_d",
+        F.row_number().over(
+            w.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        ),
+    )
+    return r.groupBy("window_start", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for every foreign key in
+# the schema — the data-quality gate a pipeline runs before training
+# joins. Anti-join per FK (broadcast for dimension-sized parents),
+# one output row per check.
+# ---------------------------------------------------------------------------
+
+_RI_CHECKS = [
+    # (check name, child table, child key, parent table, parent key)
+    ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+@staged_query(
+    "referential_integrity_audit",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}"""
+        for name, child, ck, parent, pk in _RI_CHECKS
+    ),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-row counts for every foreign key in the TPC-H-ish schema
+    (left join per FK, parents broadcast where dimension-sized) — the
+    standard pre-join data-quality gate. One row per check."""
+    t = load_tables(
+        spark, sf_dir, ("lineitem", "orders", "supplier", "part",
+                        "customer", "nation"),
+    )
+    outs = []
+    for name, child, ck, parent, pk in _RI_CHECKS:
+        parent_keys = t[parent].select(pk)
+        if parent not in ("orders", "lineitem"):
+            parent_keys = F.broadcast(parent_keys)
+        joined = t[child].select(ck).join(
+            parent_keys, t[child][ck] == parent_keys[pk], "left"
+        )
+        outs.append(
+            joined.agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
