@@ -852,3 +852,122 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix: per-user consecutive event_type bigram
+# counts in (ts, event_id) order — the Markov-chain / journey-mining
+# operator next to funnel_view_click_purchase. Lag windows are
+# partitioned per user, so the sort is partition-parallel.
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "event_transition_matrix",
+    """
+WITH _o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM _o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive event_types per
+    user (deterministic (ts, event_id) order): the user-journey mining
+    companion to the funnel query."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    o = ev.withColumn(
+        "prev_type",
+        F.lag("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    return (
+        o.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateness profile: how out-of-order is the stream, really? Treat
+# event_id as arrival order, event time as ts; lateness of an event =
+# running max of event time at its arrival minus its own event time.
+# The resulting histogram is WHAT YOU READ to choose a watermark delay
+# (reference: the in-order model of SURVEY §2.9 assumes lateness 0 and
+# drops the rest; Spark lets you pick the bound — this measures it).
+# ---------------------------------------------------------------------------
+
+
+@staged_query(
+    "lateness_profile",
+    """
+WITH _a AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                                 ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS hwm_us
+  FROM events
+),
+_l AS (SELECT event_type, hwm_us - t_us AS late_us FROM _a)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_order,
+       CAST(SUM(CASE WHEN late_us > 0 AND late_us <= 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1s,
+       CAST(SUM(CASE WHEN late_us > 1000000 AND late_us <= 60000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+       CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_more,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM _l GROUP BY event_type
+""",
+)
+def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile per event_type: lateness of each
+    event vs the running event-time high-water mark in arrival
+    (event_id) order, bucketed {0, ≤1s, ≤60s, >60s} + max — the
+    measurement that turns the reference's assume-in-order model
+    (SURVEY §2.9) into an evidence-based watermark delay. Integer-µs
+    arithmetic throughout (`epoch_us`)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    a = ev.select(
+        "event_type",
+        epoch_us(ev, "ts").alias("t_us"),
+        "event_id",
+    ).withColumn(
+        "hwm_us",
+        F.max("t_us").over(
+            Window.partitionBy("event_type")
+            .orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    late = (F.col("hwm_us") - F.col("t_us")).alias("late_us")
+    lt = a.select("event_type", late)
+    c = F.col("late_us")
+    return lt.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(c == 0, 1).otherwise(0)).cast("bigint").alias(
+            "n_in_order"
+        ),
+        F.sum(F.when((c > 0) & (c <= 1000000), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_1s"),
+        F.sum(F.when((c > 1000000) & (c <= 60000000), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_60s"),
+        F.sum(F.when(c > 60000000, 1).otherwise(0)).cast("bigint").alias(
+            "n_late_more"
+        ),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )

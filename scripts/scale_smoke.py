@@ -180,7 +180,10 @@ def main() -> None:
         os.environ["LSSPARK_SCALE_STAGED"] = "1"
         from lightsaber_spark.staged_queries import STAGED_SPARK_QUERIES
 
-        queries = list(STAGED_SPARK_QUERIES)
+        queries = (
+            args.queries.split(",") if args.queries
+            else list(STAGED_SPARK_QUERIES)
+        )
     else:
         queries = args.queries.split(",") if args.queries else QUERIES
     only_tables = set(args.tables.split(",")) if args.tables else None
