@@ -1,0 +1,82 @@
+"""Banded Hamming-distance retrieval, shared by the perceptual-hash
+near-dup paths (image aHash in ``image_dedup.py``, audio fingerprints
+in ``audio_dedup.py``) and shaped like ``dedup.py:simhash_pairs``:
+
+- split the n-bit signature into ``n_bands`` equal bit-bands;
+- pairs within Hamming distance < n_bands must share at least one
+  whole band (pigeonhole), so retrieval is a (band, bucket) equi-join —
+  never an all-pairs product;
+- verify candidates with exact ``bit_count(xor)``.
+
+Lossless for ``max_hamming < n_bands``; the constructor enforces it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    n_bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Pairs ``(id_a < id_b, hamming)`` with ``hamming <= max_hamming``
+    over signed-long signatures in ``sig``. Equi-join retrieval +
+    exact verification; see module docstring for the losslessness
+    argument."""
+    if n_bits % n_bands:
+        raise ValueError("n_bands must divide n_bits")
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            "banded retrieval is lossless only for max_hamming < n_bands"
+        )
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    # two selects: the band expressions reference `_hash`, which must
+    # already exist (a same-select lateral alias reference trips
+    # Catalyst's LCA check under explode)
+    renamed = sig.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hash")
+    )
+    bands = renamed.select(
+        "_id",
+        "_hash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"(_hash >> {width * b}) & {mask}").alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_hash", "bb.band", "bb.bucket")
+    a = bands.select(
+        F.col("_id").alias("id_a"), F.col("_hash").alias("hash_a"),
+        "band", "bucket",
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), F.col("_hash").alias("hash_b"),
+        "band", "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hash_a", "hash_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(hash_a ^ hash_b)").cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

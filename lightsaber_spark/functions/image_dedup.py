@@ -29,7 +29,6 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from lightsaber_spark.functions.multimodal import decode_png
@@ -98,45 +97,10 @@ def ahash_near_dup(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     then exact ``bit_count(xor)`` verification on candidates.
 
     ``max_hamming`` must be < 8 for the banding to be lossless."""
-    if not 0 <= max_hamming < 8:
-        raise ValueError("banded retrieval is lossless only for hamming < 8")
+    from lightsaber_spark.functions.hamming import banded_hamming_pairs
+
     sig = ahash_media(media)
-    bands = sig.select(
-        "media_id",
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(f"(ahash >> {8 * b}) & 255").alias("bucket"),
-                    )
-                    for b in range(8)
-                ]
-            )
-        ).alias("bb"),
-    ).select("media_id", "ahash", "bb.band", "bb.bucket")
-    a = bands.select(
-        F.col("media_id").alias("id_a"),
-        F.col("ahash").alias("hash_a"),
-        "band",
-        "bucket",
-    )
-    b = bands.select(
-        F.col("media_id").alias("id_b"),
-        F.col("ahash").alias("hash_b"),
-        "band",
-        "bucket",
-    )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hash_a", "hash_b")
-        .distinct()
-    )
-    ham = F.expr("bit_count(hash_a ^ hash_b)").cast("bigint")
-    return (
-        cand.withColumn("hamming", ham)
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return banded_hamming_pairs(
+        sig, "media_id", "ahash", n_bits=64, n_bands=8,
+        max_hamming=max_hamming,
     )
