@@ -24,11 +24,16 @@ def banded_hamming_pairs(
     n_bits: int,
     n_bands: int,
     max_hamming: int,
+    align_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Pairs ``(id_a < id_b, hamming)`` with ``hamming <= max_hamming``
-    over signed-long signatures in ``sig``. Equi-join retrieval +
-    exact verification; see module docstring for the losslessness
-    argument."""
+    """Pairs ``(id_a < id_b, [align_cols,] hamming)`` with
+    ``hamming <= max_hamming`` over signed-long signatures in ``sig``.
+    Equi-join retrieval + exact verification; see module docstring for
+    the losslessness argument.
+
+    ``align_cols`` are extra equality keys both sides must share (e.g.
+    a frame index, so only co-positioned video frames pair) — they join
+    alongside (band, bucket) and are carried into the output."""
     if n_bits % n_bands:
         raise ValueError("n_bands must divide n_bits")
     if not 0 <= max_hamming < n_bands:
@@ -37,15 +42,17 @@ def banded_hamming_pairs(
         )
     width = n_bits // n_bands
     mask = (1 << width) - 1
+    align = list(align_cols)
     # two selects: the band expressions reference `_hash`, which must
     # already exist (a same-select lateral alias reference trips
     # Catalyst's LCA check under explode)
     renamed = sig.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hash")
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hash"), *align
     )
     bands = renamed.select(
         "_id",
         "_hash",
+        *align,
         F.explode(
             F.array(
                 *[
@@ -59,24 +66,24 @@ def banded_hamming_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_hash", "bb.band", "bb.bucket")
+    ).select("_id", "_hash", *align, "bb.band", "bb.bucket")
     a = bands.select(
         F.col("_id").alias("id_a"), F.col("_hash").alias("hash_a"),
-        "band", "bucket",
+        *align, "band", "bucket",
     )
     b = bands.select(
         F.col("_id").alias("id_b"), F.col("_hash").alias("hash_b"),
-        "band", "bucket",
+        *align, "band", "bucket",
     )
     cand = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, [*align, "band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "hash_a", "hash_b")
+        .select("id_a", "id_b", *align, "hash_a", "hash_b")
         .distinct()
     )
     ham = F.expr("bit_count(hash_a ^ hash_b)").cast("bigint")
     return (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", *align, "hamming")
     )
