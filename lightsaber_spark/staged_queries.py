@@ -971,3 +971,114 @@ def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("late_us").cast("bigint").alias("max_late_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal near-dup, STRONG-checked: the synthetic PNGs are
+# closed-form (pixel(x,y) = (doc_id+x+y) % 251, multimodal.py
+# synthetic_png_media), so a DuckDB oracle can reproduce the perceptual
+# hash by PURE ARITHMETIC — no codec — while the Spark side runs the
+# full real pipeline (PNG encode → chunk/CRC/inflate decode → integer
+# aHash → banded Hamming retrieval). Matching spectra prove the whole
+# codec+hash+retrieval stack end-to-end, upgrading multimodal dedup
+# from pytest-pinned to oracle-checked. Output is the pair-count
+# spectrum by Hamming distance (pairs aggregated over DISTINCT hashes
+# with multiplicities — what a production pHash dedup materializes).
+# ---------------------------------------------------------------------------
+
+
+def _media_ahash_oracle() -> str:
+    # signed-64 fold: bit 63 contributes -2^63 (two's complement).
+    # SUM, not MAX: each (by, bx) occurs once per doc, and MAX would
+    # prefer the ELSE 0 over the NEGATIVE bit-63 contribution.
+    fold = " + ".join(
+        [
+            f"SUM(CASE WHEN by*8+bx = {i} AND bit = 1 THEN "
+            + (f"CAST({1 << i} AS BIGINT)" if i < 63
+               else "CAST(-9223372036854775808 AS BIGINT)")
+            + " ELSE 0 END)"
+            for i in range(64)
+        ]
+    )
+    return f"""
+WITH ids AS (
+  SELECT doc_id, doc_id % 61 + 4 AS w, doc_id % 37 + 3 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, x, y, (doc_id + x + y) % 251 AS v,
+         (8 * x + 7) // w AS bx, (8 * y + 7) // h AS by
+  FROM ids JOIN range(64) tx(x) ON x < w JOIN range(42) ty(y) ON y < h
+),
+tot AS (SELECT doc_id, SUM(v) AS total, COUNT(*) AS n_total
+        FROM px GROUP BY 1),
+blk AS (SELECT doc_id, by, bx, SUM(v) AS s, COUNT(*) AS n_blk
+        FROM px GROUP BY 1, 2, 3),
+bits AS (
+  SELECT b.doc_id, by, bx,
+         CASE WHEN s * n_total >= total * n_blk THEN 1 ELSE 0 END AS bit
+  FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+),
+fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS ahash FROM bits GROUP BY 1),
+hg AS (SELECT ahash, COUNT(*) AS cnt FROM fp GROUP BY 1),
+pairs AS (
+  SELECT bit_count(xor(a.ahash, b.ahash)) AS hamming, a.cnt * b.cnt AS np
+  FROM hg a JOIN hg b ON a.ahash < b.ahash
+),
+spec0 AS (
+  SELECT 0 AS hamming, CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
+  FROM hg HAVING SUM(cnt * (cnt - 1) // 2) > 0
+),
+specn AS (
+  SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs
+  FROM pairs WHERE hamming <= 8 GROUP BY 1
+)
+SELECT CAST(hamming AS BIGINT) AS hamming, n_pairs
+FROM (SELECT * FROM spec0 UNION ALL SELECT * FROM specn)
+"""
+
+
+@staged_query("media_ahash_spectrum", _media_ahash_oracle())
+def media_ahash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup spectrum over the REAL codec pipeline:
+    encode each document id as a genuine PNG (multimodal.py), decode it
+    with the real chunk/CRC/inflate decoder, aHash it
+    (image_dedup.ahash_bits — pure integer), then count image pairs at
+    each Hamming distance <= 8 via the banded equi-join over DISTINCT
+    hashes weighted by multiplicity. The DuckDB twin computes the same
+    spectrum from the closed-form pixel arithmetic WITHOUT touching a
+    byte of PNG — equality proves the codec+hash+retrieval stack."""
+    from lightsaber_spark.functions.dedup import register_cache
+    from lightsaber_spark.functions.hamming import banded_hamming_pairs
+    from lightsaber_spark.functions.image_dedup import ahash_media
+    from lightsaber_spark.functions.multimodal import synthetic_png_media
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = ahash_media(synthetic_png_media(docs))
+    # distinct-hash groups feed the banded self-join (both sides), the
+    # two count joins, and the dup-row aggregate — persist once
+    hg = register_cache(
+        sig.groupBy("ahash").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = banded_hamming_pairs(
+        hg, "ahash", "ahash", n_bits=64, n_bands=16, max_hamming=8
+    )
+    ca = hg.select(F.col("ahash").alias("id_a"), F.col("cnt").alias("ca"))
+    cb = hg.select(F.col("ahash").alias("id_b"), F.col("cnt").alias("cb"))
+    specn = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .groupBy("hamming")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"))
+    )
+    spec0 = (
+        hg.agg(
+            F.sum(F.expr("cnt * (cnt - 1) div 2")).cast("bigint").alias(
+                "n_pairs"
+            )
+        )
+        .select(F.lit(0).cast("bigint").alias("hamming"), "n_pairs")
+        .where(F.col("n_pairs") > 0)
+    )
+    return spec0.union(
+        specn.select(F.col("hamming").cast("bigint"), "n_pairs")
+    )
