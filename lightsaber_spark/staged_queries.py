@@ -1082,3 +1082,112 @@ def media_ahash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spec0.union(
         specn.select(F.col("hamming").cast("bigint"), "n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint spectrum, STRONG-checked — same construction as
+# media_ahash_spectrum for the WAV stack: synthetic clips are
+# closed-form (s_i = ((id+1)(i+7)) % 4001 - 2000, multimodal.py
+# synthetic_wav_media), so the oracle reproduces the energy-delta
+# fingerprints (audio_dedup.py) by pure arithmetic while Spark runs
+# RIFF encode -> chunk-walking decode -> integer fingerprint -> banded
+# Hamming retrieval. Clips are 50-249 samples, so frame=16 yields
+# 3-15 full frames per clip.
+# ---------------------------------------------------------------------------
+
+_AFS_FRAME = 16
+
+
+def _audio_fp_oracle() -> str:
+    return f"""
+WITH ids AS (
+  SELECT doc_id, doc_id % 200 + 50 AS n FROM documents
+),
+smp AS (
+  SELECT doc_id, n, i, ((doc_id + 1) * (i + 7)) % 4001 - 2000 AS s,
+         i // {_AFS_FRAME} AS f
+  FROM ids JOIN range(249) t(i) ON i < n
+),
+-- full frames only (the fingerprint iterates complete windows)
+en AS (
+  SELECT doc_id, f, SUM(s * s) AS e
+  FROM smp WHERE (f + 1) * {_AFS_FRAME} <= n
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.doc_id, a.f AS i,
+         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < 32
+),
+fp0 AS (
+  SELECT doc_id, CAST(SUM(bit * (1::BIGINT << i)) AS BIGINT) AS fingerprint
+  FROM bits GROUP BY 1
+),
+-- clips with a single frame have no deltas: fingerprint 0
+fp AS (
+  SELECT ids.doc_id, COALESCE(fp0.fingerprint, 0) AS fingerprint
+  FROM ids LEFT JOIN fp0 ON ids.doc_id = fp0.doc_id
+),
+hg AS (SELECT fingerprint, COUNT(*) AS cnt FROM fp GROUP BY 1),
+pairs AS (
+  SELECT bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming,
+         a.cnt * b.cnt AS np
+  FROM hg a JOIN hg b ON a.fingerprint < b.fingerprint
+),
+spec0 AS (
+  SELECT 0 AS hamming, CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
+  FROM hg HAVING SUM(cnt * (cnt - 1) // 2) > 0
+),
+specn AS (
+  SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs
+  FROM pairs WHERE hamming <= 8 GROUP BY 1
+)
+SELECT CAST(hamming AS BIGINT) AS hamming, n_pairs
+FROM (SELECT * FROM spec0 UNION ALL SELECT * FROM specn)
+"""
+
+
+@staged_query("audio_fingerprint_spectrum", _audio_fp_oracle())
+def audio_fingerprint_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-delta fingerprint pair spectrum over the REAL WAV codec:
+    encode each doc id as a genuine RIFF/WAVE clip, decode it with the
+    verifying chunk-walker, fingerprint it (audio_dedup.py, frame=16),
+    and count clip pairs at each Hamming distance <= 8 over distinct
+    fingerprints with multiplicities — against a pure-arithmetic DuckDB
+    twin (no codec). The audio analog of media_ahash_spectrum."""
+    from lightsaber_spark.functions.audio_dedup import fingerprint_media
+    from lightsaber_spark.functions.dedup import register_cache
+    from lightsaber_spark.functions.hamming import banded_hamming_pairs
+    from lightsaber_spark.functions.multimodal import synthetic_wav_media
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = fingerprint_media(
+        synthetic_wav_media(docs), frame=_AFS_FRAME, n_bits=32
+    )
+    hg = register_cache(
+        sig.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = banded_hamming_pairs(
+        hg, "fingerprint", "fingerprint", n_bits=32, n_bands=16, max_hamming=8
+    )
+    ca = hg.select(F.col("fingerprint").alias("id_a"), F.col("cnt").alias("ca"))
+    cb = hg.select(F.col("fingerprint").alias("id_b"), F.col("cnt").alias("cb"))
+    specn = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .groupBy("hamming")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"))
+    )
+    spec0 = (
+        hg.agg(
+            F.sum(F.expr("cnt * (cnt - 1) div 2")).cast("bigint").alias(
+                "n_pairs"
+            )
+        )
+        .select(F.lit(0).cast("bigint").alias("hamming"), "n_pairs")
+        .where(F.col("n_pairs") > 0)
+    )
+    return spec0.union(
+        specn.select(F.col("hamming").cast("bigint"), "n_pairs")
+    )
