@@ -12,30 +12,35 @@ sf0.001) but kept OUT of ``lightsaber_spark.queries`` /
 from ``pipeline_queries.py`` and merge the two dicts (one line each) —
 their staleness hashes are recorded at that point like any new query.
 
-Contents (each fills a genuine gap in the 146-query catalog):
+Contents (15 queries, each filling a genuine gap in the 146-query
+catalog), by family:
 
-- ``hll_distinct_users_by_type`` — HyperLogLog with exact integer
-  register math (functions/hll.py).  Upgrades the catalog's "HLL can
-  only be rows-checked" note on ``window_kmv_distinct_users``: this
-  formulation IS strong-checkable.
-- ``pagerank_customer_supplier`` — iterative integer-scaled PageRank
-  (operators/iterative.py) over the symmetrized customer↔supplier
-  purchase graph; the importance-propagation counterpart of the
-  connected-components engine.
-- ``weighted_poisson_sample_by_source`` — length-proportional
-  (token-budget) Poisson sampling of documents, md5-deterministic.
-- ``mad_outlier_bounds_by_type`` — robust outlier detection via
-  median / MAD in exact integer cents (doubling trick keeps even-count
-  medians integral).
-- ``window_hll_distinct_users`` — the windowed HLL, strong-checkable
-  where the catalog's ``window_approx_distinct_users`` (built-in
-  HLL++) can only ever be rows-checked.
-- ``mixture_temperature_targets`` — alpha=0.5 temperature sampling
-  quotas per source (floor(sqrt(chars)) weights: IEEE sqrt is
-  correctly rounded, so even the float step is cross-engine exact).
-- ``source_ngram_overlap_matrix`` — 3-gram Jaccard between source
-  pairs over the distinct per-source shingle sets (cross-source
-  contamination diagnostic).
+- Sketches: ``hll_distinct_users_by_type`` and
+  ``window_hll_distinct_users`` — HyperLogLog with exact integer
+  register math (functions/hll.py), strong-checkable where built-in
+  HLL++ (``window_approx_distinct_users``) can only be rows-checked.
+- Iterative graph: ``pagerank_customer_supplier`` — integer-scaled
+  PageRank (operators/iterative.py), the importance-propagation
+  counterpart of the connected-components engine.
+- Sampling/mixtures: ``weighted_poisson_sample_by_source``
+  (length-proportional Poisson keep), ``mixture_temperature_targets``
+  (alpha=0.5 quotas; IEEE sqrt is correctly rounded, so the one float
+  step is cross-engine exact), ``mixture_apply_quotas`` (materialized
+  sample with an order-independent modular membership checksum).
+- Robust stats / data quality: ``mad_outlier_bounds_by_type``
+  (median/MAD in exact cents), ``referential_integrity_audit``
+  (per-FK orphan counts), ``lateness_profile`` (event-time disorder vs
+  arrival order — the evidence behind a watermark delay).
+- Corpus analysis: ``source_ngram_overlap_matrix`` (cross-source
+  3-gram Jaccard), ``event_transition_matrix`` (per-user Markov
+  transition counts), ``minhash_jaccard_calibration`` (MinHash
+  estimate vs exact Jaccard on every LSH candidate).
+- Time series: ``ohlc_bars_by_type`` (open/high/low/close per window,
+  deterministic tie order, no float arithmetic).
+- Multimodal, STRONG-checked: ``media_ahash_spectrum`` and
+  ``audio_fingerprint_spectrum`` — the real PNG/WAV codec + perceptual
+  hash + banded-retrieval stacks against pure-arithmetic oracles over
+  the closed-form synthetic media.
 """
 
 from __future__ import annotations
