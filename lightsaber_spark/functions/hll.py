@@ -14,7 +14,8 @@ reproducible by a SQL oracle, bit for bit:
   computed with pure integer bit tricks (``bit_count((w & -w) - 1) + 1``)
   — no float, no platform-dependent intrinsics;
 - the harmonic-mean denominator is folded as an exact BIGINT
-  (``sum(1 << (53 - rho))`` ≤ m·2^53 < 2^63), never as a float sum
+  (``sum(1 << (rho_max - rho))`` ≤ m·2^rho_max = 2^61 < 2^63, with
+  ``rho_max = 61 - log2(m)``), never as a float sum
   (a float ``sum(2^-rho)`` spans > 53 bits of magnitude and its
   rounding would be accumulation-order-dependent);
 - the only float op is the final ``C / S`` with both operands exactly
@@ -39,9 +40,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: 2^53 — the register fold scales 2^-rho by this so the harmonic-mean
-#: denominator is an exact integer (rho ∈ [1, 53]).
-_POW53 = 9007199254740992
+def rho_max(m: int) -> int:
+    """Largest possible register value for bucket count ``m = 2^p``:
+    the hash remainder ``w = h div m`` has ``60 - p`` bits, so a
+    nonzero ``w`` has at most ``60 - p - 1`` trailing zeros (rho ≤
+    ``60 - p``), and ``w == 0`` — all remainder bits zero — is defined
+    as ``rho = 61 - p``. The register fold scales by ``2^(rho_max -
+    rho)``, so this bound is what keeps every shift non-negative for
+    ANY power-of-two m (a fixed 53 would go negative for m < 256)."""
+    p = m.bit_length() - 1
+    return 61 - p
+
+
+def _scale(m: int) -> int:
+    """``2^rho_max(m)`` — the exact-integer harmonic-mean scale. Total
+    denominator ≤ m · 2^rho_max = 2^61 < 2^63, so the BIGINT fold can
+    never overflow."""
+    return 1 << rho_max(m)
 
 
 def _alpha(m: int) -> float:
@@ -56,10 +71,11 @@ def _alpha(m: int) -> float:
 
 
 def _estimate_const(m: int) -> float:
-    """The full numerator ``alpha_m * m^2 * 2^53`` precomputed in ONE
-    place (Python) and embedded as the same literal on both engines, so
-    the estimate is a single cross-engine-identical division."""
-    return _alpha(m) * float(m) * float(m) * float(_POW53)
+    """The full numerator ``alpha_m * m^2 * 2^rho_max`` precomputed in
+    ONE place (Python) and embedded as the same literal on both
+    engines, so the estimate is a single cross-engine-identical
+    division."""
+    return _alpha(m) * float(m) * float(m) * float(_scale(m))
 
 
 def _h60(c: Column) -> Column:
@@ -95,7 +111,7 @@ def hll_bucket_rho(
             F.expr(f"_hll_h div {m}").alias("_hll_w"),
         )
     )
-    rho = F.when(F.col("_hll_w") == 0, F.lit(53)).otherwise(
+    rho = F.when(F.col("_hll_w") == 0, F.lit(rho_max(m))).otherwise(
         F.expr("bit_count((_hll_w & -_hll_w) - 1) + 1")
     )
     return hashed.select(*group_cols, "bucket", rho.alias("rho"))
@@ -132,17 +148,19 @@ def hll_estimate(
     """Fold per-group registers into the raw HLL estimate.
 
     Emits ``reg_sum`` (the exact BIGINT harmonic-mean denominator,
-    including 2^53 per empty bucket), ``buckets_seen``, and ``out_col``
-    (the double estimate — one division, cross-engine bit-identical).
+    including 2^rho_max per empty bucket), ``buckets_seen``, and
+    ``out_col`` (the double estimate — one division, cross-engine
+    bit-identical).
     """
+    r_max = rho_max(m)
     folded = registers.groupBy(*group_cols).agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")).alias(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {r_max} - rho)")).alias(
             "_present"
         ),
         F.count(F.lit(1)).alias("buckets_seen"),
     )
     reg_sum = F.col("_present") + (F.lit(m) - F.col("buckets_seen")) * F.lit(
-        _POW53
+        _scale(m)
     )
     c = _estimate_const(m)
     return folded.select(
@@ -180,6 +198,8 @@ def hll_oracle_sql(
     (it is wrapped in a CTE)."""
     g = ", ".join(group_cols)
     c = repr(_estimate_const(m))
+    r_max = rho_max(m)
+    scale = _scale(m)
     return f"""
 WITH _hll_in AS (
   SELECT {g}, ('0x'||substr(md5(CAST({value_expr} AS VARCHAR)),1,15))::BIGINT AS h
@@ -188,19 +208,19 @@ WITH _hll_in AS (
 ),
 _hll_reg AS (
   SELECT {g}, h % {m} AS bucket,
-         MAX(CASE WHEN h // {m} = 0 THEN 53
+         MAX(CASE WHEN h // {m} = 0 THEN {r_max}
              ELSE bit_count(((h // {m}) & -(h // {m})) - 1) + 1 END) AS rho
   FROM _hll_in GROUP BY {g}, bucket
 ),
 _hll_fold AS (
   SELECT {g},
-         CAST(SUM(1::BIGINT << (53 - rho)) AS BIGINT) AS _present,
+         CAST(SUM(1::BIGINT << ({r_max} - rho)) AS BIGINT) AS _present,
          CAST(COUNT(*) AS BIGINT) AS buckets_seen
   FROM _hll_reg GROUP BY {g}
 )
 SELECT {g},
-       CAST(_present + ({m} - buckets_seen) * {_POW53} AS BIGINT) AS reg_sum,
+       CAST(_present + ({m} - buckets_seen) * {scale} AS BIGINT) AS reg_sum,
        buckets_seen,
-       {c} / CAST(_present + ({m} - buckets_seen) * {_POW53} AS DOUBLE) AS {out_col}
+       {c} / CAST(_present + ({m} - buckets_seen) * {scale} AS DOUBLE) AS {out_col}
 FROM _hll_fold
 """

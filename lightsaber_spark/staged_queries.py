@@ -359,9 +359,6 @@ def mad_outlier_bounds_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side on identical windows.
 # ---------------------------------------------------------------------------
 
-from lightsaber_spark.functions.hll import hll_distinct as _hll_distinct  # noqa: E402
-
-
 @staged_query(
     "window_hll_distinct_users",
     hll_oracle_sql(
@@ -393,10 +390,14 @@ def window_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@staged_query(
-    "mixture_temperature_targets",
-    """
-WITH _src AS (
+#: Mixture budget (docs) — ONE definition shared by the quota rule's
+#: two consumers (targets + apply), Spark and oracle alike.
+_MIX_BUDGET = 100000
+
+#: Shared oracle CTE fragment: per-source stats → sqrt weights →
+#: integer-div quotas. The single source of truth for the quota rule
+#: on the DuckDB side (both mixture oracles embed it).
+_MIX_TARGET_CTES = f"""_src AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_n,
          CAST(SUM(n_chars) AS BIGINT) AS chars_total
   FROM documents GROUP BY source
@@ -405,20 +406,18 @@ _w AS (
   SELECT *, CAST(FLOOR(SQRT(CAST(chars_total AS DOUBLE))) AS BIGINT)
               AS weight
   FROM _src
-)
-SELECT source, docs_n, chars_total, weight,
-       CAST((100000 * weight) // (SELECT SUM(weight) FROM _w) AS BIGINT)
-         AS target_docs
-FROM _w
-""",
-)
-def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source document quotas for a 100k-doc training mixture at
-    temperature alpha=0.5 (weight = floor(sqrt(total chars)), quota =
-    100000*w div sum(w)) — flattens the source distribution so
-    low-resource sources are upsampled, in the deterministic md5/integer
-    family of functions/sampling.py."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+),
+_t AS (
+  SELECT source, docs_n, chars_total, weight,
+         CAST(({_MIX_BUDGET} * weight) // (SELECT SUM(weight) FROM _w)
+              AS BIGINT) AS target_docs
+  FROM _w
+)"""
+
+
+def _mixture_targets_df(docs: DataFrame) -> DataFrame:
+    """Spark single source of truth for the alpha=0.5 quota rule:
+    (source, docs_n, chars_total, weight, target_docs)."""
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("docs_n"),
         F.sum("n_chars").cast("bigint").alias("chars_total"),
@@ -430,10 +429,27 @@ def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = w.agg(F.sum("weight").alias("_tw"))
     return w.crossJoin(F.broadcast(total)).select(
         "source", "docs_n", "chars_total", "weight",
-        F.expr("(100000 * weight) div _tw").cast("bigint").alias(
+        F.expr(f"({_MIX_BUDGET} * weight) div _tw").cast("bigint").alias(
             "target_docs"
         ),
     )
+
+
+@staged_query(
+    "mixture_temperature_targets",
+    f"""
+WITH {_MIX_TARGET_CTES}
+SELECT source, docs_n, chars_total, weight, target_docs FROM _t
+""",
+)
+def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quotas for a 100k-doc training mixture at
+    temperature alpha=0.5 (weight = floor(sqrt(total chars)), quota =
+    100000*w div sum(w)) — flattens the source distribution so
+    low-resource sources are upsampled, in the deterministic md5/integer
+    family of functions/sampling.py."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return _mixture_targets_df(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -533,23 +549,8 @@ def source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @staged_query(
     "mixture_apply_quotas",
-    """
-WITH _src AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_n,
-         CAST(SUM(n_chars) AS BIGINT) AS chars_total
-  FROM documents GROUP BY source
-),
-_w AS (
-  SELECT *, CAST(FLOOR(SQRT(CAST(chars_total AS DOUBLE))) AS BIGINT)
-              AS weight
-  FROM _src
-),
-_t AS (
-  SELECT source,
-         CAST((100000 * weight) // (SELECT SUM(weight) FROM _w) AS BIGINT)
-           AS target_docs
-  FROM _w
-),
+    f"""
+WITH {_MIX_TARGET_CTES},
 _r AS (
   SELECT source, doc_id, n_chars,
          ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h,
@@ -577,20 +578,7 @@ def mixture_apply_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum of h % 1e9+7 — order-independent and overflow-safe at any
     corpus size), so the oracle verifies exact sample MEMBERSHIP."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    per_src = docs.groupBy("source").agg(
-        F.sum("n_chars").cast("bigint").alias("chars_total"),
-    )
-    w = per_src.withColumn(
-        "weight",
-        F.floor(F.sqrt(F.col("chars_total").cast("double"))).cast("bigint"),
-    )
-    total = w.agg(F.sum("weight").alias("_tw"))
-    targets = w.crossJoin(F.broadcast(total)).select(
-        "source",
-        F.expr("(100000 * weight) div _tw").cast("bigint").alias(
-            "target_docs"
-        ),
-    )
+    targets = _mixture_targets_df(docs).select("source", "target_docs")
     h = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
@@ -992,6 +980,73 @@ def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _spectrum_sql_tail(sig_col: str, max_hamming: int = 8) -> str:
+    """Shared oracle tail: distinct-signature pair spectrum by Hamming
+    distance (the all-pairs form over the tiny distinct-hash relation —
+    equivalent to the Spark side's lossless banded retrieval). Embed
+    after a CTE named ``fp`` with columns (doc_id, {sig_col})."""
+    return f"""
+hg AS (SELECT {sig_col}, COUNT(*) AS cnt FROM fp GROUP BY 1),
+pairs AS (
+  SELECT bit_count(xor(a.{sig_col}, b.{sig_col})) AS hamming,
+         a.cnt * b.cnt AS np
+  FROM hg a JOIN hg b ON a.{sig_col} < b.{sig_col}
+),
+spec0 AS (
+  SELECT 0 AS hamming, CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
+  FROM hg HAVING SUM(cnt * (cnt - 1) // 2) > 0
+),
+specn AS (
+  SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs
+  FROM pairs WHERE hamming <= {max_hamming} GROUP BY 1
+)
+SELECT CAST(hamming AS BIGINT) AS hamming, n_pairs
+FROM (SELECT * FROM spec0 UNION ALL SELECT * FROM specn)
+"""
+
+
+def _signature_pair_spectrum(
+    sig: DataFrame, sig_col: str, n_bits: int, max_hamming: int = 8
+) -> DataFrame:
+    """Shared Spark side of the spectrum: distinct signatures with
+    multiplicities, banded Hamming retrieval between distinct values
+    (lossless: 16 bands > max_hamming), pair counts weighted by
+    multiplicity products, plus the within-signature zero-distance row
+    (cnt·(cnt−1)/2). Output: (hamming, n_pairs)."""
+    from lightsaber_spark.functions.dedup import register_cache
+    from lightsaber_spark.functions.hamming import banded_hamming_pairs
+
+    # distinct-signature groups feed the banded self-join (both sides),
+    # the two count joins, and the dup-row aggregate — persist once
+    hg = register_cache(
+        sig.groupBy(sig_col).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = banded_hamming_pairs(
+        hg, sig_col, sig_col, n_bits=n_bits, n_bands=16,
+        max_hamming=max_hamming,
+    )
+    ca = hg.select(F.col(sig_col).alias("id_a"), F.col("cnt").alias("ca"))
+    cb = hg.select(F.col(sig_col).alias("id_b"), F.col("cnt").alias("cb"))
+    specn = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .groupBy("hamming")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"))
+    )
+    spec0 = (
+        hg.agg(
+            F.sum(F.expr("cnt * (cnt - 1) div 2")).cast("bigint").alias(
+                "n_pairs"
+            )
+        )
+        .select(F.lit(0).cast("bigint").alias("hamming"), "n_pairs")
+        .where(F.col("n_pairs") > 0)
+    )
+    return spec0.union(
+        specn.select(F.col("hamming").cast("bigint"), "n_pairs")
+    )
+
+
 def _media_ahash_oracle() -> str:
     # signed-64 fold: bit 63 contributes -2^63 (two's complement).
     # SUM, not MAX: each (by, bx) occurs once per doc, and MAX would
@@ -1024,22 +1079,7 @@ bits AS (
   FROM blk b JOIN tot t ON b.doc_id = t.doc_id
 ),
 fp AS (SELECT doc_id, CAST({fold} AS BIGINT) AS ahash FROM bits GROUP BY 1),
-hg AS (SELECT ahash, COUNT(*) AS cnt FROM fp GROUP BY 1),
-pairs AS (
-  SELECT bit_count(xor(a.ahash, b.ahash)) AS hamming, a.cnt * b.cnt AS np
-  FROM hg a JOIN hg b ON a.ahash < b.ahash
-),
-spec0 AS (
-  SELECT 0 AS hamming, CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
-  FROM hg HAVING SUM(cnt * (cnt - 1) // 2) > 0
-),
-specn AS (
-  SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs
-  FROM pairs WHERE hamming <= 8 GROUP BY 1
-)
-SELECT CAST(hamming AS BIGINT) AS hamming, n_pairs
-FROM (SELECT * FROM spec0 UNION ALL SELECT * FROM specn)
-"""
+{_spectrum_sql_tail("ahash")}"""
 
 
 @staged_query("media_ahash_spectrum", _media_ahash_oracle())
@@ -1052,41 +1092,12 @@ def media_ahash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes weighted by multiplicity. The DuckDB twin computes the same
     spectrum from the closed-form pixel arithmetic WITHOUT touching a
     byte of PNG — equality proves the codec+hash+retrieval stack."""
-    from lightsaber_spark.functions.dedup import register_cache
-    from lightsaber_spark.functions.hamming import banded_hamming_pairs
     from lightsaber_spark.functions.image_dedup import ahash_media
     from lightsaber_spark.functions.multimodal import synthetic_png_media
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     sig = ahash_media(synthetic_png_media(docs))
-    # distinct-hash groups feed the banded self-join (both sides), the
-    # two count joins, and the dup-row aggregate — persist once
-    hg = register_cache(
-        sig.groupBy("ahash").agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    pairs = banded_hamming_pairs(
-        hg, "ahash", "ahash", n_bits=64, n_bands=16, max_hamming=8
-    )
-    ca = hg.select(F.col("ahash").alias("id_a"), F.col("cnt").alias("ca"))
-    cb = hg.select(F.col("ahash").alias("id_b"), F.col("cnt").alias("cb"))
-    specn = (
-        pairs.join(ca, "id_a")
-        .join(cb, "id_b")
-        .groupBy("hamming")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"))
-    )
-    spec0 = (
-        hg.agg(
-            F.sum(F.expr("cnt * (cnt - 1) div 2")).cast("bigint").alias(
-                "n_pairs"
-            )
-        )
-        .select(F.lit(0).cast("bigint").alias("hamming"), "n_pairs")
-        .where(F.col("n_pairs") > 0)
-    )
-    return spec0.union(
-        specn.select(F.col("hamming").cast("bigint"), "n_pairs")
-    )
+    return _signature_pair_spectrum(sig, "ahash", n_bits=64)
 
 
 # ---------------------------------------------------------------------------
@@ -1134,23 +1145,7 @@ fp AS (
   SELECT ids.doc_id, COALESCE(fp0.fingerprint, 0) AS fingerprint
   FROM ids LEFT JOIN fp0 ON ids.doc_id = fp0.doc_id
 ),
-hg AS (SELECT fingerprint, COUNT(*) AS cnt FROM fp GROUP BY 1),
-pairs AS (
-  SELECT bit_count(xor(a.fingerprint, b.fingerprint)) AS hamming,
-         a.cnt * b.cnt AS np
-  FROM hg a JOIN hg b ON a.fingerprint < b.fingerprint
-),
-spec0 AS (
-  SELECT 0 AS hamming, CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS n_pairs
-  FROM hg HAVING SUM(cnt * (cnt - 1) // 2) > 0
-),
-specn AS (
-  SELECT hamming, CAST(SUM(np) AS BIGINT) AS n_pairs
-  FROM pairs WHERE hamming <= 8 GROUP BY 1
-)
-SELECT CAST(hamming AS BIGINT) AS hamming, n_pairs
-FROM (SELECT * FROM spec0 UNION ALL SELECT * FROM specn)
-"""
+{_spectrum_sql_tail("fingerprint")}"""
 
 
 @staged_query("audio_fingerprint_spectrum", _audio_fp_oracle())
@@ -1162,37 +1157,10 @@ def audio_fingerprint_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints with multiplicities — against a pure-arithmetic DuckDB
     twin (no codec). The audio analog of media_ahash_spectrum."""
     from lightsaber_spark.functions.audio_dedup import fingerprint_media
-    from lightsaber_spark.functions.dedup import register_cache
-    from lightsaber_spark.functions.hamming import banded_hamming_pairs
     from lightsaber_spark.functions.multimodal import synthetic_wav_media
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     sig = fingerprint_media(
         synthetic_wav_media(docs), frame=_AFS_FRAME, n_bits=32
-    )
-    hg = register_cache(
-        sig.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    pairs = banded_hamming_pairs(
-        hg, "fingerprint", "fingerprint", n_bits=32, n_bands=16, max_hamming=8
-    )
-    ca = hg.select(F.col("fingerprint").alias("id_a"), F.col("cnt").alias("ca"))
-    cb = hg.select(F.col("fingerprint").alias("id_b"), F.col("cnt").alias("cb"))
-    specn = (
-        pairs.join(ca, "id_a")
-        .join(cb, "id_b")
-        .groupBy("hamming")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"))
-    )
-    spec0 = (
-        hg.agg(
-            F.sum(F.expr("cnt * (cnt - 1) div 2")).cast("bigint").alias(
-                "n_pairs"
-            )
-        )
-        .select(F.lit(0).cast("bigint").alias("hamming"), "n_pairs")
-        .where(F.col("n_pairs") > 0)
-    )
-    return spec0.union(
-        specn.select(F.col("hamming").cast("bigint"), "n_pairs")
-    )
+    ).select("media_id", "fingerprint")
+    return _signature_pair_spectrum(sig, "fingerprint", n_bits=32)

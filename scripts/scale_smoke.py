@@ -120,14 +120,15 @@ def build_scaled(base: str, out: str, k: int, only_tables=None) -> None:
     con.close()
 
 
-def run(sf_dir: str, spark, names, count_rows: bool = False):
+def run(sf_dir: str, spark, names, count_rows: bool = False,
+        staged: bool = False):
     """Per query: noop-sink wall time, and (optionally, as a SEPARATE
     untimed pass so the measurement stays the same plan as always) the
     output ROW COUNT — the evidence that super-linear runtime ratios on
     pair-emitting queries are output-bound, not machinery-bound."""
     from lightsaber_spark.functions.dedup import release_shingle_caches
 
-    if os.environ.get("LSSPARK_SCALE_STAGED"):
+    if staged:
         from lightsaber_spark.staged_queries import STAGED_SPARK_QUERIES
 
         qmap = dict(STAGED_SPARK_QUERIES)
@@ -177,7 +178,6 @@ def main() -> None:
                     help="append a section to --write instead of rewriting")
     args = ap.parse_args()
     if args.staged:
-        os.environ["LSSPARK_SCALE_STAGED"] = "1"
         from lightsaber_spark.staged_queries import STAGED_SPARK_QUERIES
 
         queries = (
@@ -207,9 +207,11 @@ def main() -> None:
     # scaled on the already-warm JVM — both measured passes warm.
     # Output-row counts run as separate untimed passes, so the timed
     # plan is unchanged vs previous rounds.
-    run(args.base, spark, queries)
-    base_t, base_n = run(args.base, spark, queries, count_rows=True)
-    scaled_t, scaled_n = run(args.out, spark, queries, count_rows=True)
+    run(args.base, spark, queries, staged=args.staged)
+    base_t, base_n = run(args.base, spark, queries, count_rows=True,
+                         staged=args.staged)
+    scaled_t, scaled_n = run(args.out, spark, queries, count_rows=True,
+                             staged=args.staged)
 
     rows = []
     for n in queries:

@@ -117,15 +117,18 @@ def test_hll_estimate_exact_integer_fold(spark):
     recompute it in Python from the registers and compare."""
     from lightsaber_spark.functions.hll import hll_distinct, hll_registers
 
+    from lightsaber_spark.functions.hll import rho_max
+
     m = 64
+    r_max = rho_max(m)
     df = spark.range(500).selectExpr("'g' AS g", "id AS v")
     regs = {
         r["bucket"]: r["rho"]
         for r in hll_registers(df, ["g"], "v", m=m).collect()
     }
-    expected = sum(1 << (53 - rho) for rho in regs.values()) + (
+    expected = sum(1 << (r_max - rho) for rho in regs.values()) + (
         m - len(regs)
-    ) * (1 << 53)
+    ) * (1 << r_max)
     row = hll_distinct(df, ["g"], "v", m=m).collect()[0]
     assert row["reg_sum"] == expected
     assert row["buckets_seen"] == len(regs)
@@ -206,7 +209,7 @@ def test_hll_registers_match_python_model(spark):
     SQL layers."""
     import hashlib
 
-    from lightsaber_spark.functions.hll import hll_registers
+    from lightsaber_spark.functions.hll import hll_registers, rho_max
 
     m = 64
     vals = list(range(300))
@@ -221,7 +224,7 @@ def test_hll_registers_match_python_model(spark):
     for v in vals:
         h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
         bucket, w = h % m, h // m
-        rho = 53 if w == 0 else (w & -w).bit_length()
+        rho = rho_max(m) if w == 0 else (w & -w).bit_length()
         model[(bucket,)] = max(model.get((bucket,), 0), rho)
     assert got == model
 
@@ -313,3 +316,32 @@ def test_mad_edge_cases(spark, tmp_path, vals, n_outliers):
     gr = got[0]
     for col in ("event_type", "median_value", "mad_value", "n", "n_outliers"):
         assert gr[col] == wr[col], (col, gr[col], wr[col])
+
+
+def test_hll_small_m_cross_engine(spark, duck):
+    """The generalized rho_max (61 - log2 m) path at m=16: Spark vs the
+    DuckDB oracle must still agree bit-for-bit (a fixed 53-cap would
+    make the fold shift negative for small m on adversarial hashes)."""
+    from lightsaber_spark.functions.hll import hll_distinct, hll_oracle_sql
+
+    got = sorted(
+        map(
+            tuple,
+            hll_distinct(
+                spark.range(1000).selectExpr("'g' AS g", "id AS v"),
+                ["g"], "v", m=16, out_col="est",
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.execute(
+                hll_oracle_sql(
+                    "(SELECT 'g' AS g, range AS v FROM range(1000))",
+                    ["g"], "v", m=16, out_col="est",
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want
