@@ -68,3 +68,30 @@ def test_streaming_hll_registers_match_batch(
         map(tuple, hll_estimate(want, ["window_start"], m=64).collect())
     )
     assert est_stream == est_batch
+
+
+def test_streaming_ohlc_matches_batch(spark, events, events_stream_src, tmp_path):
+    """Streaming struct-min/max OHLC == the staged batch row_number
+    formulation, across both bucketing paths (F.window vs integer-µs)."""
+    from lightsaber_spark.staged_queries import ohlc_bars_by_type
+    from lightsaber_spark.streaming.ohlc import streaming_ohlc
+    from lightsaber_spark.streaming.stream import (
+        read_stream,
+        run_available_now,
+    )
+    from tests.conftest import SF_DIR
+
+    path, schema = events_stream_src
+    stream = read_stream(spark, path, schema, max_files_per_trigger=1)
+    s = streaming_ohlc(
+        stream, "ts", "value", size_sec=21600, keys=("event_type",)
+    )
+    got = run_available_now(
+        s, str(tmp_path / "ck_ohlc"), "complete", table_name="t_ohlc"
+    )
+    want = ohlc_bars_by_type(spark, SF_DIR)
+    cols = ["window_start", "event_type", "n", "open_value",
+            "close_value", "high_value", "low_value"]
+    a = sorted(map(tuple, got.select(*cols).collect()))
+    b = sorted(map(tuple, want.select(*cols).collect()))
+    assert a and a == b
