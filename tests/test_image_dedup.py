@@ -97,3 +97,37 @@ def test_ahash_rejects_lossy_threshold(spark, media):
 
     with pytest.raises(ValueError):
         ahash_near_dup(media, max_hamming=8)
+
+
+@pytest.mark.parametrize("max_h,n_bands,n_bits", [(6, 8, 64), (3, 4, 32), (0, 8, 64), (7, 8, 64)])
+def test_banded_hamming_lossless_random_signatures(spark, max_h, n_bands, n_bits):
+    """banded_hamming_pairs == brute force on seeded random signatures,
+    across band counts, widths, and thresholds incl. the 0 and
+    n_bands-1 boundaries — the pigeonhole losslessness claim tested
+    directly on the shared helper, independent of any media fixture."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.hamming import banded_hamming_pairs
+
+    rng = random.Random(max_h * 1000 + n_bands)
+    lo, hi = -(1 << 63), (1 << 63) - 1
+    sigs = [rng.randint(lo, hi) for _ in range(30)]
+    # plant near-identical values so small distances actually occur
+    sigs += [s ^ (1 << rng.randrange(n_bits)) for s in sigs[:8]]
+    if n_bits < 64:
+        sigs = [s & ((1 << n_bits) - 1) for s in sigs]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "sid LONG, sig LONG"
+    )
+    got = sorted(map(tuple, banded_hamming_pairs(
+        df, "sid", "sig", n_bits=n_bits, n_bands=n_bands, max_hamming=max_h
+    ).collect()))
+    a = df.select(F.col("sid").alias("id_a"), F.col("sig").alias("sa"))
+    b = df.select(F.col("sid").alias("id_b"), F.col("sig").alias("sb"))
+    want = sorted(map(tuple, (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("bigint"))
+        .where(F.col("hamming") <= max_h)
+        .select("id_a", "id_b", "hamming").collect()
+    )))
+    assert got == want
