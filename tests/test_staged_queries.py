@@ -345,3 +345,25 @@ def test_hll_small_m_cross_engine(spark, duck):
         )
     )
     assert got == want
+
+
+def test_round5_registration_dry_run():
+    """The round-5 merge (CLAUDE.md checklist step 2) must be a pure
+    addition: no staged name may collide with a registered query (a
+    collision would silently override the registered callable at
+    dict-merge time), and every staged query must carry an oracle so
+    the no-oracle-by-design count stays at the documented two."""
+    import lightsaber_spark.pipeline_queries  # noqa: F401 — registers
+    from lightsaber_spark.queries import ORACLE_SQL, SPARK_QUERIES
+
+    clashes = set(STAGED_SPARK_QUERIES) & set(SPARK_QUERIES)
+    assert not clashes, f"staged names collide with registry: {clashes}"
+    assert set(STAGED_ORACLE_SQL) == set(STAGED_SPARK_QUERIES)
+    merged_q = {**SPARK_QUERIES, **STAGED_SPARK_QUERIES}
+    merged_o = {**ORACLE_SQL, **STAGED_ORACLE_SQL}
+    assert len(merged_q) == len(SPARK_QUERIES) + len(STAGED_SPARK_QUERIES)
+    # exactly the two documented no-oracle queries, before and after
+    assert set(merged_q) - set(merged_o) == {
+        "bpe_tokenize_docs",
+        "window_approx_distinct_users",
+    }
