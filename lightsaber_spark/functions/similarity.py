@@ -133,7 +133,7 @@ def blocked_allpairs_cosine(
         y = m * SCALE
         return np.sign(y) * np.floor(np.abs(y) + 0.5)  # HALF_UP, exact ints
 
-    def fn(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         gi, gj = int(key[0]), int(key[1])
         cols = ["id_a", "id_b", "cosine"]
         blk = pdf["_blk"].to_numpy()

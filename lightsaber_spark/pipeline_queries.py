@@ -68,14 +68,10 @@ def _embs(spark, sf_dir):
     return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
 
 
-# shared oracle fragments ----------------------------------------------------
-TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-SHINGLES = (
-    "list_distinct(list_transform(range(greatest(len(t) - 2, 0)), "
-    "i -> array_to_string(t[i+1:i+3], ' ')))"
-)
-H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
-NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+# shared oracle fragments live in the leaf module oracle_fragments (so
+# staged_queries can use them without an import back-edge); re-exported
+# here for existing call sites.
+from lightsaber_spark.oracle_fragments import H60, NORM, SHINGLES, TOKS  # noqa: E402
 
 _JACCARD_CTE = f"""
   toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
@@ -2847,3 +2843,25 @@ def q_vocab_growth(spark, sf_dir):
         .cast("bigint")
         .alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 registration of the round-4 staged queries (CLAUDE.md
+# checklist step 2): staged_queries is a leaf w.r.t. this module (its
+# shared oracle fragments come from lightsaber_spark.oracle_fragments),
+# so this import cannot form a cycle and always sees the fully
+# populated staged dicts. The merge is a pure addition — collisions are
+# rejected loudly rather than silently overriding a registered query.
+# ---------------------------------------------------------------------------
+from lightsaber_spark.queries import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
+from lightsaber_spark.queries import SPARK_QUERIES as _SPARK_QUERIES  # noqa: E402
+from lightsaber_spark.staged_queries import (  # noqa: E402
+    STAGED_ORACLE_SQL,
+    STAGED_SPARK_QUERIES,
+)
+
+_clashes = set(STAGED_SPARK_QUERIES) & set(_SPARK_QUERIES)
+if _clashes:
+    raise RuntimeError(f"staged query names collide with registry: {_clashes}")
+_SPARK_QUERIES.update(STAGED_SPARK_QUERIES)
+_ORACLE_SQL.update(STAGED_ORACLE_SQL)

@@ -92,9 +92,10 @@ def kafka_sink(
     """Network sink — the production analog of the reference's TCP
     result forwarding (``ResultHandler.h:108-111``, ``ResultHandler
     .cpp:73``): serialize to the Kafka wire frame and start a
-    ``writeStream`` to the topic. Exactly-once is per Kafka's
-    transactional defaults at-least-once — consumers dedupe on key —
-    while the checkpoint guarantees no batch is lost or re-read.
+    ``writeStream`` to the topic. Delivery is AT-LEAST-ONCE: after a
+    failure the checkpoint replays the in-flight batch, so a batch can
+    be re-published (never lost) — consumers dedupe on key for
+    effective exactly-once.
     Requires the spark-sql-kafka connector jar (absent in this
     container; wiring is exercised by resolution tests)."""
     frame = to_kafka_frame(stream_df, key_col, value_cols)

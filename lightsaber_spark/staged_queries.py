@@ -618,7 +618,7 @@ def _minhash_calibration_oracle(
     n_hashes: int = 32, bands: int = 8, seed: int = 42
 ) -> str:
     from lightsaber_spark.functions.dedup import MERSENNE_61, X_BITS, _lcg_constants
-    from lightsaber_spark.pipeline_queries import H60, SHINGLES, TOKS
+    from lightsaber_spark.oracle_fragments import H60, SHINGLES, TOKS
 
     consts = _lcg_constants(n_hashes, seed)
     r = n_hashes // bands

@@ -67,11 +67,41 @@ def _newest_round() -> int:
     return max(rounds)
 
 
+def _check_tree_clean() -> None:
+    """Refuse to vouch hashes from a dirty tree (ADVICE r4): run
+    mid-round after code changes, this script would record hashes of
+    already-rewritten code as driver-green, silently defeating the
+    staleness mechanization. ``--force`` overrides (with a warning)
+    for the rare legitimate case (e.g. docs-only changes)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "lightsaber_spark", "__spark_entry__.py"],
+            cwd=ROOT, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+    except Exception:
+        return  # no git — nothing to check
+    if out:
+        raise SystemExit(
+            "record_hashes.py: REFUSING — query-implementation files "
+            "changed since the last commit:\n" + out + "\n"
+            "Hashes recorded now would vouch code the driver never "
+            "verified. Run at round start on the swept tree, or pass "
+            "--force if the changes provably don't affect any query."
+        )
+
+
 def main(argv: list[str]) -> int:
     rnd = _newest_round()
     if "--round" in argv:
         rnd = int(argv[argv.index("--round") + 1])
     prune = "--prune" in argv
+    if "--force" in argv:
+        print("WARNING: --force — skipping the clean-tree precondition check")
+    else:
+        _check_tree_clean()
 
     green = _green_in_round(rnd)
     cur = current_hashes()

@@ -60,6 +60,15 @@ QUERIES = [
     "pii_redact_stats",
     "profile_events_columns",
     "multimodal_audio_decode_real",
+    # round-4 staged queries, registered in round 5 — keep the scale
+    # evidence regenerating with the registry (replaces STAGED_SCALE)
+    "hll_distinct_users_by_type",
+    "pagerank_customer_supplier",
+    "mad_outlier_bounds_by_type",
+    "source_ngram_overlap_matrix",
+    "mixture_apply_quotas",
+    "minhash_jaccard_calibration",
+    "media_ahash_spectrum",
 ]
 
 _COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")

@@ -4,7 +4,7 @@ For every entry in ``__spark_entry__.queries()`` with an
 ``oracle_sql()`` twin, run the Spark query and the DuckDB oracle on the
 same sf directory, reorder columns by sorted name (the driver sorts
 columns by name before hashing), and compare rows order-insensitively
-with a small float tolerance.
+with EXACT float equality (the driver hashes values exactly).
 
 Default sf0.001 for speed; set LSSPARK_TEST_SF_DIR=/root/testdata/sf0.01
 to rehearse the exact driver gate.
@@ -12,7 +12,6 @@ to rehearse the exact driver gate.
 
 from __future__ import annotations
 
-import math
 
 import pytest
 
@@ -33,10 +32,14 @@ def _canon(rows, cols):
 
 
 def _cell_eq(x, y):
+    # The real driver hashes values EXACTLY; an ulp of cross-engine
+    # drift would pass isclose yet fail the sweep. Every registered
+    # query's exactness policy (integer cents / md5-fold / integer µs)
+    # is designed for bit-identical floats — hold them to it.
     if isinstance(x, float) or isinstance(y, float):
         if x is None or y is None:
             return x is y
-        return math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+        return repr(float(x)) == repr(float(y))
     return x == y
 
 

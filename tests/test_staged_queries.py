@@ -28,10 +28,13 @@ def _canon(rows, cols):
 
 
 def _cell_eq(x, y):
+    # The real driver hashes values EXACTLY; an ulp of cross-engine
+    # drift would pass isclose here yet fail the sweep. The staged
+    # designs claim bit-identical floats — hold them to it.
     if isinstance(x, float) or isinstance(y, float):
         if x is None or y is None:
             return x is y
-        return math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-9)
+        return repr(float(x)) == repr(float(y))
     return x == y
 
 
@@ -347,23 +350,23 @@ def test_hll_small_m_cross_engine(spark, duck):
     assert got == want
 
 
-def test_round5_registration_dry_run():
-    """The round-5 merge (CLAUDE.md checklist step 2) must be a pure
-    addition: no staged name may collide with a registered query (a
-    collision would silently override the registered callable at
-    dict-merge time), and every staged query must carry an oracle so
-    the no-oracle-by-design count stays at the documented two."""
+def test_round5_registration():
+    """Round-5 registration landed (CLAUDE.md checklist step 2) and was
+    a pure addition: every staged query is registered with its OWN
+    callable (nothing overridden either direction), every staged query
+    carries an oracle, and the no-oracle-by-design count stays at the
+    documented two. Regardless of import order (staged_queries has no
+    back-edge into pipeline_queries), the merge sees all 15 entries."""
     import lightsaber_spark.pipeline_queries  # noqa: F401 — registers
     from lightsaber_spark.queries import ORACLE_SQL, SPARK_QUERIES
 
-    clashes = set(STAGED_SPARK_QUERIES) & set(SPARK_QUERIES)
-    assert not clashes, f"staged names collide with registry: {clashes}"
+    assert len(STAGED_SPARK_QUERIES) == 15
+    for name, fn in STAGED_SPARK_QUERIES.items():
+        assert SPARK_QUERIES.get(name) is fn, f"{name}: not registered as-is"
+        assert ORACLE_SQL.get(name) == STAGED_ORACLE_SQL[name]
     assert set(STAGED_ORACLE_SQL) == set(STAGED_SPARK_QUERIES)
-    merged_q = {**SPARK_QUERIES, **STAGED_SPARK_QUERIES}
-    merged_o = {**ORACLE_SQL, **STAGED_ORACLE_SQL}
-    assert len(merged_q) == len(SPARK_QUERIES) + len(STAGED_SPARK_QUERIES)
-    # exactly the two documented no-oracle queries, before and after
-    assert set(merged_q) - set(merged_o) == {
+    # exactly the two documented no-oracle queries survive the merge
+    assert set(SPARK_QUERIES) - set(ORACLE_SQL) == {
         "bpe_tokenize_docs",
         "window_approx_distinct_users",
     }

@@ -435,3 +435,50 @@ def test_minhash_bucket_valve(tables):
     with pytest.raises(ValueError, match="bands"):
         minhash_lsh_pairs(docs, threshold=0.5, n_hashes=32, bands=5)
     assert not _SHINGLE_CACHES  # fail-fast left no cache behind
+
+
+def test_bpe_tokenize_docs_content_pin(spark, tables):
+    """`bpe_tokenize_docs` is one of the two no-oracle-by-design
+    registered queries (the merge loop is iterative, not
+    SQL-expressible), so the driver only checks rows. This pin checks
+    CONTENT: every (doc_id, tokens_hash) the Spark query emits must
+    equal a pure-Python re-derivation — greedy `bpe_encode_word` over
+    the regex word stream, md5-folded exactly like `shingle_hash` —
+    plus one order-independent corpus checksum so a future regression
+    can't hide in unsorted comparisons."""
+    import hashlib
+    import re
+
+    from lightsaber_spark.functions.text import bpe_encode_word, learn_bpe_merges
+    from lightsaber_spark.pipeline_queries import _docs
+    from lightsaber_spark.queries import SPARK_QUERIES
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["doc_id"]: (r["n_word_tokens"], r["n_bpe_tokens"], r["tokens_hash"])
+        for r in SPARK_QUERIES["bpe_tokenize_docs"](spark, SF_DIR).collect()
+    }
+    docs = {r["doc_id"]: r["text"] for r in tables["documents"].collect()}
+    assert set(out) == set(docs)
+
+    merges = learn_bpe_merges(_docs(spark, SF_DIR), n_merges=40, min_count=2)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    word_re = re.compile(r"[a-z0-9]+")
+    memo: dict[str, list[str]] = {}
+    checksum_spark = 0
+    checksum_model = 0
+    for doc_id, text in docs.items():
+        words = word_re.findall(text.lower())
+        toks: list[str] = []
+        for w in words:
+            if w not in memo:
+                memo[w] = bpe_encode_word(w, ranks)
+            toks.extend(memo[w])
+        h = int(hashlib.md5(" ".join(toks).encode()).hexdigest()[:15], 16)
+        n_words, n_bpe, tokens_hash = out[doc_id]
+        assert n_words == len(words), doc_id
+        assert n_bpe == len(toks), doc_id
+        assert tokens_hash == h, doc_id
+        checksum_model = (checksum_model + doc_id * h) % (2**61 - 1)
+        checksum_spark = (checksum_spark + doc_id * tokens_hash) % (2**61 - 1)
+    assert checksum_spark == checksum_model
