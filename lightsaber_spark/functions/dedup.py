@@ -227,15 +227,30 @@ def ngram_jaccard_pairs(
     pairs as the uncut form but prunes the join with the lossless
     prefix filter. ``minhash_lsh_pairs`` is the approximate route."""
     arr = shingle_arrays(df, text_col, id_col, k)
-    ex = _index_from_arrays(arr, max_doc_freq)
-    sizes = _sizes_from_arrays(arr, ex, max_doc_freq)
-    # singleton shingles (df=1, the vast majority in natural text) can't
-    # match in the self-join — prune them first; sizes above still count
-    # the full shingle sets, so Jaccard values are unchanged
-    shared = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") >= 2
-    ).select("_sh")
-    exs = ex.join(shared, "_sh")
+    if max_doc_freq is None:
+        ex = _index_from_arrays(arr, None)
+        sizes = _sizes_from_arrays(arr, ex, None)
+        # singleton shingles (df=1, the vast majority in natural text)
+        # can't match in the self-join — prune them first; sizes above
+        # still count the full shingle sets, so Jaccard is unchanged
+        shared = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df")).filter(
+            F.col("_df") >= 2
+        ).select("_sh")
+        exs = ex.join(shared, "_sh")
+    else:
+        # Cutoff path: ONE df aggregation serves the cutoff filter, the
+        # post-cut sizes, and the singleton prune; the filtered index is
+        # persisted because FOUR consumers would otherwise re-run the
+        # explode→freq→join chain (sizes, singleton freq, and both
+        # self-join sides — AQE exchange reuse is not reliable here,
+        # see CLAUDE.md).
+        ex0 = arr.select("_id", F.explode("_shs").alias("_sh"))
+        freq = ex0.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        exd = register_cache(
+            ex0.join(freq.filter(F.col("_df") <= max_doc_freq), "_sh")
+        )
+        sizes = exd.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        exs = exd.filter(F.col("_df") >= 2).select("_id", "_sh")
     pairs = (
         exs.alias("a")
         .join(exs.alias("b"), (F.col("a._sh") == F.col("b._sh")) & (F.col("a._id") < F.col("b._id")))
@@ -774,15 +789,23 @@ def duplicate_groups(
     relation appears twice per round, so a lazy plan doubles every
     iteration), and iteration stops early once no label changes.
     """
-    # Symmetrize with one explode, not a two-branch union: the pairs
-    # plan (often an expensive similarity join) must be evaluated once,
-    # not once per union branch.
+    # Symmetrize AND self-loop with one explode, not a multi-branch
+    # union: the pairs plan (often an expensive similarity join) must
+    # be evaluated once. The (v, v) self-loops make every round a
+    # single join+agg: min over {self ∪ neighbors} of the label IS
+    # least(own label, neighbor min), and the self-loop row carries the
+    # pre-round label out of the aggregation (as _l0) for the
+    # convergence check — no separate label-merge join per round, and
+    # round 0 needs no join at all (labels are the identity, so the
+    # neighbor min is just min(u)).
     edges = (
         pairs.select(
             F.explode(
                 F.array(
                     F.struct(F.col(id_a).alias("v"), F.col(id_b).alias("u")),
                     F.struct(F.col(id_b).alias("v"), F.col(id_a).alias("u")),
+                    F.struct(F.col(id_a).alias("v"), F.col(id_a).alias("u")),
+                    F.struct(F.col(id_b).alias("v"), F.col(id_b).alias("u")),
                 )
             ).alias("_e")
         )
@@ -790,19 +813,23 @@ def duplicate_groups(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select("v").distinct().withColumn("l", F.col("v")).localCheckpoint()
-    for _ in range(iters):
-        nbr = (
-            edges.join(labels.withColumnRenamed("v", "u"), "u")
-            .groupBy("v")
-            .agg(F.min("l").alias("_nl"))
-        )
-        stepped = (
-            labels.withColumnRenamed("l", "_l0")
-            .join(nbr, "v", "left")
-            .select("v", F.least(F.col("_l0"), F.coalesce("_nl", "_l0")).alias("l"),
-                    F.col("_l0"))
-        )
+    labels = None
+    for rnd in range(iters):
+        if rnd == 0:
+            stepped = edges.groupBy("v").agg(
+                F.min("u").alias("l"), F.max("v").alias("_l0")
+            )
+        else:
+            stepped = (
+                edges.join(labels.withColumnRenamed("v", "u"), "u")
+                .groupBy("v")
+                .agg(
+                    F.min("l").alias("l"),
+                    F.max(F.when(F.col("u") == F.col("v"), F.col("l"))).alias(
+                        "_l0"
+                    ),
+                )
+            )
         jump = stepped.select(F.col("v").alias("l"), F.col("l").alias("_jl"))
         stepped = (
             stepped.join(jump, "l", "left")
