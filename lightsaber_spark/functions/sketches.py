@@ -327,8 +327,26 @@ BLOOM_WORD_BITS = 60
 
 
 def bloom_positions(key: Column, k: int, m_bits: int) -> Column:
-    """Array of ``k`` bit positions for ``key`` — md5(key ‖ ':' ‖ i)
-    mod m. Deterministic; DuckDB twin uses the same strings."""
+    """Array of ``k`` bit positions for ``key`` from ONE md5: position
+    ``i`` is a disjoint hex slice of md5(key) folded to bigint, mod m
+    (for power-of-two ``m`` the slice is unbiased — 16^len is a
+    multiple of m). One hash evaluation per key instead of k is the
+    difference between a hash-bound and scan-bound build/probe at
+    corpus scale. Falls back to per-``i`` salted md5 when k slices
+    don't fit the 32 hex chars. DuckDB twin:
+    ``('0x'||substr(md5(CAST(x AS VARCHAR)), 1+i*len, len))::BIGINT % m``."""
+    hexlen = max(1, (max(m_bits - 1, 1).bit_length() + 3) // 4)
+    if k * hexlen <= 32:
+        h = F.md5(key.cast("string"))
+        return F.array(
+            *[
+                F.conv(F.substring(h, 1 + i * hexlen, hexlen), 16, 10).cast(
+                    "bigint"
+                )
+                % F.lit(m_bits)
+                for i in range(k)
+            ]
+        )
     return F.array(
         *[
             shingle_hash(F.concat(key.cast("string"), F.lit(f":{i}")))
@@ -393,11 +411,10 @@ def bloom_probe(
     )
     out = df.crossJoin(F.broadcast(dense))
     key = F.col(key_col)
-    pos_cols = {}
-    for i in range(k):
-        p = shingle_hash(F.concat(key.cast("string"), F.lit(f":{i}"))) % F.lit(m_bits)
-        pos_cols[f"_p{i}"] = p
-    out = out.withColumns(pos_cols)
+    out = out.withColumn("_ps", bloom_positions(key, k, m_bits))
+    out = out.withColumns(
+        {f"_p{i}": F.element_at(F.col("_ps"), i + 1) for i in range(k)}
+    )
     conds = None
     for i in range(k):
         c = F.expr(

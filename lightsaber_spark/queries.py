@@ -2647,9 +2647,12 @@ _BLOOM_M = 1 << 16
 
 
 def _bloom_h(key_sql: str, i: int, m: int) -> str:
+    """Position i = disjoint hex slice of ONE md5 (sketches.py
+    ``bloom_positions``) — one hash per key instead of k."""
+    hexlen = max(1, ((m - 1).bit_length() + 3) // 4)
     return (
-        f"('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{i}'), 1, 15))::BIGINT"
-        f" % {m}"
+        f"('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), {1 + i * hexlen},"
+        f" {hexlen}))::BIGINT % {m}"
     )
 
 
