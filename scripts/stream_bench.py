@@ -90,11 +90,11 @@ def main() -> None:
             "RocksDBStateStoreProvider",
         )
 
-    def base():
+    def base(rows_per_batch: int | None = None):
         # start away from epoch 0 (initial-watermark gotcha, CLAUDE.md)
         s = rate_micro_batch_source(
             spark,
-            rows_per_batch=args.rows_per_batch,
+            rows_per_batch=rows_per_batch or args.rows_per_batch,
             num_partitions=32,
             start_timestamp_ms=100_000,
             advance_ms_per_batch=1000,
@@ -103,6 +103,56 @@ def main() -> None:
             F.col("timestamp").alias("ts"),
             (F.col("value") % 10).alias("key"),
             (F.col("value") % 1000).cast("double").alias("v"),
+        )
+
+    # Stream-stream theta join (SURVEY §3.3's second data path): two
+    # rate streams, event time spread across a 600 s band domain so
+    # each ±5 s join band holds a bounded row set, with a selective
+    # residual theta predicate (value mod 1009 equality) — the
+    # reference ThetaJoin benchmark shape (selective predicate over a
+    # symmetric time window). Smaller batches: per-batch cost is the
+    # in-band pair scan, not row ingest.
+    def theta_side(rows_per_batch: int, alias: str):
+        s = rate_micro_batch_source(
+            spark,
+            rows_per_batch=rows_per_batch,
+            num_partitions=32,
+            start_timestamp_ms=100_000,
+            advance_ms_per_batch=1000,
+        )
+        return s.select(
+            F.timestamp_millis(
+                F.unix_millis(F.col("timestamp"))
+                + (F.col("value") * 7) % 600_000
+            ).alias(f"{alias}_ts"),
+            F.col("value").alias(f"{alias}_v"),
+        )
+
+    def theta_shape():
+        from lightsaber_spark.streaming.stream import streaming_theta_join
+
+        n = max(args.rows_per_batch // 10, 10_000)
+        left = theta_side(n, "l")
+        right = theta_side(n, "r")
+        return streaming_theta_join(
+            left, right,
+            (F.col("l_v") % 1009) == (F.col("r_v") % 1009),
+            "l_ts", "r_ts", max_delta_sec=5, watermark="10 seconds",
+        )
+
+    def session_shape():
+        from lightsaber_spark.streaming.sessions import session_window_agg
+
+        # spread event time so sessions (30 s gap) actually close; the
+        # watermark lets the state store evict closed sessions
+        s = base().withColumn(
+            "ts",
+            F.timestamp_millis(
+                F.unix_millis(F.col("ts")) + (F.col("v").cast("bigint") * 101) % 300_000
+            ),
+        ).withWatermark("ts", "10 seconds")
+        return session_window_agg(
+            s, "ts", 30, [("sum", "v", "sum_v"), ("count", None, "n")], ["key"]
         )
 
     shapes = {
@@ -120,6 +170,11 @@ def main() -> None:
             [("sum", "v", "sum_v")], ["key"],
             watermark="10 seconds",
         ),
+        # stream-stream theta join (band-bucketized symmetric hash join
+        # + residual predicate) — rows/s counts BOTH input sides
+        "theta_join_band_5s": theta_shape,
+        # session windows (30 s gap) over spread event time
+        "session_windows_30s": session_shape,
     }
     results = {}
     for name, mk in shapes.items():
