@@ -365,6 +365,76 @@ def test_bpe_learn_matches_hand_computed(spark):
     assert enc == expect
 
 
+def test_bpe_tokenize_docs_content_matches_python_model(spark):
+    """`bpe_tokenize_docs` is rows-only at the driver by design (the
+    merge loop is iterative); this pin checks CONTENT instead: the full
+    per-doc (n_word_tokens, n_bpe_tokens, tokens_hash) map from the
+    REGISTERED query must equal an independent pure-Python model —
+    word counts via collections.Counter, an independently written merge
+    loop, greedy per-word encode, and a hashlib twin of shingle_hash.
+    Order-independent (dict compare keyed by doc_id), exact."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+    from conftest import SF_DIR
+    from lightsaber_spark.functions.text import bpe_encode_word
+
+    got = {
+        r["doc_id"]: (r["n_word_tokens"], r["n_bpe_tokens"], r["tokens_hash"])
+        for r in entry.queries()["bpe_tokenize_docs"](spark, SF_DIR).collect()
+    }
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    tok_re = re.compile("[a-z0-9]+")
+    doc_words = {
+        d: tok_re.findall(x.lower()) for d, x in zip(t["doc_id"], t["text"])
+    }
+
+    # independent merge learner (count desc / pair asc; min_count=2,
+    # n_merges=40 — the registered query's parameters)
+    counts = Counter(w for ws in doc_words.values() for w in ws)
+    vocab = {
+        tuple(list(w) + ["</w>"]): c for w, c in counts.items() if c >= 2
+    }
+    merges = []
+    for _ in range(40):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for p in zip(sym, sym[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nxt = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    want = {}
+    for d, ws in doc_words.items():
+        bpe = [s for w in ws for s in bpe_encode_word(w, ranks)]
+        h = int(hashlib.md5(" ".join(bpe).encode()).hexdigest()[:15], 16)
+        want[d] = (len(ws), len(bpe), h)
+
+    assert got == want
+
+
 def test_bpe_detokenization_lossless(tables):
     """concat(bpe tokens) with </w> -> spaces reproduces the word
     sequence exactly, and more merges never increase the token count."""
