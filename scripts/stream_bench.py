@@ -71,6 +71,9 @@ def main() -> None:
     ap.add_argument("--rocksdb", action="store_true",
                     help="use the RocksDB state-store provider instead "
                          "of the default HDFS-backed one")
+    ap.add_argument("--shapes", default=None,
+                    help="comma-separated subset of shapes to run "
+                         "(default: all) — used by the batch-size sweep")
     ap.add_argument("--append", action="store_true",
                     help="append rows to --write instead of rewriting")
     args = ap.parse_args()
@@ -176,6 +179,9 @@ def main() -> None:
         # session windows (30 s gap) over spread event time
         "session_windows_30s": session_shape,
     }
+    if args.shapes:
+        wanted = args.shapes.split(",")
+        shapes = {n: shapes[n] for n in wanted}
     results = {}
     for name, mk in shapes.items():
         results[name] = _measure(spark, name, mk, args.batches)
@@ -205,22 +211,28 @@ def main() -> None:
             "# Streaming throughput smoke "
             "(generated by scripts/stream_bench.py — do not edit)",
             "",
-            f"`rate-micro-batch` source, {args.rows_per_batch:,} rows/batch, "
-            "32 partitions on local[32]; steady-state batches only (first "
-            "two dropped); measured by the repo's own `ThroughputListener` "
-            "(the reference's [MON] analog, `Measurement.cpp:42-54`). "
-            "Honest context: JVM micro-batch engine with state-store "
-            "windowed aggregation — scheduling overhead included, not a "
-            "cache-resident C++ JIT loop; the reference publishes no "
-            "absolute numbers in-repo (BASELINE.md), so these document "
-            "our absolute single-node streaming rates.",
+            "`rate-micro-batch` source, 32 partitions on local[32]; "
+            "steady-state batches only (first two dropped); measured by "
+            "the repo's own `ThroughputListener` (the reference's [MON] "
+            "analog, `Measurement.cpp:42-54`). Honest context: JVM "
+            "micro-batch engine with state-store windowed aggregation — "
+            "scheduling overhead included, not a cache-resident C++ JIT "
+            "loop; the reference publishes no absolute numbers in-repo "
+            "(BASELINE.md), so these document our absolute single-node "
+            "streaming rates. The rows/batch sweep shows the micro-batch "
+            "cost model directly: per-batch scheduling + state-commit "
+            "overhead is ~fixed, so throughput scales with batch size "
+            "(the throughput/latency trade micro-batching makes) — the "
+            "per-ROW cost of the windowed aggregation itself is the "
+            "8M-rows/batch row.",
             "",
-            "| shape | state store | steady rows/s | rows | steady secs |",
-            "|---|---|---|---|---|",
+            "| shape | state store | rows/batch | steady rows/s | rows | steady secs |",
+            "|---|---|---|---|---|---|",
         ]
         for name, r in results.items():
             lines.append(
-                f"| {name} | {provider} | {r['rows_per_sec']:,} "
+                f"| {name} | {provider} | {args.rows_per_batch:,} "
+                f"| {r['rows_per_sec']:,} "
                 f"| {r['rows']:,} | {r['secs']} |"
             )
         with open(args.write, "a" if args.append else "w") as f:
