@@ -41,6 +41,7 @@ def pagerank(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    dim_bounded_nodes: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (pass both directions for an
     undirected graph). Returns (node, rank_scaled) for every node that
@@ -49,6 +50,20 @@ def pagerank(
     Every node must have out-degree ≥ 1 (true for symmetrized graphs);
     rank mass from dangling nodes is otherwise dropped, mirroring the
     oracle.
+
+    ``dim_bounded_nodes=True`` declares |V| dimension-bounded (node
+    keys drawn from a dimension table, not a fact table — e.g. the
+    customer↔supplier graph, where |V| ≤ |customer| + |supplier| no
+    matter how many orders arrive). The |V|-row relations (out-degree,
+    per-iteration ranks) are then broadcast, so the |E|-row edge
+    relation is NEVER shuffled after its one setup materialization:
+    each iteration is a map-side join + a partial-aggregated groupBy
+    whose shuffle carries ≈ |V| rows per partition, not |E|.
+    localCheckpoint does NOT preserve outputPartitioning (the scan
+    comes back as ``UnknownPartitioning``), so without the broadcast
+    both join sides reshuffle every round — leave the flag False only
+    for fact-scale node sets, where the sort-merge path is the one
+    that survives.
     """
     edges = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -68,11 +83,15 @@ def pagerank(
     )
     # (src, dst, deg) is consumed by every iteration — materialize the
     # join once rather than recomputing it lazily per round.
-    out = edges.join(deg, "src").localCheckpoint()
+    deg_side = F.broadcast(deg) if dim_bounded_nodes else deg
+    out = edges.join(deg_side, "src").localCheckpoint()
     for _ in range(iterations):
-        contrib = out.join(
-            ranks.select(F.col("node").alias("src"), "rank"), "src"
-        ).select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+        rank_side = ranks.select(F.col("node").alias("src"), "rank")
+        if dim_bounded_nodes:
+            rank_side = F.broadcast(rank_side)
+        contrib = out.join(rank_side, "src").select(
+            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
+        )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("_sc"))
         ranks = (
             ranks.select("node", "_n")

@@ -167,7 +167,9 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
         )
     )
-    ranks = pagerank(edges, iterations=4)
+    # |V| ≤ |customer| + |supplier| — dimension-bounded however many
+    # orders/lineitems arrive, so the broadcast-ranks iteration applies
+    ranks = pagerank(edges, iterations=4, dim_bounded_nodes=True)
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
