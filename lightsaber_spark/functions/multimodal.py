@@ -242,6 +242,21 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def _spread_ids(ids: DataFrame) -> DataFrame:
+    """Spread the (tiny) id relation before CPU-dense Python encode
+    work: a small parquet file arrives as ONE input partition, which
+    would serialize the whole codec pipeline onto one core (measured
+    2× end-to-end on the aHash spectrum at sf0.1). Repartitioning a
+    bigint column to defaultParallelism costs a negligible shuffle and
+    is exactly what a 1000-executor cluster needs for the encode fan-
+    out; inputs that already arrive well-partitioned pass through."""
+    sc = ids.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        return ids.repartition(target)
+    return ids
+
+
 def synthetic_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Encode one REAL PNG per input row (MEDIA_SCHEMA-shaped output):
     a ``(id%61+4) × (id%37+3)`` 8-bit grayscale gradient image with
@@ -262,7 +277,7 @@ def synthetic_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "data": blobs, "mime": "image/png"}
             )
 
-    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType([
@@ -427,7 +442,7 @@ def synthetic_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 blobs.append(encode_wav(samples, 8000 * (mid % 3 + 1)))
             yield pd.DataFrame({"media_id": ids, "data": blobs, "mime": "audio/wav"})
 
-    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 AUDIO_SCHEMA = StructType([
@@ -530,7 +545,7 @@ def synthetic_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "data": blobs, "mime": "video/x-lsvc"}
             )
 
-    return df.select(id_col).mapInPandas(batches, MEDIA_SCHEMA)
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = StructType([
