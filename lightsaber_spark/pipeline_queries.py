@@ -2632,9 +2632,15 @@ def q_corpus_data_card(spark, sf_dir):
     corpus scan for features + one for signatures, aggregates keyed on
     the small source domain."""
     from lightsaber_spark.functions.dedup import minhash_band_keys_udf
+    from lightsaber_spark.functions.multimodal import _spread_ids
     from lightsaber_spark.functions.text import quality_filter
 
-    docs = _docs(spark, sf_dir)
+    # three CPU-dense per-doc passes (BPE token count, quality metrics,
+    # band-key UDF) read the corpus directly — spread a small single-
+    # partition parquet input across cores first (same pattern as the
+    # media encode pipelines; a DuckDB-written small file is ONE row
+    # group, so input-split tuning cannot parallelize it)
+    docs = _spread_ids(_docs(spark, sf_dir))
     feat = docs.select(
         "source",
         "doc_id",
@@ -2646,8 +2652,9 @@ def q_corpus_data_card(spark, sf_dir):
     )
     from lightsaber_spark.functions.dedup import register_cache
 
-    # the Arrow-UDF signature subplan feeds both self-join sides —
-    # pin one materialization (multiply-referenced-subplan rule)
+    # the Arrow-UDF signature subplan feeds the group aggregate AND the
+    # flag join — pin one materialization (multiply-referenced-subplan
+    # rule)
     bands = register_cache(
         docs.select(
             "doc_id",
@@ -2656,15 +2663,20 @@ def q_corpus_data_card(spark, sf_dir):
             ),
         )
     )
+    # a doc emits exactly ONE bucket per band, so a (band, bucket)
+    # group with >= 2 rows necessarily holds >= 2 DISTINCT docs:
+    # "shares a band bucket with another doc" is a group-count
+    # semi-join, not a self-join — linear in bucket occupancy where
+    # the pair join is quadratic in near-dup family size
+    crowded = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("band", "bucket")
+    )
     near = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_id"))
+        bands.join(crowded, ["band", "bucket"], "left_semi")
+        .select("doc_id")
         .distinct()
         .withColumn("_n", F.lit(1))
     )
