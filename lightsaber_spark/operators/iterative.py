@@ -18,11 +18,15 @@ count (not a convergence test) keeps the computation a deterministic
 finite plan that a chained-CTE SQL oracle reproduces bit for bit.
 
 Scale: each iteration is one equi-join (edges ⋈ ranks, shuffled on the
-node key) plus one groupBy — the standard Pregel-on-relational shape
-that survives 1000 executors.  ``localCheckpoint`` per iteration stops
-the lazy plan doubling (the iterated relation appears twice per round —
-see CLAUDE.md); the checkpoint is a documented bounded materialization
-of |V| rows, like ``duplicate_groups``.
+node key — or map-side under ``dim_bounded_nodes``) plus one groupBy —
+the standard Pregel-on-relational shape that survives 1000 executors.
+The static (node, N) relation is hoisted out of the loop, so each
+round references the previous ranks exactly ONCE and the lazy plan
+grows linearly with the fixed iteration count — no per-round
+checkpoint (contrast ``duplicate_groups``, whose convergence test
+forces one); only the setup relations (edges, edge×degree, initial
+ranks) are ``localCheckpoint``-ed, documented bounded
+materializations.
 
 Overflow: rank ≤ scale ≤ 10^12, so 85 * rank ≤ 8.5e13 and the contrib
 sum over all in-edges ≤ total rank mass ≤ scale — everything stays far
@@ -85,6 +89,14 @@ def pagerank(
     # join once rather than recomputing it lazily per round.
     deg_side = F.broadcast(deg) if dim_bounded_nodes else deg
     out = edges.join(deg_side, "src").localCheckpoint()
+    # (node, _n) never changes across rounds — hoisting it means each
+    # round references the PREVIOUS ranks exactly once (via contrib),
+    # so the lazy plan grows linearly (a 4-deep chain), not 2^rounds:
+    # no per-round localCheckpoint needed (contrast duplicate_groups,
+    # whose convergence test forces a materialization per round). The
+    # whole fixed-iteration computation stays ONE lazy plan evaluated
+    # in a single job.
+    nodes_n = ranks.select("node", "_n")
     for _ in range(iterations):
         rank_side = ranks.select(F.col("node").alias("src"), "rank")
         if dim_bounded_nodes:
@@ -93,18 +105,13 @@ def pagerank(
             F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("_sc"))
-        ranks = (
-            ranks.select("node", "_n")
-            .join(summed, "node", "left")
-            .select(
-                "node",
-                "_n",
-                F.expr(
-                    f"(15 * ({scale} div _n)) div 100"
-                    " + (85 * coalesce(_sc, 0)) div 100"
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes_n.join(summed, "node", "left").select(
+            "node",
+            "_n",
+            F.expr(
+                f"(15 * ({scale} div _n)) div 100"
+                " + (85 * coalesce(_sc, 0)) div 100"
+            ).alias("rank"),
         )
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
 
