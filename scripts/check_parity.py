@@ -31,8 +31,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # round to 6 significant-ish decimals the way a tolerant hash would
-        return round(v, 6)
+        # EXACT — the driver hashes raw values, so the fast gate must
+        # too (every query's exactness policy makes floats bit-identical
+        # cross-engine; a 1e-7 drift passing here would fail the sweep)
+        return v
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
     return v
