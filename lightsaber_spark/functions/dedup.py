@@ -834,7 +834,11 @@ def duplicate_groups(
     NOTE: eager — each round is ``localCheckpoint``-ed (the labels
     relation appears twice per round, so a lazy plan doubles every
     iteration), and iteration stops early once no label changes.
+    Requires ``iters >= 1``: round 0 is what seeds the labels relation,
+    so 0 rounds has no meaningful result to return.
     """
+    if iters < 1:
+        raise ValueError(f"duplicate_groups: iters must be >= 1, got {iters}")
     # Symmetrize AND self-loop with one explode, not a multi-branch
     # union: the pairs plan (often an expensive similarity join) must
     # be evaluated once. The (v, v) self-loops make every round a

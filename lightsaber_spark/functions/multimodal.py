@@ -249,9 +249,22 @@ def _spread_ids(ids: DataFrame) -> DataFrame:
     2× end-to-end on the aHash spectrum at sf0.1). Repartitioning a
     bigint column to defaultParallelism costs a negligible shuffle and
     is exactly what a 1000-executor cluster needs for the encode fan-
-    out; inputs that already arrive well-partitioned pass through."""
+    out; inputs that already arrive well-partitioned pass through.
+
+    Laziness gate: probing ``.rdd.getNumPartitions()`` on a plan that
+    contains a shuffle would eagerly materialize AQE query stages at
+    build time (violating the repo's build-time-laziness invariant),
+    so the probe runs only on shuffle-free plans (scans/projections —
+    the intended call sites). Post-shuffle inputs already have
+    shuffle-partition parallelism and pass through untouched."""
     sc = ids.sparkSession.sparkContext
     target = sc.defaultParallelism
+    plan = ids._jdf.queryExecution().analyzed().toString()
+    shuffle_markers = (
+        "Aggregate", "Join", "Repartition", "Sort", "Distinct", "Window",
+    )
+    if any(m in plan for m in shuffle_markers):
+        return ids
     if ids.rdd.getNumPartitions() < target:
         return ids.repartition(target)
     return ids

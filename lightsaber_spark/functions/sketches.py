@@ -332,24 +332,27 @@ def bloom_positions(key: Column, k: int, m_bits: int) -> Column:
     (for power-of-two ``m`` the slice is unbiased — 16^len is a
     multiple of m). One hash evaluation per key instead of k is the
     difference between a hash-bound and scan-bound build/probe at
-    corpus scale. Falls back to per-``i`` salted md5 when k slices
-    don't fit the 32 hex chars. DuckDB twin:
-    ``('0x'||substr(md5(CAST(x AS VARCHAR)), 1+i*len, len))::BIGINT % m``."""
+    corpus scale. DuckDB twin:
+    ``('0x'||substr(md5(CAST(x AS VARCHAR)), 1+i*len, len))::BIGINT % m``.
+
+    Raises if the k slices don't fit md5's 32 hex chars: the DuckDB
+    oracle twin (`_bloom_h` in queries.py) implements ONLY the shared
+    slice path, so a silent fallback to a different hash family would
+    break cross-engine parity without any test noticing."""
     hexlen = max(1, (max(m_bits - 1, 1).bit_length() + 3) // 4)
-    if k * hexlen <= 32:
-        h = F.md5(key.cast("string"))
-        return F.array(
-            *[
-                F.conv(F.substring(h, 1 + i * hexlen, hexlen), 16, 10).cast(
-                    "bigint"
-                )
-                % F.lit(m_bits)
-                for i in range(k)
-            ]
+    if k * hexlen > 32:
+        raise ValueError(
+            f"bloom_positions: k={k} slices of {hexlen} hex chars "
+            f"(m_bits={m_bits}) exceed md5's 32 hex chars; the DuckDB "
+            "oracle twin has no fallback branch — reduce k or m_bits, "
+            "or implement the salted fallback on BOTH engines first"
         )
+    h = F.md5(key.cast("string"))
     return F.array(
         *[
-            shingle_hash(F.concat(key.cast("string"), F.lit(f":{i}")))
+            F.conv(F.substring(h, 1 + i * hexlen, hexlen), 16, 10).cast(
+                "bigint"
+            )
             % F.lit(m_bits)
             for i in range(k)
         ]

@@ -158,33 +158,38 @@ def main() -> None:
             s, "ts", 30, [("sum", "v", "sum_v"), ("count", None, "n")], ["key"]
         )
 
+    # theta shape feeds max(rows_per_batch//10, 10k) rows per SIDE —
+    # its real per-batch ingest (both sides) differs from the global
+    # --rows-per-batch and must be reported per shape, not globally
+    theta_rows_per_batch = 2 * max(args.rows_per_batch // 10, 10_000)
     shapes = {
         # pure ingest+project: the data-movement ceiling (NoOp analog)
-        "passthrough": lambda: base(),
+        "passthrough": (lambda: base(), args.rows_per_batch),
         # CM1 shape: tumbling grouped sum+count, state-store windowed agg
-        "tumbling_sum_60s": lambda: streaming_windowed_agg(
+        "tumbling_sum_60s": (lambda: streaming_windowed_agg(
             base(), "ts", 60, None,
             [("sum", "v", "sum_v"), ("count", None, "n")], ["key"],
             watermark="10 seconds",
-        ),
+        ), args.rows_per_batch),
         # sliding (60,10): native window fan-out x6 + state
-        "sliding_sum_60_10": lambda: streaming_windowed_agg(
+        "sliding_sum_60_10": (lambda: streaming_windowed_agg(
             base(), "ts", 60, 10,
             [("sum", "v", "sum_v")], ["key"],
             watermark="10 seconds",
-        ),
+        ), args.rows_per_batch),
         # stream-stream theta join (band-bucketized symmetric hash join
         # + residual predicate) — rows/s counts BOTH input sides
-        "theta_join_band_5s": theta_shape,
+        "theta_join_band_5s": (theta_shape, theta_rows_per_batch),
         # session windows (30 s gap) over spread event time
-        "session_windows_30s": session_shape,
+        "session_windows_30s": (session_shape, args.rows_per_batch),
     }
     if args.shapes:
         wanted = args.shapes.split(",")
         shapes = {n: shapes[n] for n in wanted}
     results = {}
-    for name, mk in shapes.items():
+    for name, (mk, per_batch) in shapes.items():
         results[name] = _measure(spark, name, mk, args.batches)
+        results[name]["rows_per_batch"] = per_batch
         r = results[name]
         print(
             f"{name:20s} {r['rows']:>10} rows in {r['secs']:6.2f}s steady "
@@ -231,7 +236,7 @@ def main() -> None:
         ]
         for name, r in results.items():
             lines.append(
-                f"| {name} | {provider} | {args.rows_per_batch:,} "
+                f"| {name} | {provider} | {r['rows_per_batch']:,} "
                 f"| {r['rows_per_sec']:,} "
                 f"| {r['rows']:,} | {r['secs']} |"
             )

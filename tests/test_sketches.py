@@ -436,3 +436,18 @@ def test_kmv_sketch_merge_equals_whole(spark):
     hk = top.agg(_F.max("_h").alias("hk")).collect()[0]["hk"]
     est = ((128 - 1) * (1 << 60)) // hk
     assert est == whole
+
+
+def test_bloom_positions_rejects_oversized_slices(spark):
+    """k·hexlen > 32 must raise, not silently switch hash families:
+    the DuckDB oracle twin (`_bloom_h`) implements only the shared
+    md5-slice path, so a fallback would break cross-engine parity."""
+    import pytest
+
+    from lightsaber_spark.functions.sketches import bloom_positions
+
+    # current production shape (k=4, m=2^16 -> hexlen 4, 16 <= 32) fits
+    bloom_positions(F.col("key"), 4, 1 << 16)
+    # k=8 slices of 8 hex chars (m=2^30) = 64 > 32 -> must raise
+    with pytest.raises(ValueError, match="32 hex chars"):
+        bloom_positions(F.col("key"), 8, 1 << 30)
