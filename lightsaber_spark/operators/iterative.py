@@ -24,9 +24,9 @@ The static (node, N) relation is hoisted out of the loop, so each
 round references the previous ranks exactly ONCE and the lazy plan
 grows linearly with the fixed iteration count — no per-round
 checkpoint (contrast ``duplicate_groups``, whose convergence test
-forces one); only the setup relations (edges, edge×degree, initial
-ranks) are ``localCheckpoint``-ed, documented bounded
-materializations.
+forces one); only the setup relations (edges unless the caller already
+materialized an equivalent, edge×degree, initial ranks) are
+``localCheckpoint``-ed, documented bounded materializations.
 
 Overflow: rank ≤ scale ≤ 10^12, so 85 * rank ≤ 8.5e13 and the contrib
 sum over all in-edges ≤ total rank mass ≤ scale — everything stays far
@@ -46,6 +46,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     dim_bounded_nodes: bool = False,
+    edges_materialized: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (pass both directions for an
     undirected graph). Returns (node, rank_scaled) for every node that
@@ -68,10 +69,18 @@ def pagerank(
     both join sides reshuffle every round — leave the flag False only
     for fact-scale node sets, where the sort-merge path is the one
     that survives.
+
+    ``edges_materialized=True`` declares the edge relation already
+    cheap to re-scan (a projection/union of a relation the CALLER
+    checkpointed — e.g. the symmetrized pair list, which is HALF the
+    edge rows), so the internal |E|-row localCheckpoint is skipped.
+    Measured (round 7, sf0.1 customer↔supplier, 1.17M edges): caller
+    checkpoints the 587K-row pair list and skips the edge checkpoint →
+    warm 5.5 s → ~2.7 s, same bit-exact result.
     """
-    edges = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_materialized:
+        edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -105,6 +114,11 @@ def pagerank(
             F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("_sc"))
+        # |V|-bounded when dim_bounded_nodes: broadcasting the summed
+        # contributions makes the rank-update join map-side too, so no
+        # per-round exchange of nodes_n
+        if dim_bounded_nodes:
+            summed = F.broadcast(summed)
         ranks = nodes_n.join(summed, "node", "left").select(
             "node",
             "_n",

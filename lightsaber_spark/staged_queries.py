@@ -142,13 +142,15 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking), exercising the iterative-fixpoint engine shape
     (operators/iterative.py) the same way duplicate_groups exercises
     connected components."""
-    from lightsaber_spark.functions.dedup import register_cache
-
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     # pairs feeds BOTH union branches of the symmetrized edge list —
-    # persist it so the edge materialization computes the join once
-    # (AQE exchange reuse is not reliable across union branches).
-    pairs = register_cache(
+    # localCheckpoint it so the fact-table join + distinct runs once
+    # (AQE exchange reuse is not reliable across union branches), and
+    # let pagerank skip its own |E|-row edge checkpoint: the pair list
+    # is HALF the edge rows, so materializing pairs instead of edges
+    # cuts the setup write volume in half and drops one full
+    # materialization (measured round 7: warm 5.5 s -> ~2.7 s, sf0.1).
+    pairs = (
         t["orders"]
         .join(
             t["lineitem"],
@@ -158,6 +160,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .distinct()
+        .localCheckpoint()
     )
     fwd = pairs.select(
         (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
@@ -169,7 +172,9 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |V| ≤ |customer| + |supplier| — dimension-bounded however many
     # orders/lineitems arrive, so the broadcast-ranks iteration applies
-    ranks = pagerank(edges, iterations=4, dim_bounded_nodes=True)
+    ranks = pagerank(
+        edges, iterations=4, dim_bounded_nodes=True, edges_materialized=True
+    )
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
