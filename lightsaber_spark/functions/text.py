@@ -616,6 +616,15 @@ def learn_bpe_merges(
     for tokenizer training at 100 TB (count distributed, merge-loop
     local, result broadcast).
 
+    The merge loop is INCREMENTAL (the standard BPE-trainer
+    optimization, same as Sennrich's reference ``learn_bpe``): pair
+    counts and a pair→words inverted index are built once, and each
+    merge rewrites ONLY the word types containing the merged pair,
+    applying count deltas for the pairs those rewrites destroy/create.
+    Per merge that is O(occurrences of the merged pair), not
+    O(|vocab|·word_len) — at web-scale vocabularies (10⁷+ types) the
+    difference is minutes vs hours on the driver.
+
     Fully deterministic: ties broken by (count DESC, pair ASC). Words
     carry the classic ``</w>`` end marker, so merges never cross word
     boundaries and detokenization is lossless.
@@ -627,22 +636,37 @@ def learn_bpe_merges(
         .filter(F.col("c") >= min_count)
         .collect()
     )
-    vocab: dict[tuple[str, ...], int] = {
-        tuple(list(r["w"]) + ["</w>"]): int(r["c"]) for r in rows
-    }
+    # word-type working set: list of [symbols, count]; pair stats +
+    # inverted index maintained incrementally across merges
+    words: list[list] = [
+        [tuple(list(r["w"]) + ["</w>"]), int(r["c"])] for r in rows
+    ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (sym, c) in enumerate(words):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: dict[tuple[str, str], int] = {}
-        for sym, c in vocab.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] = pairs.get((a, b), 0) + c
-        if not pairs:
+        # overlapping-occurrence zip counting can drive a stale index
+        # entry to count 0; selection considers positive counts only
+        # (identical to a fresh recount, which never yields 0)
+        best, best_key = None, None
+        for p, c in pair_counts.items():
+            if c <= 0:
+                continue
+            key = (-c, p)
+            if best_key is None or key < best_key:
+                best, best_key = p, key
+        if best is None:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         merged = best[0] + best[1]
-        nxt: dict[tuple[str, ...], int] = {}
-        for sym, c in vocab.items():
+        for wi in sorted(pair_words.get(best, ())):
+            sym, c = words[wi]
+            if best[0] not in sym:  # stale index entry (already rewritten)
+                continue
             out, i = [], 0
             while i < len(sym):
                 if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
@@ -651,8 +675,20 @@ def learn_bpe_merges(
                 else:
                     out.append(sym[i])
                     i += 1
-            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
-        vocab = nxt
+            new = tuple(out)
+            if new == sym:
+                continue
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] -= c
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(wi)
+            words[wi][0] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
     return merges
 
 
