@@ -2672,8 +2672,15 @@ def q_corpus_data_card(spark, sf_dir):
     # band-key UDF) read the corpus directly — spread a small single-
     # partition parquet input across cores first (same pattern as the
     # media encode pipelines; a DuckDB-written small file is ONE row
-    # group, so input-split tuning cannot parallelize it)
-    docs = _spread_ids(_docs(spark, sf_dir))
+    # group, so input-split tuning cannot parallelize it), and persist
+    # the spread projection ONCE: feat, keep, and bands each consume it,
+    # and without the pin each would re-run the scan + full-text
+    # repartition shuffle (multiply-referenced-subplan rule)
+    from lightsaber_spark.functions.dedup import register_cache
+
+    docs = register_cache(
+        _spread_ids(_docs(spark, sf_dir).select("source", "doc_id", "text"))
+    )
     feat = docs.select(
         "source",
         "doc_id",
@@ -2683,8 +2690,6 @@ def q_corpus_data_card(spark, sf_dir):
     keep = quality_filter(docs).select("source", "doc_id").withColumn(
         "_k", F.lit(1)
     )
-    from lightsaber_spark.functions.dedup import register_cache
-
     # the Arrow-UDF signature subplan feeds the group aggregate AND the
     # flag join — pin one materialization (multiply-referenced-subplan
     # rule)

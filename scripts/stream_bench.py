@@ -66,6 +66,10 @@ def _measure(spark, name: str, make_stream, batches: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows-per-batch", type=int, default=1_000_000)
+    ap.add_argument("--join-parts", type=int, default=8,
+                    help="state partitions for the stream-stream join "
+                         "shape (sized to this node's single disk; see "
+                         "the shape comment)")
     ap.add_argument("--batches", type=int, default=12)
     ap.add_argument("--write", default=None)
     ap.add_argument("--rocksdb", action="store_true",
@@ -113,9 +117,13 @@ def main() -> None:
     # each ±5 s join band holds a bounded row set, with a selective
     # residual theta predicate (value mod 1009 equality) — the
     # reference ThetaJoin benchmark shape (selective predicate over a
-    # symmetric time window). Smaller batches: per-batch cost is the
-    # in-band pair scan, not row ingest.
-    def theta_side(rows_per_batch: int, alias: str):
+    # symmetric time window). Full-size batches: Catalyst extracts the
+    # equi residual into the symmetric-hash-join key, so per-batch cost
+    # is row ingest + state commit, NOT an in-band pair scan (the
+    # smaller-batch shrink this shape used through round 6 was a
+    # leftover from the pre-equi-key nested-loop plan, and parked the
+    # measurement on the per-batch state-commit floor).
+    def theta_side(rows_per_batch: int, alias: str, spread_ms: int):
         s = rate_micro_batch_source(
             spark,
             rows_per_batch=rows_per_batch,
@@ -126,20 +134,19 @@ def main() -> None:
         return s.select(
             F.timestamp_millis(
                 F.unix_millis(F.col("timestamp"))
-                + (F.col("value") * 7) % 600_000
+                + (F.col("value") * 7) % spread_ms
             ).alias(f"{alias}_ts"),
             F.col("value").alias(f"{alias}_v"),
         )
 
-    def theta_shape():
+    def theta_shape(spread_ms: int = 600_000, modulus: int = 1009):
         from lightsaber_spark.streaming.stream import streaming_theta_join
 
-        n = max(args.rows_per_batch // 10, 10_000)
-        left = theta_side(n, "l")
-        right = theta_side(n, "r")
+        left = theta_side(args.rows_per_batch, "l", spread_ms)
+        right = theta_side(args.rows_per_batch, "r", spread_ms)
         return streaming_theta_join(
             left, right,
-            (F.col("l_v") % 1009) == (F.col("r_v") % 1009),
+            (F.col("l_v") % modulus) == (F.col("r_v") % modulus),
             "l_ts", "r_ts", max_delta_sec=5, watermark="10 seconds",
         )
 
@@ -158,10 +165,10 @@ def main() -> None:
             s, "ts", 30, [("sum", "v", "sum_v"), ("count", None, "n")], ["key"]
         )
 
-    # theta shape feeds max(rows_per_batch//10, 10k) rows per SIDE —
-    # its real per-batch ingest (both sides) differs from the global
-    # --rows-per-batch and must be reported per shape, not globally
-    theta_rows_per_batch = 2 * max(args.rows_per_batch // 10, 10_000)
+    # theta shape feeds --rows-per-batch rows per SIDE — its real
+    # per-batch ingest (both sides) differs from the global figure and
+    # must be reported per shape, not globally
+    theta_rows_per_batch = 2 * args.rows_per_batch
     shapes = {
         # pure ingest+project: the data-movement ceiling (NoOp analog)
         "passthrough": (lambda: base(), args.rows_per_batch),
@@ -178,8 +185,28 @@ def main() -> None:
             watermark="10 seconds",
         ), args.rows_per_batch),
         # stream-stream theta join (band-bucketized symmetric hash join
-        # + residual predicate) — rows/s counts BOTH input sides
-        "theta_join_band_5s": (theta_shape, theta_rows_per_batch),
+        # + residual predicate) — rows/s counts BOTH input sides. State
+        # partitions sized to the node (--join-parts): a stream-stream
+        # join runs FOUR state-store instances per partition (2 sides x
+        # 2 internal stores), each fsyncing a commit per batch; on one
+        # local disk the per-store commit degrades superlinearly with
+        # instance count (measured 36/57/146/350 ms per store at
+        # 4/8/16/32 partitions), so 32 partitions spend the whole batch
+        # in commit. On a real cluster the instances spread across
+        # executors' disks — there, size state partitions to cores.
+        "theta_join_band_5s": (theta_shape, theta_rows_per_batch,
+                               {"spark.sql.shuffle.partitions":
+                                str(args.join_parts)}),
+        # dense variant: 15 s event-time spread, so every row enters
+        # state (the 600 s shape drops ~98 % as late) — the full
+        # state-insert bound of the symmetric hash join. The residual
+        # is exact value equality (values are unique per batch per
+        # side), so each row joins its one twin: output stays ~n while
+        # state insert/evict churn is the full 2n per batch.
+        "theta_join_band_5s_dense": (
+            lambda: theta_shape(15_000, modulus=1 << 62),
+            theta_rows_per_batch,
+            {"spark.sql.shuffle.partitions": str(args.join_parts)}),
         # session windows (30 s gap) over spread event time
         "session_windows_30s": (session_shape, args.rows_per_batch),
     }
@@ -187,8 +214,17 @@ def main() -> None:
         wanted = args.shapes.split(",")
         shapes = {n: shapes[n] for n in wanted}
     results = {}
-    for name, (mk, per_batch) in shapes.items():
-        results[name] = _measure(spark, name, mk, args.batches)
+    for name, entry in shapes.items():
+        mk, per_batch = entry[0], entry[1]
+        conf = entry[2] if len(entry) > 2 else {}
+        saved = {k: spark.conf.get(k) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            results[name] = _measure(spark, name, mk, args.batches)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         results[name]["rows_per_batch"] = per_batch
         r = results[name]
         print(
@@ -230,6 +266,54 @@ def main() -> None:
             "(the throughput/latency trade micro-batching makes) — the "
             "per-ROW cost of the windowed aggregation itself is the "
             "8M-rows/batch row.",
+            "",
+            "## Stream-stream theta join: root cause of the round-5/6 "
+            "72-77 K rows/s readings",
+            "",
+            "Two compounding measurement artifacts, both fixed in round "
+            "7, plus one real tuning lever:",
+            "",
+            "1. **Batch size**: the shape fed `rows_per_batch // 10` "
+            "rows per side (a leftover guard from the pre-equi-key "
+            "nested-loop plan) AND the table reported the global "
+            "rows/batch for it, so the recorded point sat at 100 K "
+            "rows/side — entirely on the per-batch state-commit floor "
+            "(~2.8 s/batch at 32 partitions regardless of rows). "
+            "Catalyst extracts the equality conjunct of the theta "
+            "predicate into the symmetric-hash-join key (plan shows "
+            "`StreamingSymmetricHashJoin [_tj_bkt, (l_v % 1009)]`), so "
+            "full-size batches are row-ingest-bound, not pair-scan-"
+            "bound: the shape now feeds `--rows-per-batch` per side.",
+            "2. **State-store instance count**: a stream-stream join "
+            "runs FOUR state-store instances per partition (2 sides × "
+            "KeyToNumValues + KeyWithIndexToValue); each commits "
+            "(fsync) every batch. Measured per-store commit on this "
+            "node's single disk: 36 / 57 / 146 / 350 ms at 4 / 8 / 16 / "
+            "32 partitions — superlinear queueing, so 32 partitions × "
+            "4 instances spend the whole batch in commit (44.8 s summed "
+            "commit per batch). The shape now runs at `--join-parts` "
+            "(default 8) state partitions, the measured sweet spot for "
+            "one disk (0.55 M → 1.34 M rows/s at 800 K rows/side). On a "
+            "real cluster the instances spread across executors' disks; "
+            "size state partitions to cores there. RocksDB alternative: "
+            "`spark.sql.streaming.join.stateFormatVersion=3` collapses "
+            "the 4 instances into one column-family store (measured "
+            "1.05 M rows/s at 32 partitions with changelog "
+            "checkpointing).",
+            "",
+            "Also honest to note: this shape spreads event time over a "
+            "600 s domain against a 10 s watermark, so in steady state "
+            "~98 % of rows are dropped as late inside the join operator "
+            "(state updates ≈ 2 % of ingest). A dense variant (15 s "
+            "spread + exact-equality residual, so every row enters "
+            "state and joins its one twin) measures the full "
+            "state-insert path instead; both are reported below. The "
+            "`--join-parts` optimum also shifts with batch size: 8 "
+            "partitions is commit-floor-optimal at the 1 M-rows/side "
+            "operating point but shuffle/memory-bound at 8 M rows/side "
+            "(the 16 M-rows/batch sweep row) — on one node the two "
+            "costs trade against the same disk, on a cluster they "
+            "don't.",
             "",
             "| shape | state store | rows/batch | steady rows/s | rows | steady secs |",
             "|---|---|---|---|---|---|",
