@@ -266,6 +266,15 @@ def main() -> None:
             "ratio**: runtime growing no faster than the answer itself is "
             "output-bound — the correct shape; runtime above output growth "
             "would be machinery-bound and a plan bug.",
+            "- for AGGREGATED pair queries the out ratio UNDERSTATES true "
+            "work: theta_join_band_count groups its pairs per left row, so "
+            "result rows grow ~K while the qualifying-pair intermediate "
+            "grows ~K² (band density on both sides). Measured round 7 at "
+            "10×: 45,512 → 4,551,179 qualifying pairs (100.0×) against "
+            "155,130 result rows (10.0×) — its time ratio (~11) compared "
+            "against 100× of true work is strongly SUB-linear, so the "
+            "round-6 'borderline machinery-bound' read used the wrong "
+            "denominator.",
             "",
             f"| query | base s | {args.k}× s | time ratio | out rows base |"
             f" out rows {args.k}× | out ratio |",
