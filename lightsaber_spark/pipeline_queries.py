@@ -2298,10 +2298,20 @@ def q_delta_vs_corpus(spark, sf_dir):
     (``minhash_band_keys_udf`` — bit-identical to the relational
     signature path, so one code path serves batch, delta, and
     streaming ingest)."""
-    from lightsaber_spark.functions.dedup import minhash_band_keys_udf
+    from lightsaber_spark.functions.dedup import (
+        minhash_band_keys_udf,
+        register_cache,
+    )
+    from lightsaber_spark.functions.multimodal import _spread_ids
     from lightsaber_spark.functions.text import normalize_text
 
-    docs = _docs(spark, sf_dir)
+    # the Arrow band-key UDF is the cost: spread the single-partition
+    # parquet input across cores and pin the projection once — delta,
+    # corpus, and both UDF passes all branch from it (same pattern and
+    # ~30% measured win as corpus_data_card)
+    docs = register_cache(
+        _spread_ids(_docs(spark, sf_dir).select("doc_id", "text"))
+    )
     is_delta = F.col("doc_id") % 10 == 0
     # the shipped corpus has no exact duplicates at any scale, so the
     # delta batch is augmented with exact COPIES of corpus docs
