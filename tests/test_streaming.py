@@ -6,6 +6,7 @@ operator."""
 
 from __future__ import annotations
 
+import re
 import time
 
 import pytest
@@ -1152,3 +1153,42 @@ def test_streaming_float32_outputs_match_batch_bitwise(
         float_tol=0.0,
     )
     assert ok, msg
+
+
+def test_streaming_theta_equi_conjunct_joins_on_key(spark, events, events_stream_src, tmp_path):
+    """Plan contract for the round-7 throughput finding: an equality
+    conjunct of the theta predicate must be extracted into the
+    symmetric-hash-join KEY (alongside the time bucket), not left as a
+    post-join residual — otherwise each bucket degenerates to a nested
+    scan and throughput collapses ~20x (STREAM_BENCH.md root cause)."""
+    from lightsaber_spark.streaming.stream import streaming_theta_join
+
+    l = _stream(spark, events_stream_src).select(
+        F.col("ts").alias("l_ts"), F.col("value").alias("l_v")
+    )
+    r = _stream(spark, events_stream_src).select(
+        F.col("ts").alias("r_ts"), F.col("value").alias("r_v")
+    )
+    j = streaming_theta_join(
+        l, r,
+        (F.col("l_v") % 101) == (F.col("r_v") % 101),
+        "l_ts", "r_ts", 120,
+    )
+    q = (
+        j.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_plan"))
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    # PySpark's StreamingQuery.explain prints rather than returns —
+    # grab the executed plan from the JVM instead
+    jplan = q._jsq.explainInternal(False)
+    m = re.search(r"StreamingSymmetricHashJoin \[([^\]]*)\], \[([^\]]*)\]", jplan)
+    assert m, jplan
+    left_keys, right_keys = m.group(1), m.group(2)
+    assert "_tj_bkt" in left_keys and "% 101" in left_keys, left_keys
+    assert "_tj_bkt" in right_keys and "% 101" in right_keys, right_keys
