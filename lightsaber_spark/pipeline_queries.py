@@ -12,6 +12,9 @@ reproduce identical signatures.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import functions as F
 
 from lightsaber_spark.session import load_tables
@@ -2052,10 +2055,27 @@ def q_rare_token_counts(spark, sf_dir):
 # a k-gram shared with another document. duplicated_passages_k10 finds
 # the passages; this measures the cut.
 # ---------------------------------------------------------------------------
-_PASSAGE_INDEX_CACHE: dict[tuple[str, str, int], "DataFrame"] = {}
+_PASSAGE_INDEX_CACHE: dict[tuple[int, str, str, int], "DataFrame"] = {}
 
 
-def _passage_index(spark, sf_dir, k):
+def release_passage_index() -> int:
+    """Explicit release hook for the shared passage index: unpersist
+    and drop every cached entry, returning how many were released.
+    Harnesses that run the passage queries once (or 100 TB jobs that
+    prefer the parquet materialization below) call this to reclaim the
+    corpus-sized persist immediately instead of at session death."""
+    n = 0
+    for df in _PASSAGE_INDEX_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        n += 1
+    _PASSAGE_INDEX_CACHE.clear()
+    return n
+
+
+def _passage_index(spark, sf_dir, k, materialize_dir=None):
     """Shared persisted positional-shingle index ``(doc_id, pos, h)``
     over documents — built ONCE per (session, sf_dir, k) and reused by
     both ``dedup_passage_coverage_k10`` and ``dedup_passage_scrub_k10``
@@ -2063,20 +2083,40 @@ def _passage_index(spark, sf_dir, k):
     multiply-referenced-subplan rule, applied across the query
     boundary). Deliberately OUTSIDE the per-query ``register_cache``
     lifecycle — the harnesses release that after every query, which
-    would defeat cross-query sharing; the footprint is bounded at one
-    60-bit hash + two bigints per corpus token position, and entries
-    from dead sessions are pruned by application id."""
+    would defeat cross-query sharing.
+
+    Scale note (100 TB): the persisted footprint is one 60-bit hash +
+    two bigints PER CORPUS TOKEN POSITION (~24 B/token) — fine at
+    bench scale, corpus-sized at 100 TB. Past the point where the
+    index no longer fits the cluster's storage-memory fraction
+    (roughly: corpus tokens × 24 B > executors × storage memory),
+    pass ``materialize_dir`` (or set ``$LIGHTSABER_PASSAGE_INDEX_DIR``)
+    to write the index to parquet once and stream it from disk instead
+    of ``persist()`` — or call :func:`release_passage_index` after the
+    passage queries to reclaim the memory eagerly.
+
+    Cache lifecycle: keyed by ``(id(spark), applicationId, sf_dir,
+    k)`` — ``id(spark)`` because a FRESH SparkSession can share one
+    SparkContext (same applicationId) while its cached DataFrames are
+    bound to the dead session; stale entries (any other session OR
+    app) are best-effort ``unpersist()``-ed before being dropped."""
     from lightsaber_spark.functions.dedup import (
         positional_shingles_udf,
         shingle_hash,
     )
 
+    if materialize_dir is None:
+        materialize_dir = os.environ.get("LIGHTSABER_PASSAGE_INDEX_DIR")
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir, k)
+    key = (id(spark), app, sf_dir, k)
     got = _PASSAGE_INDEX_CACHE.get(key)
     if got is not None:
         return got
-    for old in [x for x in _PASSAGE_INDEX_CACHE if x[0] != app]:
+    for old in [x for x in _PASSAGE_INDEX_CACHE if x[:2] != key[:2]]:
+        try:
+            _PASSAGE_INDEX_CACHE[old].unpersist()
+        except Exception:
+            pass
         del _PASSAGE_INDEX_CACHE[old]
     idx = (
         _docs(spark, sf_dir)
@@ -2091,8 +2131,19 @@ def _passage_index(spark, sf_dir, k):
             F.col("pos").cast("bigint").alias("pos"),
             shingle_hash(F.col("_sh")).alias("h"),
         )
-        .persist()
     )
+    if materialize_dir:
+        # 100 TB path: one parquet write, then disk-backed scans — no
+        # executor-memory persist of a corpus-sized relation.
+        path = os.path.join(
+            materialize_dir,
+            f"passage_index_k{k}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        )
+        if not os.path.isdir(path):
+            idx.write.mode("overwrite").parquet(path)
+        idx = spark.read.parquet(path)
+    else:
+        idx = idx.persist()
     _PASSAGE_INDEX_CACHE[key] = idx
     return idx
 

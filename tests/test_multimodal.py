@@ -138,3 +138,51 @@ def test_video_container_roundtrip_and_corruption():
     corrupted = decode_video(bytes(bad))
     with pytest.raises(ValueError):
         decode_png(corrupted[0])
+
+
+def test_spread_gate_marker_named_columns_still_spread(spark):
+    """Round-7 verdict hardening: the laziness gate parses node NAMES
+    at plan-tree line starts, so a column whose name contains a marker
+    word ('window_start', 'SortKey') must NOT disable the spread."""
+    from lightsaber_spark.functions.multimodal import (
+        _plan_is_shuffle_free,
+        _spread_ids,
+    )
+
+    df = spark.range(10).select(
+        F.col("id").alias("window_start"), (F.col("id") % 3).alias("SortKey")
+    )
+    assert _plan_is_shuffle_free(df)
+    target = spark.sparkContext.defaultParallelism
+    spread = _spread_ids(df)
+    assert spread.rdd.getNumPartitions() >= min(target, 10) or target <= 1
+
+
+def test_spread_gate_declines_probe_on_shuffling_plans(spark):
+    """Nodes outside the allowlist — including Deduplicate (rendered
+    by .distinct(), absent from the old substring blocklist) and
+    GlobalLimit — must make the gate pass the input through untouched
+    (no eager AQE-stage probe, no repartition)."""
+    from lightsaber_spark.functions.multimodal import (
+        _plan_is_shuffle_free,
+        _spread_ids,
+    )
+
+    shuffling = [
+        spark.range(10).distinct(),                      # Deduplicate
+        spark.range(10).groupBy("id").count(),           # Aggregate
+        spark.range(10).orderBy("id"),                   # Sort
+        spark.range(10).limit(3),                        # GlobalLimit
+        spark.range(10).repartition(4),                  # Repartition
+    ]
+    for df in shuffling:
+        assert not _plan_is_shuffle_free(df), df._jdf.queryExecution().analyzed().toString()
+        assert _spread_ids(df) is df
+
+
+def test_spread_gate_allows_scan_filter_projection(spark, tables):
+    from lightsaber_spark.functions.multimodal import _plan_is_shuffle_free
+
+    docs = tables["documents"]
+    assert _plan_is_shuffle_free(docs.select("doc_id"))
+    assert _plan_is_shuffle_free(docs.filter("doc_id > 3").select("doc_id"))

@@ -1,10 +1,15 @@
-"""The shared passage index must be built once per (session, sf, k)."""
+"""The shared passage index must be built once per (session, sf, k),
+prune (and unpersist) entries of dead sessions, and offer the 100 TB
+parquet-materialization escape hatch."""
 
 from __future__ import annotations
+
+import os
 
 from lightsaber_spark.pipeline_queries import (
     _PASSAGE_INDEX_CACHE,
     _passage_index,
+    release_passage_index,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -24,6 +29,49 @@ def test_passage_index_is_cached_per_session(spark):
     assert a.storageLevel.useMemory or a.storageLevel.useDisk
     # schema contract both consumers rely on
     assert [f.name for f in a.schema.fields] == ["doc_id", "pos", "h"]
-    for df in (a, c):
-        df.unpersist()
+    # cache key carries the SESSION identity, not just applicationId
+    # (a fresh session on the same context must not see a cached
+    # DataFrame bound to a dead session)
+    assert all(k[0] == id(spark) for k in _PASSAGE_INDEX_CACHE)
+    assert release_passage_index() == 2
+    assert not _PASSAGE_INDEX_CACHE
+    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
+
+
+def test_passage_index_prunes_and_unpersists_stale_sessions(spark):
     _PASSAGE_INDEX_CACHE.clear()
+    a = _passage_index(spark, SF, 10)
+    # simulate an entry left behind by a dead session: same app id,
+    # different session identity
+    key = next(iter(_PASSAGE_INDEX_CACHE))
+    stale_key = (key[0] + 1,) + key[1:]
+    _PASSAGE_INDEX_CACHE[stale_key] = _PASSAGE_INDEX_CACHE.pop(key)
+    # distinct k -> distinct logical plan, so a's storageLevel reflects
+    # only the pruning unpersist (Spark's cache manager keys by plan)
+    b = _passage_index(spark, SF, 5)
+    assert b is not a, "stale-session entry must not be returned"
+    assert stale_key not in _PASSAGE_INDEX_CACHE, "stale entry pruned"
+    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk, (
+        "pruned entry must be unpersisted"
+    )
+    release_passage_index()
+
+
+def test_passage_index_materialize_dir(spark, tmp_path):
+    _PASSAGE_INDEX_CACHE.clear()
+    d = str(tmp_path / "pidx")
+    os.makedirs(d, exist_ok=True)
+    a = _passage_index(spark, SF, 10, materialize_dir=d)
+    # parquet-backed: no executor-memory persist
+    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
+    sub = [p for p in os.listdir(d) if p.startswith("passage_index_k10_")]
+    assert len(sub) == 1, "index written once under materialize_dir"
+    # same values as the persisted path
+    release_passage_index()
+    b = _passage_index(spark, SF, 10)
+    assert a.count() == b.count()
+    assert (
+        a.selectExpr("sum(h % 1000003) s").collect()[0].s
+        == b.selectExpr("sum(h % 1000003) s").collect()[0].s
+    )
+    release_passage_index()

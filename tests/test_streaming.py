@@ -1190,5 +1190,12 @@ def test_streaming_theta_equi_conjunct_joins_on_key(spark, events, events_stream
     m = re.search(r"StreamingSymmetricHashJoin \[([^\]]*)\], \[([^\]]*)\]", jplan)
     assert m, jplan
     left_keys, right_keys = m.group(1), m.group(2)
-    assert "_tj_bkt" in left_keys and "% 101" in left_keys, left_keys
-    assert "_tj_bkt" in right_keys and "% 101" in right_keys, right_keys
+    # Loose on purpose (round-7 advice): the rendered modulo text
+    # varies across Spark versions ('(l_v % 101)' vs 'pmod(...)'), so
+    # require the bucket column PLUS at least one more key expression
+    # containing the conjunct's literal — not an exact rendering.
+    for keys in (left_keys, right_keys):
+        assert "_tj_bkt" in keys, keys
+        exprs = [e for e in keys.split(", ") if e]
+        assert len(exprs) >= 2, keys
+        assert "101" in keys, keys
