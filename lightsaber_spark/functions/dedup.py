@@ -126,6 +126,61 @@ def keep_representatives(
     ).drop("_rep")
 
 
+def line_dedup_stats(
+    df: DataFrame,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate dedup stats (CCNet / RefinedWeb style:
+    drop lines repeated across many documents — nav bars, cookie
+    banners, footers). Per document: total non-empty lines, how many
+    are boilerplate (line doc-frequency >= ``min_df``), how many
+    survive, and the character mass removed.
+
+    Shape at 100 TB: explode → 60-bit line-hash (bounded-width join
+    key, never the raw line text) → one doc-frequency aggregation →
+    filter to the BOILERPLATE set only (df >= min_df — the broadcast
+    side is the small flagged-line table, ~corpus_lines/min_df worst
+    case and tiny in practice, never the full distinct-line table) →
+    LEFT equi-join back on the hash → one per-doc aggregation. No
+    collects, no all-pairs; AQE falls back to sort-merge if the
+    flagged set ever outgrows the broadcast threshold.
+
+    Documents whose text contains no non-empty line produce no output
+    row (nothing to keep or drop). Duplicate lines WITHIN one document
+    count once per occurrence in ``n_lines``/``chars_removed`` but all
+    occurrences share the line's corpus-wide doc-frequency.
+    """
+    lines = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
+        .select(F.col(id_col), F.trim(F.col("_l")).alias("_line"))
+        .filter(F.col("_line") != "")
+        .select(
+            F.col(id_col),
+            shingle_hash(F.col("_line")).alias("lh"),
+            F.length(F.col("_line")).cast("bigint").alias("_len"),
+        )
+    )
+    flagged = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh", F.lit(1).alias("_boiler"))
+    )
+    boiler = F.col("_boiler").isNotNull().cast("bigint")
+    return (
+        lines.join(flagged, "lh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(boiler).alias("n_boilerplate"),
+            (F.count(F.lit(1)) - F.sum(boiler)).alias("n_kept"),
+            F.sum(F.col("_len") * boiler).alias("chars_removed"),
+        )
+    )
+
+
 def shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
     persist: bool = True,

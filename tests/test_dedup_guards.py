@@ -26,3 +26,45 @@ def test_duplicate_groups_one_iter_is_valid(spark):
         for r in duplicate_groups(pairs, iters=1).collect()
     }
     assert rows == {1: 1, 2: 1}
+
+
+def test_line_dedup_stats_flags_exactly_the_repeated_lines(spark):
+    """Hand-computed fixture: the shared footer (df=3 >= min_df=3) is
+    boilerplate; body lines and unique trailers (df=1) are kept; empty
+    and whitespace-only lines are ignored; a line repeated twice
+    WITHIN one doc counts both occurrences but one doc-frequency."""
+    from lightsaber_spark.functions.dedup import line_dedup_stats
+
+    footer = "all rights reserved"
+    rows = [
+        (1, f"alpha body one\n{footer}\nref 1"),
+        (2, f"beta body two\n\n   \n{footer}\nref 2"),
+        (3, f"{footer}\ngamma body\n{footer}\nref 3"),  # footer twice
+        (4, "delta body only\nref 4"),                  # no footer
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_boilerplate, r.n_kept, r.chars_removed)
+        for r in line_dedup_stats(df, min_df=3).collect()
+    }
+    L = len(footer)
+    assert got == {
+        1: (3, 1, 2, L),
+        2: (3, 1, 2, L),
+        3: (4, 2, 2, 2 * L),
+        4: (2, 0, 2, 0),
+    }
+
+
+def test_line_dedup_stats_threshold_boundary(spark):
+    """df == min_df is boilerplate; df == min_df - 1 is not."""
+    from lightsaber_spark.functions.dedup import line_dedup_stats
+
+    rows = [(i, "shared in two\nshared in three\nuniq %d" % i) for i in (1, 2)]
+    rows.append((3, "shared in three\nuniq 3"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_lines, r.n_boilerplate) for r in line_dedup_stats(df, min_df=3).collect()
+    }
+    # 'shared in three' df=3 -> boilerplate; 'shared in two' df=2 -> kept
+    assert got == {1: (3, 1), 2: (3, 1), 3: (2, 1)}
