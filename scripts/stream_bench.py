@@ -43,6 +43,7 @@ def _measure(spark, name: str, make_stream, batches: int) -> dict:
     try:
         while len(listener.metrics) < batches:
             time.sleep(0.2)
+        state_ops = (q.lastProgress or {}).get("stateOperators", [])
     finally:
         # stopping aborts the in-flight batch — the CANNOT_COMMIT /
         # NoopStreamingWrite-abort ERRORs it logs are expected noise,
@@ -55,12 +56,29 @@ def _measure(spark, name: str, make_stream, batches: int) -> dict:
     secs = sum(
         m.duration_ms.get("triggerExecution", 0) for m in steady
     ) / 1000.0
-    return {
+    out = {
         "rows": rows,
         "secs": round(secs, 3),
         "rows_per_sec": round(rows / secs) if secs else None,
         "batches_measured": len(steady),
     }
+    if state_ops:
+        # last steady batch's state-operator metrics: where the time
+        # went (update vs removal vs commit) and how big state is —
+        # the attribution data for stateful-shape floors
+        out["state_last_batch"] = [
+            {
+                k: op.get(k)
+                for k in (
+                    "operatorName", "numRowsTotal", "numRowsUpdated",
+                    "numRowsRemoved", "allUpdatesTimeMs",
+                    "allRemovalsTimeMs", "commitTimeMs",
+                    "stateMemory",
+                )
+            }
+            for op in state_ops
+        ]
+    return out
 
 
 def main() -> None:
@@ -80,6 +98,9 @@ def main() -> None:
                          "(default: all) — used by the batch-size sweep")
     ap.add_argument("--append", action="store_true",
                     help="append rows to --write instead of rewriting")
+    ap.add_argument("--conf", action="append", default=[],
+                    help="extra spark conf as key=value (repeatable) — "
+                         "e.g. spark.sql.streaming.join.stateFormatVersion=3")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -90,6 +111,9 @@ def main() -> None:
 
     spark = get_spark(app_name="stream-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     if args.rocksdb:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",

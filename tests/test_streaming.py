@@ -1199,3 +1199,69 @@ def test_streaming_theta_equi_conjunct_joins_on_key(spark, events, events_stream
         exprs = [e for e in keys.split(", ") if e]
         assert len(exprs) >= 2, keys
         assert "101" in keys, keys
+
+
+def test_streaming_neardup_lsh_checkpoint_restart(spark, tmp_path):
+    """The LSH anchor state ((band, bucket) -> first claiming doc)
+    must survive a stop/restart: feed the low-id half of the corpus,
+    stop, add the high-id half, restart from the same checkpoint — the
+    union of flags equals an uninterrupted batch verdict, and at least
+    one phase-2 doc collides with a PHASE-1 anchor (i.e. the bucket
+    claim was recovered from the checkpoint, not recomputed)."""
+    from lightsaber_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        release_shingle_caches,
+    )
+    from lightsaber_spark.session import load_tables
+    from lightsaber_spark.streaming.stream import streaming_neardup_lsh
+
+    docs = load_tables(spark, SF_DIR, ("documents",))["documents"]
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    first = docs.filter(F.col("doc_id") <= mid)
+    second = docs.filter(F.col("doc_id") > mid)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = docs.schema
+
+    def run_phase():
+        stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+        s = streaming_neardup_lsh(stream)
+
+        def write(batch, _bid):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            s.writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # in-order contract: ids must not regress across batches, so the
+    # low-id half streams first
+    first.sort("doc_id").coalesce(1).write.mode("append").parquet(src)
+    run_phase()
+    second.sort("doc_id").coalesce(1).write.mode("append").parquet(src)
+    run_phase()
+
+    flagged = spark.read.parquet(out)
+    got = {r.doc_id for r in flagged.select("doc_id").collect()}
+    cross = flagged.filter(
+        (F.col("doc_id") > mid) & (F.col("anchor_id") <= mid)
+    ).count()
+
+    try:
+        want = {
+            r.id_b for r in minhash_lsh_candidates(docs).select("id_b").collect()
+        }
+    finally:
+        release_shingle_caches()
+    assert got == want and len(want) > 0
+    assert cross > 0, (
+        "no phase-2 doc collided with a phase-1 anchor — state was not "
+        "recovered across the restart"
+    )
