@@ -88,6 +88,12 @@ def main() -> None:
                     help="state partitions for the stream-stream join "
                          "shape (sized to this node's single disk; see "
                          "the shape comment)")
+    ap.add_argument("--dense-join-parts", type=int, default=16,
+                    help="state partitions for the DENSE join shape — "
+                         "its optimum differs from the sparse shape's "
+                         "(state-churn parallelism vs commit queueing; "
+                         "measured round 8: 16 for hdfs, 32 for rocksdb"
+                         "+changelog)")
     ap.add_argument("--batches", type=int, default=12)
     ap.add_argument("--write", default=None)
     ap.add_argument("--rocksdb", action="store_true",
@@ -227,10 +233,16 @@ def main() -> None:
         # is exact value equality (values are unique per batch per
         # side), so each row joins its one twin: output stays ~n while
         # state insert/evict churn is the full 2n per batch.
+        # Partitioning: unlike the sparse shape (commit-queueing-bound,
+        # optimum 8 on one disk), dense is bound by the PER-PARTITION
+        # single-threaded state update+eviction walk, so it wants MORE
+        # partitions — measured optimum 16 (hdfs) / 32 (rocksdb WITH
+        # changelog checkpointing, which turns the 32 commits into
+        # cheap appends); see STREAM_BENCH.md round-8 section.
         "theta_join_band_5s_dense": (
             lambda: theta_shape(15_000, modulus=1 << 62),
             theta_rows_per_batch,
-            {"spark.sql.shuffle.partitions": str(args.join_parts)}),
+            {"spark.sql.shuffle.partitions": str(args.dense_join_parts)}),
         # session windows (30 s gap) over spread event time
         "session_windows_30s": (session_shape, args.rows_per_batch),
     }
@@ -338,6 +350,18 @@ def main() -> None:
             "(the 16 M-rows/batch sweep row) — on one node the two "
             "costs trade against the same disk, on a cluster they "
             "don't.",
+            "",
+            "Round-8 dense findings (full matrix in the round-8 "
+            "section when present): the DENSE shape is bound by the "
+            "per-partition single-threaded state walk, not commit, so "
+            "it runs at `--dense-join-parts` (16 hdfs / 32 rocksdb "
+            "with changelog checkpointing — 3.6-3.9x the r7 row at "
+            "the 8-12-batch protocol). Two caveats that protocol "
+            "hides: state doesn't reach insert/evict equilibrium "
+            "until ~batch 20 (33.6 M rows; sustained rocksdb rate "
+            "137.8 K rows/s), and the hdfs-backed store OOMs a 24 g "
+            "driver before batch ~15 at that state size — rocksdb is "
+            "the only sustainable store for dense state on one node.",
             "",
             "| shape | state store | rows/batch | steady rows/s | rows | steady secs |",
             "|---|---|---|---|---|---|",
