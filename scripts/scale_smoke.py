@@ -69,6 +69,8 @@ QUERIES = [
     "mixture_apply_quotas",
     "minhash_jaccard_calibration",
     "media_ahash_spectrum",
+    # round 8
+    "text_line_dedup_stats",
 ]
 
 _COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")
