@@ -181,6 +181,51 @@ def line_dedup_stats(
     )
 
 
+def line_dedup_scrub(
+    df: DataFrame,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL half of :func:`line_dedup_stats` (CCNet applied):
+    drop every boilerplate line (corpus doc-frequency >= ``min_df``)
+    and re-assemble the surviving lines in original order, verified by
+    md5 — a single mis-cut or re-ordered line diverges. Empty /
+    whitespace-only lines are not content and are dropped on both
+    engines; documents whose every line is boilerplate drop out.
+
+    Same 100 TB shape as the stats query: the only joined relation is
+    the small flagged-line set (anti-join on the 60-bit hash); the
+    per-doc reassembly is one aggregation over the doc's own lines."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_l"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.trim(F.col("_l")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("lh", shingle_hash(F.col("line")))
+    )
+    flagged = (
+        lines.groupBy("lh")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lh")
+    )
+    kept = lines.join(flagged, "lh", "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda x: x["line"]), "\n")
+        ).alias("clean_md5"),
+    )
+
+
 def shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
     persist: bool = True,

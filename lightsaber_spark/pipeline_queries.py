@@ -378,9 +378,16 @@ def q_text_line_dedup_stats(spark, sf_dir):
     exactly the footers and keep body + trailer lines."""
     from lightsaber_spark.functions.dedup import line_dedup_stats
 
+    return line_dedup_stats(_aug_boilerplate_docs(spark, sf_dir), min_df=5)
+
+
+def _aug_boilerplate_docs(spark, sf_dir):
+    """The shared footer-injected corpus both line-dedup queries run
+    over (footer A every 3rd doc, footer B every 5th, unique trailer
+    on all — see ``text_line_dedup_stats``)."""
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
-    aug = docs.select(
+    return docs.select(
         "doc_id",
         F.concat_ws(
             "\n",
@@ -390,7 +397,45 @@ def q_text_line_dedup_stats(spark, sf_dir):
             F.concat(F.lit("ref id "), did.cast("string")),
         ).alias("text"),
     )
-    return line_dedup_stats(aug, min_df=5)
+
+
+_LINE_AUG_SQL = f"""
+      SELECT doc_id,
+             concat_ws(chr(10), text,
+               CASE WHEN doc_id % 3 = 0 THEN '{_FOOTER_A}' END,
+               CASE WHEN doc_id % 5 = 0 THEN '{_FOOTER_B}' END,
+               'ref id ' || CAST(doc_id AS VARCHAR)) AS text
+      FROM documents"""
+
+
+@query(
+    "text_line_dedup_scrub",
+    f"""
+    WITH aug AS ({_LINE_AUG_SQL}),
+    parts AS (SELECT doc_id, string_split(text, chr(10)) AS p FROM aug),
+    ln AS (SELECT doc_id,
+                  CAST(unnest(range(len(p))) AS BIGINT) AS pos,
+                  trim(unnest(p)) AS line
+           FROM parts),
+    nz AS (SELECT doc_id, pos, line, {H60.format(x='line')} AS lh
+           FROM ln WHERE line <> ''),
+    flagged AS (SELECT lh FROM nz GROUP BY lh
+                HAVING count(DISTINCT doc_id) >= 5),
+    kept AS (SELECT doc_id, pos, line FROM nz
+             WHERE lh NOT IN (SELECT lh FROM flagged))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+           md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+    FROM kept GROUP BY 1
+    """,
+)
+def q_text_line_dedup_scrub(spark, sf_dir):
+    """The removal half of ``text_line_dedup_stats``: materialize the
+    boilerplate-scrubbed corpus (kept lines re-joined in original
+    order), md5-verified per document — same construction as
+    ``dedup_passage_scrub_k10`` does for passage-level removal."""
+    from lightsaber_spark.functions.dedup import line_dedup_scrub
+
+    return line_dedup_scrub(_aug_boilerplate_docs(spark, sf_dir), min_df=5)
 
 
 @query(

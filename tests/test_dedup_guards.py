@@ -56,6 +56,38 @@ def test_line_dedup_stats_flags_exactly_the_repeated_lines(spark):
     }
 
 
+def test_line_dedup_scrub_reassembles_kept_lines_in_order(spark):
+    """Hand-computed fixture for the removal half: clean_md5 must equal
+    md5 of the surviving lines re-joined in ORIGINAL order (trimmed,
+    blanks dropped), and a document whose every line is boilerplate
+    must drop out of the result entirely."""
+    import hashlib
+
+    from lightsaber_spark.functions.dedup import line_dedup_scrub
+
+    footer = "all rights reserved"
+    rows = [
+        (1, f"alpha body one\n{footer}\nref 1"),
+        (2, f"beta body two\n\n   \n{footer}\nref 2"),
+        (3, f"{footer}\ngamma body\n{footer}\nref 3"),
+        (4, f"{footer}\n\n{footer}"),  # all-boilerplate: drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_kept, r.clean_md5)
+        for r in line_dedup_scrub(df, min_df=3).collect()
+    }
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got == {
+        1: (2, h("alpha body one\nref 1")),
+        2: (2, h("beta body two\nref 2")),
+        3: (2, h("gamma body\nref 3")),
+    }
+
+
 def test_line_dedup_stats_threshold_boundary(spark):
     """df == min_df is boilerplate; df == min_df - 1 is not."""
     from lightsaber_spark.functions.dedup import line_dedup_stats
