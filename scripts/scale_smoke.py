@@ -71,6 +71,7 @@ QUERIES = [
     "media_ahash_spectrum",
     # round 8
     "text_line_dedup_stats",
+    "text_line_dedup_scrub",
 ]
 
 _COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")
