@@ -10,6 +10,7 @@ from lightsaber_spark.streaming.stream import (
     streaming_asof_backward,
     streaming_dedup,
     streaming_gapfill_count,
+    streaming_line_boilerplate,
     streaming_neardup_lsh,
     streaming_order_violations,
     streaming_post_window_argmax,
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_funnel",
     "streaming_gapfill_count",
+    "streaming_line_boilerplate",
     "streaming_neardup_lsh",
     "streaming_order_violations",
     "streaming_post_window_argmax",

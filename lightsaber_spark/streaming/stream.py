@@ -327,6 +327,82 @@ def streaming_neardup_lsh(
     )
 
 
+def streaming_line_boilerplate(
+    stream: DataFrame,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming CCNet-style boilerplate detection: a line is flagged
+    the moment its corpus doc-frequency reaches ``min_df`` — the
+    incremental twin of the batch flagged-line set in
+    ``functions/dedup.py line_dedup_stats`` / ``line_dedup_scrub``
+    (same trim / empty-drop normalization, same 60-bit line hash, so
+    the two flag sets are directly comparable).
+
+    The explode is stateless: each document arrives as ONE row, so its
+    DISTINCT non-empty trimmed lines are computed inside the row with
+    array ops (no streaming-distinct state), then a keyed stateful
+    operator per line hash holds a single running doc count — total
+    state is one long per DISTINCT line, the same bound as the batch
+    ``groupBy(lh)``, partitioned by line hash across the cluster (the
+    shape the streaming LSH dedup already proves out at scale).
+
+    Emits one row per line at its crossing batch:
+    ``(lh, flagged_by_doc, line_df)`` where ``flagged_by_doc`` is the
+    ``min_df``-th distinct document containing the line under the
+    in-order model (ids must not regress across batches; within a
+    batch rows fold in id order — SURVEY §2.9, same contract as
+    :func:`streaming_neardup_lsh`).
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lightsaber_spark.functions.dedup import shingle_hash
+
+    out_schema = StructType(
+        [
+            StructField("lh", LongType()),
+            StructField("flagged_by_doc", LongType()),
+            StructField("line_df", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_docs", LongType())])
+
+    def fn(key, pdf_iter, state):
+        count = state.get[0] if state.exists else 0
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # one row per (doc, distinct line) by construction, so
+            # every id here is a NEW distinct document for this line
+            for did in sorted(int(i) for i in pdf["doc_id"].to_numpy()):
+                count += 1
+                if count == min_df:
+                    rows.append([int(key[0]), did, count])
+            state.update((count,))
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    lines = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(F.split(F.col(text_col), "\n"), F.trim),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("line"),
+    ).select("doc_id", shingle_hash(F.col("line")).alias("lh"))
+    return lines.groupBy("lh").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def streaming_order_violations(
     stream: DataFrame,
     ts_col: str,

@@ -876,6 +876,67 @@ def test_streaming_neardup_lsh_matches_batch_candidates(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_line_boilerplate_matches_batch_flagged_set(spark, tmp_path):
+    """Streaming CCNet boilerplate detection must agree with the batch
+    flagged-line set of line_dedup_stats/scrub on the same corpus: the
+    set of flagged line hashes is identical after the stream drains,
+    every emission carries line_df == min_df, and flagged_by_doc is
+    the min_df-th distinct document in id order (verified against a
+    pure-Python incremental model) — regardless of how the corpus is
+    split into micro-batches."""
+    import hashlib
+    import time as _t
+
+    from lightsaber_spark.streaming.stream import streaming_line_boilerplate
+
+    footer_a = "(c) example corp - all rights reserved"
+    footer_b = "unsubscribe: visit preferences"
+    docs = []
+    for i in range(30):
+        parts = [f"body text {i}"]
+        if i % 3 == 0:
+            parts.append(footer_a)
+        if i % 5 == 0:
+            parts.append(footer_b)
+        parts.append(f"trailer {i}")
+        docs.append((i, "\n".join(parts)))
+
+    src = str(tmp_path / "docs_src")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        spark.createDataFrame(
+            docs[lo:hi], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    got = run_available_now(
+        streaming_line_boilerplate(stream, min_df=5),
+        str(tmp_path / "ck_lb"),
+        table_name="t_lineboiler",
+        output_mode="update",
+    ).collect()
+
+    def h60(line):
+        return int(hashlib.md5(line.encode()).hexdigest()[:15], 16)
+
+    # pure-Python incremental model over docs in id order
+    model: dict[int, tuple[int, int]] = {}
+    counts: dict[int, int] = {}
+    for did, text in docs:
+        for line in {ln.strip() for ln in text.split("\n")} - {""}:
+            lh = h60(line)
+            counts[lh] = counts.get(lh, 0) + 1
+            if counts[lh] == 5:
+                model[lh] = (did, 5)
+
+    assert {r.lh: (r.flagged_by_doc, r.line_df) for r in got} == model
+    # and the flagged SET equals the batch definition (df >= min_df)
+    batch_flagged = {lh for lh, c in counts.items() if c >= 5}
+    assert {r.lh for r in got} == batch_flagged == {h60(footer_a), h60(footer_b)}
+
+
 def test_streaming_asof_broadcast_enrichment(spark, events, events_stream_src, tmp_path):
     """asof_broadcast_join is fully stateless (broadcast of per-key
     sorted arrays + a per-row binary search), so the SAME operator
