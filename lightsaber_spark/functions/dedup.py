@@ -151,8 +151,14 @@ def line_dedup_stats(
     row (nothing to keep or drop). Duplicate lines WITHIN one document
     count once per occurrence in ``n_lines``/``chars_removed`` but all
     occurrences share the line's corpus-wide doc-frequency.
+
+    The exploded-lines relation feeds BOTH the doc-frequency aggregate
+    and the join-back side — two different distributions (lh vs doc),
+    so AQE exchange reuse cannot dedup it (CLAUDE.md); it is persisted
+    via :func:`register_cache` so the corpus scan + split + hash runs
+    once, not twice.
     """
-    lines = (
+    lines = register_cache(
         df.select(F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("_l"))
         .select(F.col(id_col), F.trim(F.col("_l")).alias("_line"))
         .filter(F.col("_line") != "")
@@ -196,8 +202,11 @@ def line_dedup_scrub(
 
     Same 100 TB shape as the stats query: the only joined relation is
     the small flagged-line set (anti-join on the 60-bit hash); the
-    per-doc reassembly is one aggregation over the doc's own lines."""
-    lines = (
+    per-doc reassembly is one aggregation over the doc's own lines.
+    As in :func:`line_dedup_stats`, the exploded-lines relation feeds
+    both the flagged aggregate and the anti-join side, so it is
+    persisted via :func:`register_cache` (one corpus scan, not two)."""
+    lines = register_cache(
         df.select(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_l"),

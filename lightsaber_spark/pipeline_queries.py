@@ -337,17 +337,23 @@ def q_dedup_keep_representatives(spark, sf_dir):
 _FOOTER_A = "subscribe to our newsletter today"
 _FOOTER_B = "all rights reserved"
 
-
-@query(
-    "text_line_dedup_stats",
-    f"""
-    WITH aug AS (
+# the ONE definition of the footer-injected oracle corpus — both
+# line-dedup oracles interpolate this, mirroring how both Spark
+# wrappers share _aug_boilerplate_docs (tweak the recipe in one place
+# or the twins silently diverge)
+_LINE_AUG_SQL = f"""
       SELECT doc_id,
              concat_ws(chr(10), text,
                CASE WHEN doc_id % 3 = 0 THEN '{_FOOTER_A}' END,
                CASE WHEN doc_id % 5 = 0 THEN '{_FOOTER_B}' END,
                'ref id ' || CAST(doc_id AS VARCHAR)) AS text
-      FROM documents),
+      FROM documents"""
+
+
+@query(
+    "text_line_dedup_stats",
+    f"""
+    WITH aug AS ({_LINE_AUG_SQL}),
     ln AS (SELECT doc_id, trim(l) AS line
            FROM aug, unnest(string_split(text, chr(10))) AS t(l)),
     nz AS (SELECT doc_id, {H60.format(x='line')} AS lh,
@@ -397,15 +403,6 @@ def _aug_boilerplate_docs(spark, sf_dir):
             F.concat(F.lit("ref id "), did.cast("string")),
         ).alias("text"),
     )
-
-
-_LINE_AUG_SQL = f"""
-      SELECT doc_id,
-             concat_ws(chr(10), text,
-               CASE WHEN doc_id % 3 = 0 THEN '{_FOOTER_A}' END,
-               CASE WHEN doc_id % 5 = 0 THEN '{_FOOTER_B}' END,
-               'ref id ' || CAST(doc_id AS VARCHAR)) AS text
-      FROM documents"""
 
 
 @query(
@@ -2239,11 +2236,20 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
     if materialize_dir:
         # 100 TB path: one parquet write, then disk-backed scans — no
         # executor-memory persist of a corpus-sized relation.
-        path = os.path.join(
-            materialize_dir,
-            f"passage_index_k{k}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        path = materialize_dir.rstrip("/") + (
+            f"/passage_index_k{k}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
         )
-        if not os.path.isdir(path):
+        # Reuse only a COMPLETE prior write: check the sink's _SUCCESS
+        # marker through the Hadoop FS API (works for hdfs://, s3a://,
+        # file:// and bare local paths alike — a driver-local isdir()
+        # would accept a partially-written index after a mid-write kill
+        # and never match a remote URI). The index is keyed by the
+        # sf_dir PATH: regenerating the data under the same path
+        # requires deleting the materialized dir first.
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(marker):
             idx.write.mode("overwrite").parquet(path)
         idx = spark.read.parquet(path)
     else:

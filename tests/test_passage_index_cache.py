@@ -75,3 +75,22 @@ def test_passage_index_materialize_dir(spark, tmp_path):
         == b.selectExpr("sum(h % 1000003) s").collect()[0].s
     )
     release_passage_index()
+
+
+def test_passage_index_materialize_rejects_partial_write(spark, tmp_path):
+    """A materialized index missing its _SUCCESS marker (mid-write
+    kill) must be rewritten, not silently reused incomplete."""
+    _PASSAGE_INDEX_CACHE.clear()
+    d = str(tmp_path / "pidx_partial")
+    a = _passage_index(spark, SF, 10, materialize_dir=d)
+    n = a.count()
+    sub = os.path.join(
+        d, [p for p in os.listdir(d) if p.startswith("passage_index_k10_")][0]
+    )
+    os.remove(os.path.join(sub, "_SUCCESS"))  # simulate mid-write kill
+    release_passage_index()
+    _PASSAGE_INDEX_CACHE.clear()
+    b = _passage_index(spark, SF, 10, materialize_dir=d)
+    assert os.path.exists(os.path.join(sub, "_SUCCESS")), "index rewritten"
+    assert b.count() == n
+    release_passage_index()
