@@ -11,6 +11,7 @@ from lightsaber_spark.streaming.stream import (
     streaming_dedup,
     streaming_gapfill_count,
     streaming_line_boilerplate,
+    streaming_line_scrub,
     streaming_neardup_lsh,
     streaming_order_violations,
     streaming_post_window_argmax,
@@ -28,6 +29,7 @@ __all__ = [
     "streaming_funnel",
     "streaming_gapfill_count",
     "streaming_line_boilerplate",
+    "streaming_line_scrub",
     "streaming_neardup_lsh",
     "streaming_order_violations",
     "streaming_post_window_argmax",

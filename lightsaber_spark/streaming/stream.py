@@ -403,6 +403,89 @@ def streaming_line_boilerplate(
     )
 
 
+def streaming_line_scrub(
+    stream: DataFrame,
+    flagged: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming application of a boilerplate-line blocklist: scrub
+    each incoming document against a STATIC flagged-line table —
+    the production split of line-level dedup at 100 TB, where a
+    periodic batch job (or :func:`streaming_line_boilerplate`)
+    refreshes the flagged set and the ingest stream scrubs against
+    it. Emits the same ``(doc_id, n_kept, clean_md5)`` contract as
+    the batch ``functions/dedup.py line_dedup_scrub``, so streamed
+    output is directly comparable to the batch scrub under the same
+    flagged set.
+
+    ``flagged`` is a static DataFrame with an ``lh`` column (60-bit
+    line hashes, :func:`functions.dedup.shingle_hash`). The plan is
+    stateless end-to-end: the line explode is per-row, the blocklist
+    lookup is a stream-static LEFT join + null filter (anti-join
+    semantics; stream-static anti is not in Spark's supported list,
+    the outer-join form is), and the per-doc reassembly groups rows
+    that all live in the SAME micro-batch (each document arrives as
+    one row, so its exploded lines never span batches) — the grouped
+    stateful operator therefore never stores state (no
+    ``state.update``), and the state store stays empty regardless of
+    stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from lightsaber_spark.functions.dedup import shingle_hash
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("clean_md5", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("unused", LongType())])
+
+    def fn(key, pdf_iter, state):
+        import hashlib
+
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values("pos")
+            clean = "\n".join(pdf["line"])
+            rows.append(
+                [int(key[0]), len(pdf), hashlib.md5(clean.encode()).hexdigest()]
+            )
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    lines = (
+        stream.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_l"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.trim(F.col("_l")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("lh", shingle_hash(F.col("line")))
+    )
+    blk = flagged.select("lh", F.lit(1).alias("_blk"))
+    kept = (
+        lines.join(blk, "lh", "left")
+        .filter(F.col("_blk").isNull())
+        .select("doc_id", "pos", "line")
+    )
+    return kept.groupBy("doc_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def streaming_order_violations(
     stream: DataFrame,
     ts_col: str,

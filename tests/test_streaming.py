@@ -937,6 +937,137 @@ def test_streaming_line_boilerplate_matches_batch_flagged_set(spark, tmp_path):
     assert {r.lh for r in got} == batch_flagged == {h60(footer_a), h60(footer_b)}
 
 
+def test_streaming_line_scrub_matches_batch_scrub(spark, tmp_path):
+    """Streaming scrub against a static flagged-line table must emit
+    exactly the batch line_dedup_scrub rows (same n_kept, same
+    clean_md5, all-boilerplate docs absent) when the flagged set is
+    the batch-computed one — the production 'periodic detection job +
+    streaming ingest scrub' split."""
+    import time as _t
+
+    from lightsaber_spark.functions.dedup import (
+        line_dedup_scrub,
+        release_shingle_caches,
+        shingle_hash,
+    )
+    from lightsaber_spark.streaming.stream import streaming_line_scrub
+
+    footer_a = "(c) example corp - all rights reserved"
+    footer_b = "unsubscribe: visit preferences"
+    docs = []
+    for i in range(30):
+        parts = [f"body text {i}"]
+        if i % 3 == 0:
+            parts.append(footer_a)
+        if i % 5 == 0:
+            parts.append(footer_b)
+        if i == 7:
+            parts = [footer_a, footer_b]  # all-boilerplate: drops out
+        else:
+            parts.append(f"trailer {i}")
+        docs.append((i, "\n".join(parts)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # static flagged set, computed batch-side (df >= 5)
+    flagged = (
+        df.select(
+            "doc_id", F.explode(F.split("text", "\n")).alias("_l")
+        )
+        .select("doc_id", F.trim("_l").alias("line"))
+        .filter(F.col("line") != "")
+        .select("doc_id", shingle_hash(F.col("line")).alias("lh"))
+        .groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("lh")
+    )
+
+    src = str(tmp_path / "docs_src")
+    for lo, hi in ((0, 15), (15, 30)):
+        spark.createDataFrame(
+            docs[lo:hi], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    got = {
+        r.doc_id: (r.n_kept, r.clean_md5)
+        for r in run_available_now(
+            streaming_line_scrub(stream, flagged),
+            str(tmp_path / "ck_ls"),
+            table_name="t_linescrub",
+            output_mode="update",
+        ).collect()
+    }
+    try:
+        want = {
+            r.doc_id: (r.n_kept, r.clean_md5)
+            for r in line_dedup_scrub(df, min_df=5).collect()
+        }
+    finally:
+        release_shingle_caches()
+    assert got == want and 7 not in got and len(want) == 29
+
+
+def test_streaming_line_boilerplate_checkpoint_restart(spark, tmp_path):
+    """The per-line doc-count state must survive a stop/restart: a
+    line that accumulates df=3 in phase 1 and crosses min_df=5 in
+    phase 2 is flagged with the correct crossing doc — provable only
+    if the counts were recovered from the checkpoint."""
+    import hashlib
+    import time as _t
+
+    from lightsaber_spark.streaming.stream import streaming_line_boilerplate
+
+    footer_a = "(c) example corp - all rights reserved"   # 0,3,..,27
+    footer_b = "unsubscribe: visit preferences"           # 0,5,..,25
+    docs = []
+    for i in range(30):
+        parts = [f"body text {i}"]
+        if i % 3 == 0:
+            parts.append(footer_a)
+        if i % 5 == 0:
+            parts.append(footer_b)
+        docs.append((i, "\n".join(parts)))
+
+    src = str(tmp_path / "docs_src")
+    sink = str(tmp_path / "out_lb_restart")
+    ck = str(tmp_path / "ck_lb_restart")
+
+    def drain(stream_docs):
+        # memory sink can't resume from a checkpoint (CLAUDE.md) —
+        # bridge the update-mode op to parquet via foreachBatch
+        spark.createDataFrame(
+            stream_docs, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+        stream = read_stream(
+            spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+        )
+        q = (
+            streaming_line_boilerplate(stream, min_df=5)
+            .writeStream.foreachBatch(
+                lambda b, _bid: b.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(docs[:15])   # footer_a df=5 (docs 0,3,6,9,12) -> flagged here
+    drain(docs[15:])   # footer_b df: 3 in phase 1, crosses at doc 20
+
+    def h60(line):
+        return int(hashlib.md5(line.encode()).hexdigest()[:15], 16)
+
+    got = {r.lh: r.flagged_by_doc for r in spark.read.parquet(sink).collect()}
+    assert got == {h60(footer_a): 12, h60(footer_b): 20}
+
+
 def test_streaming_asof_broadcast_enrichment(spark, events, events_stream_src, tmp_path):
     """asof_broadcast_join is fully stateless (broadcast of per-key
     sorted arrays + a per-row binary search), so the SAME operator
