@@ -11,6 +11,7 @@ from lightsaber_spark.streaming.stream import (
     streaming_dedup,
     streaming_gapfill_count,
     streaming_line_boilerplate,
+    streaming_line_df_counts,
     streaming_line_scrub,
     streaming_neardup_lsh,
     streaming_order_violations,
@@ -29,6 +30,7 @@ __all__ = [
     "streaming_funnel",
     "streaming_gapfill_count",
     "streaming_line_boilerplate",
+    "streaming_line_df_counts",
     "streaming_line_scrub",
     "streaming_neardup_lsh",
     "streaming_order_violations",

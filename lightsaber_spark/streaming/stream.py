@@ -392,7 +392,12 @@ def streaming_line_boilerplate(
         F.explode(
             F.array_distinct(
                 F.filter(
-                    F.transform(F.split(F.col(text_col), "\n"), F.trim),
+                    # NOT bare F.trim: transform() sees its optional 2nd param
+                    # (trim chars, Spark 3.5+) and passes the element
+                    # INDEX there, stripping digits off line ends
+                    F.transform(
+                        F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
+                    ),
                     lambda x: x != F.lit(""),
                 )
             )
@@ -400,6 +405,53 @@ def streaming_line_boilerplate(
     ).select("doc_id", shingle_hash(F.col("line")).alias("lh"))
     return lines.groupBy("lh").applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
+def streaming_line_df_counts(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Running corpus doc-frequency per distinct line — the pure-JVM
+    scale path of streaming line-boilerplate detection. Emits
+    ``(lh, line_df)`` updates each batch; the current flagged set is
+    ``filter(line_df >= min_df)``, which downstream ingest scrubbing
+    consumes (:func:`streaming_line_scrub`).
+
+    Same stateless in-row distinct-line explode as
+    :func:`streaming_line_boilerplate`, but the cross-batch counting
+    is a built-in streaming aggregation: state lives in the JVM state
+    store (one long per distinct line) and no Python is involved, so
+    throughput is not bound by per-touched-group Python dispatch —
+    `STREAM_BENCH.md` measures the two variants against each other.
+    The py-state variant remains the semantic-rich form (it emits the
+    crossing EVENT with the flagging document); this one trades that
+    for raw rate, which is the right trade on a crawl firehose.
+
+    Counting rows equals counting distinct docs because the explode
+    emits one row per (doc, distinct line) and each document arrives
+    exactly once (the family's in-order unique-doc contract)."""
+    from lightsaber_spark.functions.dedup import shingle_hash
+
+    lines = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    # NOT bare F.trim: transform() sees its optional 2nd param
+                    # (trim chars, Spark 3.5+) and passes the element
+                    # INDEX there, stripping digits off line ends
+                    F.transform(
+                        F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
+                    ),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("line"),
+    ).select(shingle_hash(F.col("line")).alias("lh"))
+    return lines.groupBy("lh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("line_df")
     )
 
 

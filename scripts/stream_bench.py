@@ -29,7 +29,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _measure(spark, name: str, make_stream, batches: int) -> dict:
+def _measure(
+    spark, name: str, make_stream, batches: int, output_mode: str = "append"
+) -> dict:
     from lightsaber_spark.monitoring import ThroughputListener
 
     listener = ThroughputListener()
@@ -37,6 +39,7 @@ def _measure(spark, name: str, make_stream, batches: int) -> dict:
     q = (
         make_stream()
         .writeStream.format("noop")
+        .outputMode(output_mode)
         .option("checkpointLocation", f"/tmp/stream_bench_ck/{name}-{time.time_ns()}")
         .start()
     )
@@ -195,6 +198,39 @@ def main() -> None:
             s, "ts", 30, [("sum", "v", "sum_v"), ("count", None, "n")], ["key"]
         )
 
+    def line_docs():
+        # rate 'value' is monotone -> satisfies the line family's
+        # ids-never-regress contract; 4 lines/doc: 2 unique (keyed by
+        # value) + 2 from recurring pools of 100/37 — a crawl-like
+        # unique-tail/boilerplate mix
+        s = rate_micro_batch_source(
+            spark,
+            rows_per_batch=args.rows_per_batch,
+            num_partitions=32,
+            start_timestamp_ms=100_000,
+            advance_ms_per_batch=1000,
+        )
+        return s.select(
+            F.col("value").alias("doc_id"),
+            F.concat_ws(
+                "\n",
+                F.format_string("body %d alpha", F.col("value")),
+                F.format_string("boiler %d", F.col("value") % 100),
+                F.format_string("notice %d", F.col("value") % 37),
+                F.format_string("trailer %d beta", F.col("value")),
+            ).alias("text"),
+        )
+
+    def line_boiler_shape():
+        from lightsaber_spark.streaming.stream import streaming_line_boilerplate
+
+        return streaming_line_boilerplate(line_docs(), min_df=5)
+
+    def line_df_shape():
+        from lightsaber_spark.streaming.stream import streaming_line_df_counts
+
+        return streaming_line_df_counts(line_docs())
+
     # theta shape feeds --rows-per-batch rows per SIDE — its real
     # per-batch ingest (both sides) differs from the global figure and
     # must be reported per shape, not globally
@@ -245,6 +281,17 @@ def main() -> None:
             {"spark.sql.shuffle.partitions": str(args.dense_join_parts)}),
         # session windows (30 s gap) over spread event time
         "session_windows_30s": (session_shape, args.rows_per_batch),
+        # CCNet line-boilerplate detection, py-state variant (crossing
+        # events + flagging doc): keyed applyInPandasWithState, one
+        # long of state per distinct line. rows/s counts DOCUMENTS;
+        # the cost driver is PER-TOUCHED-GROUP python dispatch (every
+        # new unique line is a group), not row volume — the structural
+        # price of the python state API at high key cardinality.
+        "line_boilerplate": (line_boiler_shape, args.rows_per_batch, {}, "update"),
+        # same detection as a pure-JVM streaming aggregation (running
+        # line_df per distinct line; flag set = filter(df >= k)
+        # downstream) — the 100 TB scale path, no python anywhere
+        "line_df_counts": (line_df_shape, args.rows_per_batch, {}, "update"),
     }
     if args.shapes:
         wanted = args.shapes.split(",")
@@ -253,11 +300,13 @@ def main() -> None:
     for name, entry in shapes.items():
         mk, per_batch = entry[0], entry[1]
         conf = entry[2] if len(entry) > 2 else {}
+        mode = entry[3] if len(entry) > 3 else "append"
         saved = {k: spark.conf.get(k) for k in conf}
         for k, v in conf.items():
             spark.conf.set(k, v)
         try:
-            results[name] = _measure(spark, name, mk, args.batches)
+            results[name] = _measure(spark, name, mk, args.batches,
+                                      output_mode=mode)
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)

@@ -891,6 +891,9 @@ def test_streaming_line_boilerplate_matches_batch_flagged_set(spark, tmp_path):
 
     footer_a = "(c) example corp - all rights reserved"
     footer_b = "unsubscribe: visit preferences"
+    # digit-ENDED boilerplate at varying line positions: catches any
+    # lambda that leaks the element index into trim's trim-chars arg
+    footer_c = "900 support line 365"
     docs = []
     for i in range(30):
         parts = [f"body text {i}"]
@@ -898,6 +901,8 @@ def test_streaming_line_boilerplate_matches_batch_flagged_set(spark, tmp_path):
             parts.append(footer_a)
         if i % 5 == 0:
             parts.append(footer_b)
+        if i % 7 == 0:
+            parts.append(footer_c)
         parts.append(f"trailer {i}")
         docs.append((i, "\n".join(parts)))
 
@@ -934,7 +939,55 @@ def test_streaming_line_boilerplate_matches_batch_flagged_set(spark, tmp_path):
     assert {r.lh: (r.flagged_by_doc, r.line_df) for r in got} == model
     # and the flagged SET equals the batch definition (df >= min_df)
     batch_flagged = {lh for lh, c in counts.items() if c >= 5}
-    assert {r.lh for r in got} == batch_flagged == {h60(footer_a), h60(footer_b)}
+    assert (
+        {r.lh for r in got}
+        == batch_flagged
+        == {h60(footer_a), h60(footer_b), h60(footer_c)}
+    )
+
+
+def test_streaming_line_df_counts_matches_batch(spark, tmp_path):
+    """The pure-JVM running doc-frequency aggregation must converge to
+    the batch per-line doc frequencies after the stream drains (and so
+    yield the same flagged set at any threshold)."""
+    import hashlib
+    import time as _t
+
+    from lightsaber_spark.streaming.stream import streaming_line_df_counts
+
+    footer = "all rights reserved"
+    docs = [
+        (i, f"body {i}\n{footer}" if i % 2 == 0 else f"body {i}\nuniq {i}")
+        for i in range(20)
+    ]
+    src = str(tmp_path / "docs_src")
+    for lo, hi in ((0, 10), (10, 20)):
+        spark.createDataFrame(
+            docs[lo:hi], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    got = {
+        r.lh: r.line_df
+        for r in run_available_now(
+            streaming_line_df_counts(stream),
+            str(tmp_path / "ck_ldf"),
+            "complete",
+            table_name="t_linedf",
+        ).collect()
+    }
+
+    def h60(line):
+        return int(hashlib.md5(line.encode()).hexdigest()[:15], 16)
+
+    want: dict[int, int] = {}
+    for _, text in docs:
+        for line in {ln.strip() for ln in text.split("\n")} - {""}:
+            want[h60(line)] = want.get(h60(line), 0) + 1
+    assert got == want and got[h60(footer)] == 10
 
 
 def test_streaming_line_scrub_matches_batch_scrub(spark, tmp_path):
