@@ -28,6 +28,11 @@ class BatchMetric:
     input_rows_per_second: float
     process_rows_per_second: float
     duration_ms: dict
+    # per-batch state-operator metrics (numRowsTotal, update/removal/
+    # commit times, ...) — captured per batch so consumers can attribute
+    # state cost from the SAME batches their throughput figure uses,
+    # not from whatever lastProgress holds when they sample it
+    state_operators: list = field(default_factory=list)
 
 
 @dataclass
@@ -43,7 +48,13 @@ class ThroughputListener(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        import json as _json
+
         p = event.progress
+        try:
+            state_ops = _json.loads(p.json).get("stateOperators", [])
+        except Exception:
+            state_ops = []
         self.metrics.append(
             BatchMetric(
                 batch_id=p.batchId,
@@ -51,6 +62,7 @@ class ThroughputListener(StreamingQueryListener):
                 input_rows_per_second=p.inputRowsPerSecond or 0.0,
                 process_rows_per_second=p.processedRowsPerSecond or 0.0,
                 duration_ms=dict(p.durationMs or {}),
+                state_operators=state_ops,
             )
         )
 

@@ -2156,7 +2156,9 @@ def q_rare_token_counts(spark, sf_dir):
 # a k-gram shared with another document. duplicated_passages_k10 finds
 # the passages; this measures the cut.
 # ---------------------------------------------------------------------------
-_PASSAGE_INDEX_CACHE: dict[tuple[int, str, str, int], "DataFrame"] = {}
+_PASSAGE_INDEX_CACHE: dict[
+    tuple[int, str, str, int, "str | None"], "DataFrame"
+] = {}
 
 
 def release_passage_index() -> int:
@@ -2196,11 +2198,17 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
     of ``persist()`` — or call :func:`release_passage_index` after the
     passage queries to reclaim the memory eagerly.
 
-    Cache lifecycle: keyed by ``(id(spark), applicationId, sf_dir,
-    k)`` — ``id(spark)`` because a FRESH SparkSession can share one
-    SparkContext (same applicationId) while its cached DataFrames are
-    bound to the dead session; stale entries (any other session OR
-    app) are best-effort ``unpersist()``-ed before being dropped."""
+    Cache lifecycle: keyed by ``(id(spark), applicationId, sf_dir, k,
+    materialize_dir)`` — ``id(spark)`` because a FRESH SparkSession can
+    share one SparkContext (same applicationId) while its cached
+    DataFrames are bound to the dead session; the RESOLVED
+    ``materialize_dir`` so switching representations mid-session
+    (e.g. setting ``$LIGHTSABER_PASSAGE_INDEX_DIR`` after a persisted
+    build) builds the requested representation instead of silently
+    returning the other one. Stale entries are pruned (best-effort
+    ``unpersist()``) only when their owning session is actually DEAD —
+    a second live SparkSession in the same process keeps its own entry
+    rather than the two sessions thrashing each other's index."""
     from lightsaber_spark.functions.dedup import (
         positional_shingles_udf,
         shingle_hash,
@@ -2209,11 +2217,24 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
     if materialize_dir is None:
         materialize_dir = os.environ.get("LIGHTSABER_PASSAGE_INDEX_DIR")
     app = spark.sparkContext.applicationId
-    key = (id(spark), app, sf_dir, k)
+    key = (id(spark), app, sf_dir, k, materialize_dir)
     got = _PASSAGE_INDEX_CACHE.get(key)
     if got is not None:
         return got
-    for old in [x for x in _PASSAGE_INDEX_CACHE if x[:2] != key[:2]]:
+
+    def _session_dead(df) -> bool:
+        # a stopped SparkContext nulls its _jsc; attribute errors on a
+        # torn-down session also mean dead
+        try:
+            return df.sparkSession.sparkContext._jsc is None
+        except Exception:
+            return True
+
+    for old in [
+        x
+        for x in _PASSAGE_INDEX_CACHE
+        if x[:2] != key[:2] and _session_dead(_PASSAGE_INDEX_CACHE[x])
+    ]:
         try:
             _PASSAGE_INDEX_CACHE[old].unpersist()
         except Exception:

@@ -46,7 +46,6 @@ def _measure(
     try:
         while len(listener.metrics) < batches:
             time.sleep(0.2)
-        state_ops = (q.lastProgress or {}).get("stateOperators", [])
     finally:
         # stopping aborts the in-flight batch — the CANNOT_COMMIT /
         # NoopStreamingWrite-abort ERRORs it logs are expected noise,
@@ -65,6 +64,12 @@ def _measure(
         "rows_per_sec": round(rows / secs) if secs else None,
         "batches_measured": len(steady),
     }
+    # state-operator metrics from the LAST STEADY batch — the same
+    # batch population the rows/s figure is computed from, so the
+    # attribution row cannot show a warm-up batch's state shape
+    # (previously sampled from q.lastProgress at loop exit, which
+    # could be any batch)
+    state_ops = steady[-1].state_operators if steady else []
     if state_ops:
         # last steady batch's state-operator metrics: where the time
         # went (update vs removal vs commit) and how big state is —

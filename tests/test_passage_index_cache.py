@@ -38,22 +38,54 @@ def test_passage_index_is_cached_per_session(spark):
     assert not a.storageLevel.useMemory and not a.storageLevel.useDisk
 
 
-def test_passage_index_prunes_and_unpersists_stale_sessions(spark):
+def test_passage_index_prunes_dead_sessions_keeps_live(spark):
+    """Entries of DEAD sessions are pruned+unpersisted; an entry owned
+    by a second LIVE session must be left alone (two live sessions
+    alternating passage queries must not thrash each other's index)."""
     _PASSAGE_INDEX_CACHE.clear()
     a = _passage_index(spark, SF, 10)
-    # simulate an entry left behind by a dead session: same app id,
-    # different session identity
     key = next(iter(_PASSAGE_INDEX_CACHE))
-    stale_key = (key[0] + 1,) + key[1:]
-    _PASSAGE_INDEX_CACHE[stale_key] = _PASSAGE_INDEX_CACHE.pop(key)
-    # distinct k -> distinct logical plan, so a's storageLevel reflects
-    # only the pruning unpersist (Spark's cache manager keys by plan)
+
+    class _DeadDF:
+        # looks like a DataFrame whose owning session was stopped:
+        # sparkContext._jsc is None
+        unpersisted = False
+
+        class sparkSession:
+            class sparkContext:
+                _jsc = None
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    dead = _DeadDF()
+    dead_key = (key[0] + 1,) + key[1:]
+    _PASSAGE_INDEX_CACHE[dead_key] = dead
+    # a second LIVE session's entry: same live DataFrame under a
+    # different session identity
+    live_key = (key[0] + 2,) + key[1:]
+    _PASSAGE_INDEX_CACHE[live_key] = a
     b = _passage_index(spark, SF, 5)
-    assert b is not a, "stale-session entry must not be returned"
-    assert stale_key not in _PASSAGE_INDEX_CACHE, "stale entry pruned"
-    assert not a.storageLevel.useMemory and not a.storageLevel.useDisk, (
-        "pruned entry must be unpersisted"
+    assert b is not a
+    assert dead_key not in _PASSAGE_INDEX_CACHE, "dead entry pruned"
+    assert dead.unpersisted, "dead entry unpersisted (best-effort)"
+    assert live_key in _PASSAGE_INDEX_CACHE, "live-session entry kept"
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk, (
+        "live entry must stay persisted"
     )
+    release_passage_index()
+
+
+def test_passage_index_key_includes_materialize_dir(spark, tmp_path):
+    """Switching representations mid-session (persist → parquet) must
+    build the requested representation, not return the other one."""
+    _PASSAGE_INDEX_CACHE.clear()
+    a = _passage_index(spark, SF, 10)  # persisted representation
+    d = str(tmp_path / "pidx_switch")
+    b = _passage_index(spark, SF, 10, materialize_dir=d)
+    assert b is not a, "materialize_dir call must not reuse the persist"
+    assert not b.storageLevel.useMemory and not b.storageLevel.useDisk
+    assert len(_PASSAGE_INDEX_CACHE) == 2
     release_passage_index()
 
 
