@@ -431,7 +431,21 @@ def streaming_line_df_counts(
 
     Counting rows equals counting distinct docs because the explode
     emits one row per (doc, distinct line) and each document arrives
-    exactly once (the family's in-order unique-doc contract)."""
+    exactly once (the family's in-order unique-doc contract).
+
+    State bound (100 TB): state is ONE LONG PER DISTINCT LINE with no
+    watermark/eviction — over an unbounded crawl stream it grows
+    O(corpus distinct lines) and never shrinks, which would make this
+    the dominant state store in the pipeline. Production compaction
+    routes: (a) the batch/stream-static split — run this (or the batch
+    ``line_dedup_stats``) per ingest epoch, keep only the small
+    ``line_df >= min_df`` flagged set, and let the always-on ingest
+    path be :func:`streaming_line_scrub` against that static set
+    (zero streaming state); or (b) a ``foreachBatch`` rollup that
+    periodically folds rare-line counts (``line_df == 1`` long tail —
+    the vast majority of state) into a compacted store and restarts
+    the query from a snapshot per epoch. This query is the detection
+    side of the split, not an always-on unbounded-stream resident."""
     from lightsaber_spark.functions.dedup import shingle_hash
 
     lines = stream.select(
