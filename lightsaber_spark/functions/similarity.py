@@ -439,6 +439,167 @@ def ivf_cells_udf(
     return _cells
 
 
+def ivf_cell_ccos_udf(
+    centroids: list[tuple[int, list[float]]],
+    centroids_scaled: bool = False,
+    vecs_scaled: bool = False,
+):
+    """Cell assigner that also returns the winning cosine: struct
+    ``(cid, ccos)`` per vector — the ranking signal SemDeDup sorts by
+    (:func:`semantic_dedup`). Identical arithmetic and tie-breaking to
+    :func:`ivf_cell_udf` (argmax over the id-sorted centroid matrix =
+    cosine desc, centroid id asc), so its ``cid`` matches that UDF and
+    an ``rn = 1`` oracle row bit-for-bit."""
+    ids, cm, cnorm = _centroid_matrix(centroids, centroids_scaled)
+
+    @F.pandas_udf("cid bigint, ccos double")
+    def _cell(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if vecs_scaled:
+            s = x
+        else:
+            y = x * SCALE
+            s = np.sign(y) * np.floor(np.abs(y) + 0.5)
+        norms = np.sqrt((s * s).sum(axis=1))
+        cos = (s @ cm.T) / (norms[:, None] * cnorm[None, :])
+        idx = np.argmax(cos, axis=1)
+        return pd.DataFrame(
+            {"cid": ids[idx], "ccos": cos[np.arange(len(idx)), idx]}
+        )
+
+    return _cell
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 4,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    by clustering embeddings and dropping near-identical members
+    WITHIN each cluster — the IVF trick applied to dedup, so the pair
+    space is cell-local instead of corpus².
+
+    Procedure (the paper's released greedy rule, made deterministic):
+
+    1. k-means cells via :func:`kmeans_fit_scaled` (deterministic
+       integer Lloyd; pass ``centroids`` to reuse a fit);
+    2. assign each vector to its cell and record the cosine to its
+       centroid (:func:`ivf_cell_ccos_udf`);
+    3. rank cell members by (centroid-cosine ASC, id ASC) — the
+       paper keeps LOW-centroid-similarity examples to favor
+       diversity, so they come first;
+    4. drop a member iff ANY earlier-ranked member of its cell has
+       pairwise cosine >= ``threshold`` (the paper's upper-triangular
+       max-similarity test — against all earlier members, not just
+       kept ones, so no sequential dependency and the whole step is
+       one relational pass).
+
+    Pairwise step is the cell-tiled GEMM of
+    :func:`blocked_allpairs_cosine` with the rank mask replacing the
+    id mask — exact integer-scaled float64 arithmetic throughout, so a
+    DuckDB oracle (unrolled k-means fit + the same join) reproduces
+    keep/drop decisions bit-for-bit.
+
+    Returns one row per vector: ``(vec_id, cell_id, rnk, keep)`` with
+    ``keep`` 1/0 as bigint.
+
+    100 TB shape: assignment is a per-row GEMM against a broadcast
+    centroid matrix (no shuffle); the pair space is Σ(cell size)² —
+    raise ``k`` (the paper uses 50k clusters) so cells stay bounded,
+    and ``n_blocks`` so each GEMM tile fits executor memory. The only
+    collect is the k-means fit's k·dim centroid table (bounded, the
+    documented :func:`kmeans_fit_scaled` contract)."""
+    from pyspark.sql import Window
+
+    from lightsaber_spark.functions.dedup import register_cache
+
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_fit_scaled(
+            corpus, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    )
+    cc = ivf_cell_ccos_udf(cents, centroids_scaled=True)
+    assigned = corpus.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        scaled_vec(F.col(vec_col)).alias("_sv"),
+        cc(F.col(vec_col)).alias("_a"),
+    ).select(
+        "vec_id",
+        "_sv",
+        F.col("_a.cid").alias("cell_id"),
+        F.col("_a.ccos").alias("_ccos"),
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("_ccos").asc(), F.col("vec_id").asc()
+    )
+    # ranked feeds both the pair stage and the final keep join —
+    # multiply-referenced subplan with a pandas UDF inside: persist
+    # (register_cache lifecycle; AQE exchange reuse is not reliable)
+    ranked = register_cache(
+        assigned.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    )
+    rep = (
+        ranked.withColumn(
+            "_blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+        )
+        .withColumn("_p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("_gi", F.least("_blk", "_p"))
+        .withColumn("_gj", F.greatest("_blk", "_p"))
+    )
+
+    def _mat(sub: "pd.DataFrame"):
+        S = np.stack([np.asarray(v, dtype=np.float64) for v in sub["_sv"]])
+        return S, np.sqrt((S * S).sum(axis=1))
+
+    def fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        gi, gj = int(key[1]), int(key[2])
+        if gi == gj:
+            S, n = _mat(pdf)
+            C = (S @ S.T) / (n[:, None] * n[None, :])
+            r = pdf["rnk"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            drop = ((r[:, None] > r[None, :]) & (C >= threshold)).any(axis=1)
+            return pd.DataFrame({"vec_id": ids[drop]})
+        a, b = pdf[pdf["_blk"] == gi], pdf[pdf["_blk"] == gj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        Sa, na = _mat(a)
+        Sb, nb = _mat(b)
+        C = (Sa @ Sb.T) / (na[:, None] * nb[None, :])
+        ra, rb = a["rnk"].to_numpy(), b["rnk"].to_numpy()
+        ia, ib = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        ii, jj = np.nonzero(C >= threshold)
+        # row_number within a cell is unique, so one side is strictly
+        # later-ranked — that member is the dropped one
+        later = np.where(ra[ii] > rb[jj], ia[ii], ib[jj])
+        return pd.DataFrame({"vec_id": np.unique(later)})
+
+    dropped = (
+        rep.groupBy("cell_id", "_gi", "_gj")
+        .applyInPandas(fn, "vec_id bigint")
+        .distinct()
+    )
+    return ranked.join(
+        dropped.withColumn("_d", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell_id",
+        "rnk",
+        F.when(F.col("_d").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
 def _half_up_div(s: int, n: int) -> int:
     """round(s / n) with HALF_UP (away-from-zero) on exact integers —
     the same rounding Spark and DuckDB apply, reproducible as

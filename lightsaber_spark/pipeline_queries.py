@@ -50,6 +50,7 @@ from lightsaber_spark.functions.similarity import (
     hyperplane_lsh_topk,
     ivf_topk,
     kmeans_fit_scaled,
+    semantic_dedup,
 )
 from lightsaber_spark.functions.multimodal import (
     decode_media,
@@ -938,6 +939,55 @@ def q_sim_ivf_kmeans(spark, sf_dir):
         e.filter(F.col("vec_id") < 20), e, k=5, n_probe=1, centroids=cents
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "dedup_semantic_groups",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> round(x::DOUBLE * {SCALE})::BIGINT) AS sv
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, sv AS cv FROM e WHERE vec_id < 4),
+    {_KM_ASSIGN.format(out='a0', cents='c0', cos=_COS_II.format(a='e.sv', b='cv'))},
+    {_KM_UPDATE.format(sums='m0', assign='a0', out='c1')},
+    {_KM_ASSIGN.format(out='a1', cents='c1', cos=_COS_II.format(a='e.sv', b='cv'))},
+    {_KM_UPDATE.format(sums='m1', assign='a1', out='c2')},
+    fin AS (SELECT e.vec_id, e.sv, cid,
+                   {_COS_II.format(a='e.sv', b='cv')} AS ccos,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS_II.format(a='e.sv', b='cv')} DESC,
+                                cid ASC) AS rn
+            FROM e CROSS JOIN c2),
+    ranked AS (SELECT vec_id, sv, cid, ccos,
+                      CAST(row_number() OVER (PARTITION BY cid
+                          ORDER BY ccos ASC, vec_id ASC) AS BIGINT) AS rnk
+               FROM fin WHERE rn = 1),
+    drp AS (SELECT DISTINCT b.vec_id
+            FROM ranked a JOIN ranked b
+              ON a.cid = b.cid AND a.rnk < b.rnk
+            WHERE {_COS_II.format(a='a.sv', b='b.sv')} >= {_SEMDEDUP_TAU})
+    SELECT r.vec_id, r.cid AS cell_id, r.rnk,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM ranked r LEFT JOIN drp d ON r.vec_id = d.vec_id
+    """,
+)
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells (the trained
+    deterministic integer Lloyd fit of ``sim_ivf_kmeans_topk``), then
+    within each cell drop every member whose pairwise cosine to an
+    earlier-ranked member (centroid-cosine ASC — the paper keeps
+    low-centroid-similarity examples for diversity) reaches the
+    threshold. Pair space is cell-local by construction (the IVF trick
+    applied to dedup); the oracle unrolls the fit AND the greedy
+    upper-triangular drop rule, so keep/drop decisions are verified
+    bit-for-bit, not just counts."""
+    return semantic_dedup(
+        _embs(spark, sf_dir), threshold=_SEMDEDUP_TAU, k=4, iters=2
+    )
 
 
 # ---------------------------------------------------------------------------

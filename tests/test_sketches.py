@@ -451,3 +451,86 @@ def test_bloom_positions_rejects_oversized_slices(spark):
     # k=8 slices of 8 hex chars (m=2^30) = 64 > 32 -> must raise
     with pytest.raises(ValueError, match="32 hex chars"):
         bloom_positions(F.col("key"), 8, 1 << 30)
+
+
+def test_semantic_dedup_matches_brute_force_rule(spark, tables):
+    """SemDeDup keep/drop must equal an independent numpy re-derivation
+    of the paper's greedy upper-triangular rule on the SAME fit: rank
+    cell members by (centroid-cos ASC, id ASC); drop a member iff any
+    earlier-ranked member has pairwise cosine >= tau. Also: rnk must be
+    dense 1..|cell| and every cell's rank-1 member is always kept."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.functions.similarity import (
+        SCALE,
+        kmeans_fit_scaled,
+        semantic_dedup,
+    )
+
+    tau = 0.35
+    e = tables["embeddings"]
+    cents = kmeans_fit_scaled(e, k=4, iters=2)
+    out = semantic_dedup(e, threshold=tau, centroids=cents).collect()
+    release_shingle_caches()
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    y = m * SCALE
+    s = np.sign(y) * np.floor(np.abs(y) + 0.5)
+    norms = np.sqrt((s * s).sum(axis=1))
+    cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    cnorm = np.sqrt((cm * cm).sum(axis=1))
+    cos_c = (s @ cm.T) / (norms[:, None] * cnorm[None, :])
+    cell = cids[np.argmax(cos_c, axis=1)]
+    ccos = cos_c[np.arange(len(ids)), np.argmax(cos_c, axis=1)]
+
+    expect = {}
+    for cid in np.unique(cell):
+        sel = np.nonzero(cell == cid)[0]
+        order = sel[np.lexsort((ids[sel], ccos[sel]))]  # ccos asc, id asc
+        S = s[order]
+        n = norms[order]
+        C = (S @ S.T) / (n[:, None] * n[None, :])
+        for i, gi in enumerate(order):
+            dropped = bool((C[i, :i] >= tau).any())
+            expect[int(ids[gi])] = (int(cid), i + 1, 0 if dropped else 1)
+
+    assert len(out) == len(rows)
+    for r in out:
+        ecell, ernk, ekeep = expect[r.vec_id]
+        assert (r.cell_id, r.rnk, r.keep) == (ecell, ernk, ekeep), r
+    # rank-1 members are always kept (nothing ranks earlier)
+    for r in out:
+        if r.rnk == 1:
+            assert r.keep == 1
+    # sanity: the corpus has semantic duplicates at this threshold
+    assert any(r.keep == 0 for r in out)
+
+
+def test_semantic_dedup_block_count_invariance(spark, tables):
+    """The cell-tiled GEMM must give identical results for any
+    n_blocks (tiling is an execution detail, not semantics)."""
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.functions.similarity import (
+        kmeans_fit_scaled,
+        semantic_dedup,
+    )
+
+    e = tables["embeddings"]
+    cents = kmeans_fit_scaled(e, k=4, iters=2)
+
+    def run(nb):
+        got = sorted(
+            (r.vec_id, r.cell_id, r.rnk, r.keep)
+            for r in semantic_dedup(
+                e, threshold=0.35, centroids=cents, n_blocks=nb
+            ).collect()
+        )
+        release_shingle_caches()
+        return got
+
+    assert run(1) == run(4) == run(7)
