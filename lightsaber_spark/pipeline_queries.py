@@ -1759,6 +1759,102 @@ def q_pii_redact(spark, sf_dir):
     return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
 
 
+def _url_oracle() -> str:
+    """Oracle twin of ``url_canonical_dedup``: the same deterministic
+    URL synthesis (scheme/case/www/trailing-slash/param-order/tracking/
+    fragment noise keyed off doc_id), then the same canonicalization
+    regex/list pipeline as ``functions/urls.py``."""
+    from lightsaber_spark.functions.urls import TRACKING_PARAM_NAMES
+
+    names = ", ".join(f"'{n}'" for n in TRACKING_PARAM_NAMES)
+    return f"""
+    WITH parts AS (SELECT doc_id, source,
+        CASE WHEN doc_id % 4 < 2 THEN 'id=' || CAST(doc_id % 3 AS VARCHAR) END AS kept,
+        CASE WHEN doc_id % 7 = 0 THEN 'utm_source=feed' END AS utm,
+        CASE WHEN doc_id % 9 = 0 THEN 'fbclid=x' || CAST(doc_id AS VARCHAR) END AS fb
+      FROM documents),
+    raw AS (SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN 'HTTPS'
+             WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+        || '://'
+        || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END
+        || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+        || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+        || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+        || CASE WHEN doc_id % 10 = 0 THEN '#sec' || CAST(doc_id % 2 AS VARCHAR)
+           ELSE '' END AS url
+      FROM (SELECT *, CASE WHEN doc_id % 8 < 4 THEN concat_ws('&', kept, utm, fb)
+                           ELSE concat_ws('&', utm, fb, kept) END AS q
+            FROM parts)),
+    b AS (SELECT doc_id,
+          regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS body
+          FROM raw),
+    h AS (SELECT doc_id,
+          regexp_replace(lower(regexp_extract(body, '^([^/?#]+)', 1)),
+                         '^www\\.', '') AS host,
+          regexp_extract(body, '^[^/?#]+(.*)$', 1) AS rest FROM b),
+    pq AS (SELECT doc_id, host,
+           regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+           regexp_extract(rest, '\\?(.*)$', 1) AS qs FROM h),
+    cp AS (SELECT doc_id, host, path,
+           list_sort(list_filter(string_split(qs, '&'),
+             p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
+                  AND split_part(p, '=', 1) NOT IN ({names}))) AS params
+           FROM pq),
+    c AS (SELECT doc_id,
+           host || path || CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
+           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+          FROM cp)
+    SELECT canonical_url, domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM c GROUP BY 1, 2
+    """
+
+
+@query("url_canonical_dedup", _url_oracle())
+def q_url_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup — the crawl-ingest step upstream of text
+    dedup. The corpus has no URL column, so a deterministic raw URL is
+    synthesized per document first (scheme/host-case/www/trailing-slash/
+    param-order/tracking-param/fragment noise keyed off doc_id — the
+    ``pii_redact_stats`` fixture-extension precedent; same construction
+    in the oracle), then canonicalized (``functions/urls.py``: drop
+    scheme+fragment, fold host case, strip www./trailing slashes, drop
+    utm_*/fbclid-class params, sort survivors) and exact-deduped on the
+    canonical string. Pure Catalyst expressions end-to-end: map-only
+    canonicalization + one hash aggregation — the cheapest dedup in the
+    pipeline, which is why crawl ingest runs it first."""
+    from lightsaber_spark.functions.urls import canonical_url_dedup
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    kept = F.when(did % 4 < 2, F.concat(F.lit("id="), (did % 3).cast("string")))
+    utm = F.when(did % 7 == 0, F.lit("utm_source=feed"))
+    fb = F.when(did % 9 == 0, F.concat(F.lit("fbclid=x"), did.cast("string")))
+    qs = F.when(did % 8 < 4, F.concat_ws("&", kept, utm, fb)).otherwise(
+        F.concat_ws("&", utm, fb, kept)
+    )
+    url = F.concat(
+        F.when(did % 5 == 0, F.lit("HTTPS"))
+        .when(did % 2 == 0, F.lit("https"))
+        .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".example.com/p/"),
+        (did % 40).cast("string"),
+        F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        F.when(
+            did % 10 == 0, F.concat(F.lit("#sec"), (did % 2).cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return canonical_url_dedup(d.select("doc_id", url.alias("url")))
+
+
 _LEV_PERMILLE = 400
 # hot-bucket valve: > largest genuine family at every shipped scale
 # (max observed bucket: 5 at sf0.01, 16 at sf0.1, ~160 in the 10×
