@@ -126,58 +126,6 @@ def keep_representatives(
     ).drop("_rep")
 
 
-def eval_contamination(
-    train: DataFrame,
-    eval_df: DataFrame,
-    k: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Eval-set decontamination signal (the GPT-3 appendix-C / PaLM
-    n-gram overlap test): flag every training document sharing at
-    least one k-word-gram with the held-out eval set.
-
-    Returns one row per CONTAMINATED training doc:
-    ``(id_col, n_eval_grams, n_grams)`` — distinct k-grams of the doc
-    that appear anywhere in the eval set, and the doc's total distinct
-    k-gram count (so downstream can threshold on the overlap fraction,
-    not just presence). The removal step is then a trivial anti-join
-    on the flagged ids.
-
-    100 TB shape: the eval-gram set is built from the EVAL side —
-    benchmark suites are tiny relative to the corpus by definition —
-    and broadcast, so the corpus side is one scan with a map-side
-    semi-join + map-combinable count; the corpus is never shuffled on
-    the gram key. Grams are compared as 60-bit md5 hashes
-    (:func:`shingle_hash`) on both engines, so the oracle twin joins
-    on identical keys."""
-    sh = word_shingles_udf(k)
-    ev = (
-        eval_df.select(F.explode(sh(F.col(text_col))).alias("_s"))
-        .select(shingle_hash(F.col("_s")).alias("_h"))
-        .distinct()
-    )
-    # the exploded train gram relation feeds both the totals and the
-    # hit counts — multiply-referenced subplan with a pandas UDF
-    # inside: persist (register_cache lifecycle)
-    tr = register_cache(
-        train.select(
-            F.col(id_col), F.explode(sh(F.col(text_col))).alias("_s")
-        ).select(id_col, shingle_hash(F.col("_s")).alias("_h"))
-    )
-    totals = tr.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
-    )
-    hits = (
-        tr.join(F.broadcast(ev), "_h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_grams"))
-    )
-    return hits.join(totals, id_col).select(
-        id_col, "n_eval_grams", "n_grams"
-    )
-
-
 def line_dedup_stats(
     df: DataFrame,
     min_df: int = 5,

@@ -1855,82 +1855,6 @@ def q_url_canonical_dedup(spark, sf_dir):
     return canonical_url_dedup(d.select("doc_id", url.alias("url")))
 
 
-_DECON_K = 8  # k-word gram width (GPT-3 used 13; docs here are short)
-_DECON_EVAL_MOD = 25  # eval set = every 25th doc
-_DECON_SNIP = 12  # injected snippet length (tokens)
-
-
-def _decon_oracle() -> str:
-    """Oracle twin of ``decontaminate_eval_overlap``: same snippet
-    injection, same k-gram explode, same 60-bit hash join."""
-    m, k, sn = _DECON_EVAL_MOD, _DECON_K, _DECON_SNIP
-    return f"""
-    WITH base AS (
-      SELECT d.doc_id,
-             d.text || CASE WHEN d.doc_id % {m} <> 0 AND d.doc_id % 10 = 3
-                 THEN ' ' || array_to_string(
-                     ({TOKS.replace('text', 'p.text')})[1:{sn}], ' ')
-                 ELSE '' END AS text
-      FROM documents d JOIN documents p
-        ON p.doc_id = (d.doc_id // {m}) * {m} AND p.doc_id % {m} = 0),
-    toks AS (SELECT doc_id, {TOKS} AS t FROM base),
-    g AS (SELECT doc_id,
-                 unnest(list_distinct(list_transform(
-                     range(greatest(len(t) - {k - 1}, 0)),
-                     i -> array_to_string(t[i+1:i+{k}], ' ')))) AS s
-          FROM toks),
-    h AS (SELECT doc_id, {H60.format(x='s')} AS hh FROM g),
-    ev AS (SELECT DISTINCT hh FROM h WHERE doc_id % {m} = 0),
-    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-            FROM h WHERE doc_id % {m} <> 0 GROUP BY 1),
-    hit AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_eval_grams
-            FROM h JOIN ev USING (hh) WHERE h.doc_id % {m} <> 0 GROUP BY 1)
-    SELECT hit.doc_id, n_eval_grams, n_grams
-    FROM hit JOIN tot ON hit.doc_id = tot.doc_id
-    """
-
-
-@query("decontaminate_eval_overlap", _decon_oracle())
-def q_decontaminate_eval_overlap(spark, sf_dir):
-    """Benchmark decontamination (GPT-3 appendix C / PaLM): every 25th
-    document plays the held-out EVAL set; the rest is the training
-    corpus. A deterministic 12-token snippet of the preceding eval doc
-    is injected into 10 % of train docs (fixture-extension precedent —
-    the word-soup corpus has little natural overlap), and the operator
-    (``functions/dedup.py eval_contamination``) flags train docs
-    sharing any 8-word-gram with the eval set: broadcast eval-gram
-    semi-join, corpus never shuffled on the gram key. Output is the
-    contaminated docs with distinct-gram hit and total counts (the
-    overlap-fraction thresholding signal); removal is an anti-join on
-    these ids."""
-    from lightsaber_spark.functions.dedup import eval_contamination
-
-    m, sn = _DECON_EVAL_MOD, _DECON_SNIP
-    d = _docs(spark, sf_dir)
-    did = F.col("doc_id")
-    partners = d.filter(did % m == 0).select(
-        F.col("doc_id").alias("_pid"), tokens(F.col("text")).alias("_ptoks")
-    )
-    base = d.join(
-        F.broadcast(partners), (did - did % m) == F.col("_pid")
-    ).select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                (did % m != 0) & (did % 10 == 3),
-                F.concat(
-                    F.lit(" "),
-                    F.array_join(F.slice(F.col("_ptoks"), 1, sn), " "),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return eval_contamination(
-        base.filter(did % m != 0), base.filter(did % m == 0), k=_DECON_K
-    )
-
-
 _LEV_PERMILLE = 400
 # hot-bucket valve: > largest genuine family at every shipped scale
 # (max observed bucket: 5 at sf0.01, 16 at sf0.1, ~160 in the 10×

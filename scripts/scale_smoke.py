@@ -72,6 +72,9 @@ QUERIES = [
     # round 8
     "text_line_dedup_stats",
     "text_line_dedup_scrub",
+    # round 9
+    "dedup_semantic_groups",
+    "url_canonical_dedup",
 ]
 
 _COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")

@@ -100,42 +100,3 @@ def test_line_dedup_stats_threshold_boundary(spark):
     }
     # 'shared in three' df=3 -> boilerplate; 'shared in two' df=2 -> kept
     assert got == {1: (3, 1), 2: (3, 1), 3: (2, 1)}
-
-
-def test_eval_contamination_exact_counts(spark):
-    """Hand-built fixture with known k-gram overlap: counts must be
-    exact distinct-gram counts, clean docs must not appear, and the
-    eval side must never flag itself."""
-    from pyspark.sql import functions as F
-
-    from lightsaber_spark.functions.dedup import (
-        eval_contamination,
-        release_shingle_caches,
-    )
-
-    ev = spark.createDataFrame(
-        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
-    )
-    train = spark.createDataFrame(
-        [
-            # contains "alpha beta gamma" and "beta gamma delta" (2 hits)
-            (1, "zzz alpha beta gamma delta yyy"),
-            # one hit, repeated — distinct grams count once
-            (2, "alpha beta gamma xxx alpha beta gamma"),
-            # no 3-gram overlap (only a 2-gram)
-            (3, "alpha beta qqq rrr sss"),
-        ],
-        "doc_id long, text string",
-    )
-    got = {
-        r.doc_id: (r.n_eval_grams, r.n_grams)
-        for r in eval_contamination(train, ev, k=3).collect()
-    }
-    release_shingle_caches()
-    # doc 1: grams of "zzz alpha beta gamma delta yyy" hitting eval =
-    # {alpha beta gamma, beta gamma delta}; total distinct 3-grams = 4
-    # doc 2: {alpha beta gamma} once despite repetition; total distinct
-    # = 4 ("alpha beta gamma","beta gamma xxx","gamma xxx alpha",
-    # "xxx alpha beta" — the repeated trailing gram dedupes)
-    assert got == {1: (2, 4), 2: (1, 4)}
-    assert 3 not in got
