@@ -1510,3 +1510,43 @@ def test_streaming_neardup_lsh_checkpoint_restart(spark, tmp_path):
         "no phase-2 doc collided with a phase-1 anchor — state was not "
         "recovered across the restart"
     )
+
+
+def test_streaming_url_frontier_dedup(spark, tmp_path):
+    """Crawl-frontier dedup: canonical_url (a pure Catalyst expression)
+    composes with streaming_dedup inside a stateful streaming plan —
+    different raw SPELLINGS of one page arriving in different
+    micro-batches dedupe to a single emission per canonical URL, equal
+    to the batch canonical distinct."""
+    from lightsaber_spark.functions.urls import canonical_url
+
+    spellings = [
+        "http://www.example.com/p/{0}?utm_source=a",
+        "https://example.com/p/{0}/",
+        "HTTP://EXAMPLE.com/p/{0}#frag",
+        "http://example.com/p/{0}?fbclid=x9",
+    ]
+    rows = [
+        (p * 10 + s, spellings[s].format(p))
+        for p in range(20)
+        for s in range(4)
+    ]
+    df = spark.createDataFrame(rows, "visit_id long, url string")
+    src = str(tmp_path / "frontier")
+    # one spelling per file -> each page's duplicates arrive in FOUR
+    # different micro-batches (cross-batch state, not in-batch dedup)
+    for s in range(4):
+        df.filter(F.col("visit_id") % 10 == s).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+    canon = stream.withColumn("canonical_url", canonical_url(F.col("url")))
+    got = run_available_now(
+        streaming_dedup(canon, ["canonical_url"]),
+        str(tmp_path / "ck_frontier"),
+        table_name="t_frontier",
+    )
+    out = [r.canonical_url for r in got.collect()]
+    assert sorted(out) == sorted(f"example.com/p/{p}" for p in range(20))
+    assert len(out) == len(set(out)) == 20
