@@ -2402,23 +2402,16 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
     )
     if materialize_dir:
         # 100 TB path: one parquet write, then disk-backed scans — no
-        # executor-memory persist of a corpus-sized relation.
+        # executor-memory persist of a corpus-sized relation. _SUCCESS-
+        # guarded reuse; keyed by the sf_dir PATH (regenerating the
+        # data under the same path requires deleting the dir first).
+        from lightsaber_spark.session import materialize_parquet_once
+
         path = materialize_dir.rstrip("/") + (
             f"/passage_index_k{k}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
         )
-        # Reuse only a COMPLETE prior write: check the sink's _SUCCESS
-        # marker through the Hadoop FS API (works for hdfs://, s3a://,
-        # file:// and bare local paths alike — a driver-local isdir()
-        # would accept a partially-written index after a mid-write kill
-        # and never match a remote URI). The index is keyed by the
-        # sf_dir PATH: regenerating the data under the same path
-        # requires deleting the materialized dir first.
-        jvm = spark._jvm
-        marker = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(marker):
-            idx.write.mode("overwrite").parquet(path)
-        idx = spark.read.parquet(path)
+        plan = idx
+        idx = materialize_parquet_once(spark, lambda: plan, path)
     else:
         idx = idx.persist()
     _PASSAGE_INDEX_CACHE[key] = idx

@@ -97,3 +97,27 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
+
+
+def materialize_parquet_once(spark: SparkSession, build, path: str):
+    """One-time parquet materialization with ``_SUCCESS``-guarded reuse
+    — the 100 TB escape hatch for relations too big (or too expensive)
+    to persist in executor memory across consumers/jobs.
+
+    ``build`` is a zero-arg callable returning the DataFrame to write;
+    it is invoked ONLY when no complete prior write exists at ``path``.
+    Completeness is checked via the sink's ``_SUCCESS`` marker through
+    the Hadoop FS API (works for hdfs://, s3a://, file:// and bare
+    local paths alike — a driver-local isdir() would accept a
+    partially-written output after a mid-write kill and never match a
+    remote URI). Returns the parquet-backed DataFrame either way.
+
+    Callers key ``path`` by their input identity (e.g. an sf_dir md5):
+    regenerating the input under the same path requires deleting the
+    materialized dir first."""
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(marker):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -120,6 +120,50 @@ SELECT 2 * s + 1 AS src, 2 * c AS dst FROM (
 """
 
 
+def _pagerank_pairs(spark, sf_dir, materialize_dir=None):
+    """The distinct (custkey, suppkey) pair list — the setup relation
+    that dominates the query's cost (the orders⋈lineitem derivation is
+    ~40 % of warm wall time, measured round 9 at sf0.1: 3.1-3.3 s
+    derived vs 1.8-2.4 s from parquet).
+
+    Default (unset): derived fresh and localCheckpoint-ed per build —
+    the sanctioned eager-setup exception (CLAUDE.md). For repeated runs
+    over the same corpus (cross-round bench, scheduled re-ranks at
+    100 TB), pass ``materialize_dir`` or set
+    ``$LIGHTSABER_PAGERANK_PAIRS_DIR`` to write the pair list to
+    parquet ONCE and stream it from disk afterwards — the same
+    ``_SUCCESS``-guarded escape hatch as the passage index (unset
+    everywhere in-repo, so default behavior is unchanged)."""
+    import hashlib
+    import os
+
+    if materialize_dir is None:
+        materialize_dir = os.environ.get("LIGHTSABER_PAGERANK_PAIRS_DIR")
+
+    def build():
+        t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+        return (
+            t["orders"]
+            .join(
+                t["lineitem"],
+                t["orders"].o_orderkey == t["lineitem"].l_orderkey,
+            )
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .distinct()
+        )
+
+    if materialize_dir:
+        from lightsaber_spark.session import materialize_parquet_once
+
+        path = materialize_dir.rstrip("/") + (
+            f"/pagerank_pairs_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        )
+        return materialize_parquet_once(spark, build, path)
+    return build().localCheckpoint()
+
+
 @staged_query(
     "pagerank_customer_supplier",
     f"""
@@ -142,7 +186,6 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking), exercising the iterative-fixpoint engine shape
     (operators/iterative.py) the same way duplicate_groups exercises
     connected components."""
-    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     # pairs feeds BOTH union branches of the symmetrized edge list —
     # localCheckpoint it so the fact-table join + distinct runs once
     # (AQE exchange reuse is not reliable across union branches), and
@@ -150,18 +193,7 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is HALF the edge rows, so materializing pairs instead of edges
     # cuts the setup write volume in half and drops one full
     # materialization (measured round 7: warm 5.5 s -> ~2.7 s, sf0.1).
-    pairs = (
-        t["orders"]
-        .join(
-            t["lineitem"],
-            t["orders"].o_orderkey == t["lineitem"].l_orderkey,
-        )
-        .select(
-            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    pairs = _pagerank_pairs(spark, sf_dir)
     fwd = pairs.select(
         (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
     )

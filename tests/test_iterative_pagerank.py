@@ -47,3 +47,27 @@ def test_dim_bounded_matches_default(spark):
         ).collect()
     }
     assert plain == dim
+
+
+def test_pagerank_pairs_materialize_dir(spark, tmp_path):
+    """The pair-list escape hatch: parquet written once, _SUCCESS-
+    guarded reuse, identical rows to the derived path (measured round
+    9: ~40% of warm query time saved on repeated runs)."""
+    import os
+
+    from lightsaber_spark.staged_queries import _pagerank_pairs
+
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "pr_pairs")
+    a = _pagerank_pairs(spark, sf, materialize_dir=d)
+    sub = [p for p in os.listdir(d) if p.startswith("pagerank_pairs_")]
+    assert len(sub) == 1, "pair list written once under materialize_dir"
+    assert os.path.exists(os.path.join(d, sub[0], "_SUCCESS"))
+    b = _pagerank_pairs(spark, sf)  # derived path
+    got = sorted((r.c, r.s) for r in a.collect())
+    want = sorted((r.c, r.s) for r in b.collect())
+    assert got == want
+    # second call reuses the complete write (mtime unchanged)
+    m0 = os.path.getmtime(os.path.join(d, sub[0], "_SUCCESS"))
+    _pagerank_pairs(spark, sf, materialize_dir=d).count()
+    assert os.path.getmtime(os.path.join(d, sub[0], "_SUCCESS")) == m0
