@@ -81,7 +81,10 @@ def _measure(
                     "operatorName", "numRowsTotal", "numRowsUpdated",
                     "numRowsRemoved", "allUpdatesTimeMs",
                     "allRemovalsTimeMs", "commitTimeMs",
-                    "stateMemory",
+                    # NB: the progress JSON field is memoryUsedBytes —
+                    # the old "stateMemory" key never existed and
+                    # recorded null in every prior STREAM_BENCH row
+                    "memoryUsedBytes",
                 )
             }
             for op in state_ops
