@@ -9,6 +9,16 @@ Determinism contract: embeddings are float32; elements are scaled to
 exact integers (×10^6) so dot products / norms are order-independent
 bigints and results reproduce bit-identically in the DuckDB oracle
 (two-arg list_transform lambda + list_sum).
+
+Input contract (whole cosine family, batch and oracle alike): vectors
+must have a non-zero scaled norm. A zero vector makes every cosine
+0/0 — numpy NaN vs DuckDB NULL (verified: DuckDB float 0.0/0.0 is
+NULL). Threshold predicates happen to agree (NaN >= t is False, NULL
+>= t drops the row), but rank/sort positions diverge (NaN vs NULL
+ordering), so zero vectors would not fail loudly — they would silently
+de-sync any ranked oracle. The testdata embeddings are non-zero by
+construction; a real ingest should drop or epsilon-floor zero vectors
+upstream.
 """
 
 from __future__ import annotations

@@ -1764,9 +1764,13 @@ def _url_oracle() -> str:
     URL synthesis (scheme/case/www/trailing-slash/param-order/tracking/
     fragment noise keyed off doc_id), then the same canonicalization
     regex/list pipeline as ``functions/urls.py``."""
-    from lightsaber_spark.functions.urls import TRACKING_PARAM_NAMES
+    from lightsaber_spark.functions.urls import (
+        TRACKING_PARAM_NAMES,
+        TRACKING_PREFIX,
+    )
 
     names = ", ".join(f"'{n}'" for n in TRACKING_PARAM_NAMES)
+    plen = len(TRACKING_PREFIX)
     return f"""
     WITH parts AS (SELECT doc_id, source,
         CASE WHEN doc_id % 4 < 2 THEN 'id=' || CAST(doc_id % 3 AS VARCHAR) END AS kept,
@@ -1800,7 +1804,7 @@ def _url_oracle() -> str:
            regexp_extract(rest, '\\?(.*)$', 1) AS qs FROM h),
     cp AS (SELECT doc_id, host, path,
            list_sort(list_filter(string_split(qs, '&'),
-             p -> p <> '' AND substring(p, 1, 4) <> 'utm_'
+             p -> p <> '' AND substring(p, 1, {plen}) <> '{TRACKING_PREFIX}'
                   AND split_part(p, '=', 1) NOT IN ({names}))) AS params
            FROM pq),
     c AS (SELECT doc_id,
