@@ -11,15 +11,21 @@ whole-stage codegen; the DuckDB oracle twin applies the identical
 regex/list pipeline):
 
 1. drop the scheme (http ≡ https for crawl identity);
-2. lowercase the host; strip one leading ``www.``;
-3. drop the fragment;
-4. strip trailing slashes from the path;
-5. drop tracking query params (names starting ``utm_`` or in
+2. drop userinfo (``user:pw@host`` — never content identity) and the
+   default ports ``:80``/``:443`` (non-default ports are kept: they
+   select a different server);
+3. lowercase the host; strip one leading ``www.``;
+4. drop the fragment;
+5. strip trailing slashes from the path;
+6. drop tracking query params (names starting ``utm_`` or in
    :data:`TRACKING_PARAM_NAMES`), SORT the survivors (param order is
    transport noise), rebuild ``?a=..&b=..`` only if any survive.
 
 Path and param case is preserved (case-sensitive on real servers);
-only scheme and host are case-folded.
+only scheme and host are case-folded. Percent-encoding is NOT
+normalized (%7E vs ~): doing it correctly needs the reserved-set
+tables of RFC 3986 §2.2 and is deliberately out of scope — the
+synthesis both engines canonicalize never emits percent-escapes.
 
 100 TB shape: canonicalization is per-row expression work (no shuffle,
 no Python); the dedup itself is one hash aggregation on the canonical
@@ -39,9 +45,12 @@ TRACKING_PREFIX = "utm_"
 
 
 def _host(url: Column) -> Column:
-    """Lowercased host with a single leading ``www.`` stripped."""
+    """Lowercased host: userinfo and default ports (:80/:443) dropped,
+    a single leading ``www.`` stripped."""
     body = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    host = F.lower(F.regexp_extract(body, r"^([^/?#]+)", 1))
+    auth = F.regexp_extract(body, r"^([^/?#]+)", 1)
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")  # userinfo
+    host = F.lower(F.regexp_replace(auth, r":(80|443)$", ""))
     return F.regexp_replace(host, r"^www\.", "")
 
 

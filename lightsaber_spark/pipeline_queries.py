@@ -1781,9 +1781,13 @@ def _url_oracle() -> str:
         CASE WHEN doc_id % 5 = 0 THEN 'HTTPS'
              WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
         || '://'
+        || CASE WHEN doc_id % 17 = 0 THEN 'u' || CAST(doc_id AS VARCHAR) || '@'
+           ELSE '' END
         || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
         || CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END
-        || '.example.com/p/' || CAST(doc_id % 40 AS VARCHAR)
+        || '.example.com'
+        || CASE WHEN doc_id % 13 = 0 THEN ':80' ELSE '' END
+        || '/p/' || CAST(doc_id % 40 AS VARCHAR)
         || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
         || CASE WHEN q <> '' THEN '?' || q ELSE '' END
         || CASE WHEN doc_id % 10 = 0 THEN '#sec' || CAST(doc_id % 2 AS VARCHAR)
@@ -1796,8 +1800,10 @@ def _url_oracle() -> str:
               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS body
           FROM raw),
     h AS (SELECT doc_id,
-          regexp_replace(lower(regexp_extract(body, '^([^/?#]+)', 1)),
-                         '^www\\.', '') AS host,
+          regexp_replace(lower(regexp_replace(
+              regexp_replace(regexp_extract(body, '^([^/?#]+)', 1),
+                             '^[^@]*@', ''),
+              ':(80|443)$', '')), '^www\\.', '') AS host,
           regexp_extract(body, '^[^/?#]+(.*)$', 1) AS rest FROM b),
     pq AS (SELECT doc_id, host,
            regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
@@ -1846,9 +1852,14 @@ def q_url_canonical_dedup(spark, sf_dir):
         .when(did % 2 == 0, F.lit("https"))
         .otherwise(F.lit("http")),
         F.lit("://"),
+        F.when(
+            did % 17 == 0, F.concat(F.lit("u"), did.cast("string"), F.lit("@"))
+        ).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.when(did % 11 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
-        F.lit(".example.com/p/"),
+        F.lit(".example.com"),
+        F.when(did % 13 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
         (did % 40).cast("string"),
         F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),

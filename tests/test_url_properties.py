@@ -50,9 +50,11 @@ def spark_holder(spark):
     return spark
 
 
-def _model(scheme, www, host, segs, slashes, params, frag):
+def _model(scheme, www, host, segs, slashes, params, frag, port=""):
     """Pure-Python model of the documented canonicalization rules."""
-    h = host.lower()
+    h = (host + port).lower()
+    if h.endswith(":80") or h.endswith(":443"):
+        h = h.rsplit(":", 1)[0]
     if h.startswith("www."):
         h = h[4:]
     path = "".join("/" + s for s in segs)
@@ -70,7 +72,9 @@ def _model(scheme, www, host, segs, slashes, params, frag):
 @given(
     scheme=_schemes,
     www=st.booleans(),
+    userinfo=st.sampled_from(["", "bob@", "u:Pw9@"]),
     host=_hosts,
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
     segs=_segs,
     slashes=st.integers(min_value=0, max_value=3),
     content=_content_params,
@@ -79,8 +83,8 @@ def _model(scheme, www, host, segs, slashes, params, frag):
     frag=st.sampled_from(["", "#top", "#Sec2"]),
 )
 def test_canonical_url_equals_python_model(
-    spark_holder, scheme, www, host, segs, slashes, content, tracking,
-    shuffle_seed, frag,
+    spark_holder, scheme, www, userinfo, host, port, segs, slashes,
+    content, tracking, shuffle_seed, frag,
 ):
     spark = spark_holder
     import random
@@ -90,26 +94,32 @@ def test_canonical_url_equals_python_model(
     raw = (
         scheme
         + "://"
+        + userinfo
         + ("www." if www else "")
         + host
+        + port
         + "".join("/" + s for s in segs)
         + "/" * slashes
         + ("?" + "&".join(params) if params else "")
         + frag
     )
-    want = _model(scheme, www, host, segs, slashes, params, frag)
+    want = _model(scheme, www, host, segs, slashes, params, frag, port=port)
 
     df = spark.createDataFrame([(raw,)], "url string")
     got = df.select(canonical_url(F.col("url")).alias("c")).collect()[0].c
     assert got == want, (raw, got, want)
 
     # noise invariance: a second spelling with flipped noise axes
-    # canonicalizes identically
+    # canonicalizes identically (default ports are interchangeable
+    # with no port; a non-default port is identity and must stay)
+    port2 = ":8080" if port == ":8080" else {"": ":80", ":80": ":443", ":443": ""}[port]
     raw2 = (
         scheme.swapcase()
         + "://"
+        + ("" if userinfo else "alice:s3c@")
         + ("" if www else "www.")
         + host.swapcase()
+        + port2
         + "".join("/" + s for s in segs)
         + "/" * (3 - slashes)
         + ("?" + "&".join(reversed(params)) if params else "")

@@ -44,6 +44,12 @@ def test_canonical_url_rules(spark):
         "http://example.com/A": "example.com/A",
         # param value case preserved
         "http://example.com/a?id=X": "example.com/a?id=X",
+        # userinfo dropped; default ports dropped, other ports kept
+        "http://bob:pw@example.com/a": "example.com/a",
+        "http://example.com:80/a": "example.com/a",
+        "https://example.com:443/a": "example.com/a",
+        "http://example.com:8080/a": "example.com:8080/a",
+        "http://u@www.Example.COM:443/a/": "example.com/a",
     }
     got = _canon(spark, list(cases))
     for (raw, want), c in zip(cases.items(), got):
