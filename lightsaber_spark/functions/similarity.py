@@ -524,7 +524,10 @@ def semantic_dedup(
     raise ``k`` (the paper uses 50k clusters) so cells stay bounded,
     and ``n_blocks`` so each GEMM tile fits executor memory. The only
     collect is the k-means fit's k·dim centroid table (bounded, the
-    documented :func:`kmeans_fit_scaled` contract)."""
+    documented :func:`kmeans_fit_scaled` contract). The k knob is
+    MEASURED (round 9, 200k vectors = 100× embeddings): k=4 141.3 s
+    vs k=40 50.8 s with equivalent dedup output — scale k with the
+    corpus, per ``ROUND10_PERF_NOTES.md``."""
     from pyspark.sql import Window
 
     from lightsaber_spark.functions.dedup import register_cache
