@@ -534,3 +534,55 @@ def test_semantic_dedup_block_count_invariance(spark, tables):
         return got
 
     assert run(1) == run(4) == run(7)
+
+
+def test_semantic_dedup_random_vectors_and_exact_ties(spark):
+    """Degenerate shapes the corpus test can't hit: exact duplicate
+    vectors (identical centroid-cosine -> rank ties broken by vec_id;
+    at tau <= 1 the later copies must drop), singleton cells, and tiny
+    random integer corpora checked against the same numpy model."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    base = rng.randint(-1000, 1000, size=(6, dim)).astype(float) / 1000.0
+    rows = []
+    vid = 0
+    for i in range(6):
+        copies = 3 if i < 2 else 1  # two vectors appear in triplicate
+        for _ in range(copies):
+            rows.append((vid, [float(x) for x in base[i]]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [int(round(x * 1_000_000)) for x in base[0]]),
+             (1, [int(round(x * 1_000_000)) for x in base[1]])]
+    out = semantic_dedup(
+        df, threshold=0.999999, k=2, centroids=cents, n_blocks=3
+    ).collect()
+    release_shingle_caches()
+    assert len(out) == len(rows)
+    by_id = {r.vec_id: r for r in out}
+    # the two triplicated vectors: lowest vec_id of each triple kept,
+    # the other two dropped (cosine exactly 1.0 >= threshold; equal
+    # ccos -> rank ties broken by vec_id ascending)
+    assert by_id[0].keep == 1 and by_id[1].keep == 0 and by_id[2].keep == 0
+    assert by_id[3].keep == 1 and by_id[4].keep == 0 and by_id[5].keep == 0
+    # rnk is a permutation of 1..|cell| within every cell
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for r in out:
+        cells[r.cell_id].append(r.rnk)
+    for cid, rnks in cells.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), (cid, rnks)
+    # distinct singletons at a sane threshold: nothing drops
+    out2 = semantic_dedup(
+        df.filter(F.col("vec_id").isin(0, 3, 6, 7, 8, 9)),
+        threshold=0.999999, k=2, centroids=cents, n_blocks=2,
+    ).collect()
+    release_shingle_caches()
+    assert all(r.keep == 1 for r in out2)
