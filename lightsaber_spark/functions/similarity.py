@@ -397,7 +397,12 @@ def ivf_cell_udf(
     (ties → lowest centroid id, matching a ``row_number() ... ORDER BY
     cos DESC, cid ASC`` oracle). One GEMM per Arrow batch; the centroid
     matrix is embedded in the UDF closure (centroids are small by
-    definition — driver-side collect is bounded).
+    definition — driver-side collect is bounded). Closure-size bound:
+    fine to k·dim ≈ 10^7 elements (~80 MB of float64 — SemDeDup-paper
+    50k cells × 64 dims rides comfortably); past that, switch the
+    assignment to a broadcast-join argmax over a centroid DataFrame
+    (the shape the DuckDB oracles already use) instead of shipping the
+    matrix in every task's closure.
     ``centroids_scaled=True`` means centroid vectors are already exact
     scaled integers (e.g. from :func:`kmeans_fit_scaled`);
     ``vecs_scaled=True`` means the INPUT vectors are too — rescaling
