@@ -388,6 +388,32 @@ def _centroid_matrix(centroids, centroids_scaled: bool):
     return ids, m, np.sqrt((m * m).sum(axis=1))
 
 
+def _centroid_payload(centroids, centroids_scaled: bool):
+    """(broadcast, inline) centroid distribution — exactly one is set.
+
+    The k×dim matrix used to ride in each assigner UDF's pickled
+    closure, which re-ships it with EVERY task and hits cloudpickle's
+    practical bound around k·dim ≈ 10^7 elements (~80 MB float64) —
+    below the SemDeDup paper's 50k cells × 768 dims. With an active
+    SparkSession the matrix now travels as a ``SparkContext.broadcast``
+    instead: the closure carries only the broadcast handle (a few
+    bytes), each executor fetches the blocks once via the torrent
+    mechanism, and ``bc.value`` caches per worker process — the
+    standard 100 TB shape for a shared read-only matrix. Broadcast
+    lifetime: k·dim·8 bytes per fit, reclaimed with the session (or
+    eagerly via ``destroy()``); the fixture-scale fits are a few KB.
+
+    No active session (plain unit-test construction) falls back to the
+    closure-inline payload — identical arithmetic either way."""
+    payload = _centroid_matrix(centroids, centroids_scaled)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None, payload
+    return spark.sparkContext.broadcast(payload), None
+
+
 def ivf_cell_udf(
     centroids: list[tuple[int, list[float]]],
     centroids_scaled: bool = False,
@@ -396,23 +422,21 @@ def ivf_cell_udf(
     """Cell assigner: exact argmax-cosine against a small centroid set
     (ties → lowest centroid id, matching a ``row_number() ... ORDER BY
     cos DESC, cid ASC`` oracle). One GEMM per Arrow batch; the centroid
-    matrix is embedded in the UDF closure (centroids are small by
-    definition — driver-side collect is bounded). Closure-size bound:
-    fine to k·dim ≈ 10^7 elements (~80 MB of float64 — SemDeDup-paper
-    50k cells × 64 dims rides comfortably); past that, switch the
-    assignment to a broadcast-join argmax over a centroid DataFrame
-    (the shape the DuckDB oracles already use) instead of shipping the
-    matrix in every task's closure.
+    matrix ships as a Spark broadcast variable (see
+    :func:`_centroid_payload`) — the UDF closure carries only the
+    handle, so paper-scale k (50k cells × 768 dims) no longer hits the
+    closure-pickle bound.
     ``centroids_scaled=True`` means centroid vectors are already exact
     scaled integers (e.g. from :func:`kmeans_fit_scaled`);
     ``vecs_scaled=True`` means the INPUT vectors are too — rescaling
     them again would push dot-product terms past 2^53 and silently
     forfeit the exact-integer-GEMM guarantee (cosine is scale-invariant,
     so only exactness, i.e. tie-breaking, is at stake)."""
-    ids, cm, cnorm = _centroid_matrix(centroids, centroids_scaled)
+    bc, inline = _centroid_payload(centroids, centroids_scaled)
 
     @F.pandas_udf("bigint")
     def _cell(vecs: pd.Series) -> pd.Series:
+        ids, cm, cnorm = bc.value if bc is not None else inline
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         if vecs_scaled:
             s = x
@@ -435,11 +459,13 @@ def ivf_cells_udf(
     """Multi-probe cell assigner: the ``n_probe`` nearest centroid ids
     per vector (cosine desc, centroid id asc on ties — stable argsort
     over the id-ordered centroid matrix). Same exact integer-scaled
-    arithmetic as :func:`ivf_cell_udf`, so probe 1 equals its argmax."""
-    ids, cm, cnorm = _centroid_matrix(centroids, centroids_scaled)
+    arithmetic as :func:`ivf_cell_udf`, so probe 1 equals its argmax —
+    and the same broadcast-variable distribution."""
+    bc, inline = _centroid_payload(centroids, centroids_scaled)
 
     @F.pandas_udf("array<bigint>")
     def _cells(vecs: pd.Series) -> pd.Series:
+        ids, cm, cnorm = bc.value if bc is not None else inline
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         if vecs_scaled:
             s = x
@@ -464,11 +490,13 @@ def ivf_cell_ccos_udf(
     (:func:`semantic_dedup`). Identical arithmetic and tie-breaking to
     :func:`ivf_cell_udf` (argmax over the id-sorted centroid matrix =
     cosine desc, centroid id asc), so its ``cid`` matches that UDF and
-    an ``rn = 1`` oracle row bit-for-bit."""
-    ids, cm, cnorm = _centroid_matrix(centroids, centroids_scaled)
+    an ``rn = 1`` oracle row bit-for-bit. Centroids travel by broadcast
+    variable (:func:`_centroid_payload`), not closure pickle."""
+    bc, inline = _centroid_payload(centroids, centroids_scaled)
 
     @F.pandas_udf("cid bigint, ccos double")
     def _cell(vecs: pd.Series) -> pd.DataFrame:
+        ids, cm, cnorm = bc.value if bc is not None else inline
         x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         if vecs_scaled:
             s = x

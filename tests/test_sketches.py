@@ -247,6 +247,58 @@ def test_ivf_assigner_scaled_input_exactness(spark):
     assert first == got_scl
 
 
+def test_ivf_assigner_centroids_ride_broadcast_not_closure(spark):
+    """r9 verdict item: past k·dim ≈ 1e7 the closure-pickled centroid
+    matrix hits cloudpickle's practical bound (paper-scale SemDeDup is
+    50k cells × 768 dims). With an active session the assigner must ship
+    the matrix as a SparkContext.broadcast — the UDF closure carries
+    only the handle, so its pickled size stays flat in k."""
+    import numpy as np
+    from pyspark.broadcast import Broadcast
+    from pyspark.serializers import CloudPickleSerializer
+
+    from lightsaber_spark.functions.similarity import (
+        SCALE,
+        ivf_cell_ccos_udf,
+        ivf_cell_udf,
+        ivf_cells_udf,
+    )
+
+    rng = np.random.RandomState(7)
+    big = [
+        (cid, [int(x) for x in (rng.randint(-SCALE, SCALE, 64))])
+        for cid in range(2000)
+    ]
+    for factory in (ivf_cell_udf, ivf_cells_udf, ivf_cell_ccos_udf):
+        udf = (
+            factory(big, 2, centroids_scaled=True)
+            if factory is ivf_cells_udf
+            else factory(big, centroids_scaled=True)
+        )
+        fn = udf.func
+        free = dict(zip(fn.__code__.co_freevars, fn.__closure__))
+        assert isinstance(free["bc"].cell_contents, Broadcast), factory.__name__
+        assert free["inline"].cell_contents is None, factory.__name__
+        # the 2000×64 matrix is ~1 MB of float64; the handle pickles tiny
+        blob = CloudPickleSerializer().dumps(fn)
+        assert len(blob) < 64 * 1024, (factory.__name__, len(blob))
+
+    # end-to-end: broadcast path assigns the same cells numpy argmax does
+    cell = ivf_cell_udf(big, centroids_scaled=True)
+    vecs = [(i, [float(x) / SCALE for x in rng.randint(-SCALE, SCALE, 64)])
+            for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = {r.vec_id: r.c
+           for r in df.select("vec_id", cell("embedding").alias("c")).collect()}
+    cm = np.array([v for _, v in sorted(big)], dtype=np.float64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    for vid, v in vecs:
+        y = np.asarray(v) * SCALE
+        s = np.sign(y) * np.floor(np.abs(y) + 0.5)
+        cos = (s @ cm.T) / (np.sqrt((s * s).sum()) * cn)
+        assert got[vid] == int(np.argmax(cos)), vid
+
+
 def test_upsample_by_weight_multiplicity_and_epochs(spark, tables):
     """Copies per row = ⌊w⌋ or ⌈w⌉ with epoch ∈ [0, n); weight 0 drops;
     partition-stable; a weight bump never drops an existing copy."""
