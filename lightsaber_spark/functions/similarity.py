@@ -522,6 +522,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     n_blocks: int = 4,
     centroids: list[tuple[int, list[int]]] | None = None,
+    target_cell_size: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     by clustering embeddings and dropping near-identical members
@@ -560,11 +562,27 @@ def semantic_dedup(
     documented :func:`kmeans_fit_scaled` contract). The k knob is
     MEASURED (round 9, 200k vectors = 100× embeddings): k=4 141.3 s
     vs k=40 50.8 s with equivalent dedup output — scale k with the
-    corpus, per ``ROUND10_PERF_NOTES.md``."""
+    corpus, per ``ROUND10_PERF_NOTES.md``.
+
+    ``target_cell_size`` is the scale-safety knob the measurement asks
+    for: pass it (optionally with ``corpus_size``, a caller-supplied
+    row-count estimate — omitted, the corpus is counted once at build
+    time, an eager scalar action in the same bounded class as the
+    k-means fit) and ``k`` is DERIVED as ceil(n / target_cell_size),
+    overriding the ``k`` argument. A fixed default k on a growing
+    corpus silently re-inflates the intra-cell pair space (~n²/k);
+    deriving k from n keeps expected cell size — and therefore
+    per-cell GEMM cost — constant as the corpus grows. Ignored when
+    ``centroids`` is passed (a reused fit dictates its own k)."""
+    import math
+
     from pyspark.sql import Window
 
     from lightsaber_spark.functions.dedup import register_cache
 
+    if centroids is None and target_cell_size is not None:
+        n = corpus_size if corpus_size is not None else corpus.count()
+        k = max(1, math.ceil(n / target_cell_size))
     cents = (
         centroids
         if centroids is not None

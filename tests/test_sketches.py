@@ -638,3 +638,42 @@ def test_semantic_dedup_random_vectors_and_exact_ties(spark):
     ).collect()
     release_shingle_caches()
     assert all(r.keep == 1 for r in out2)
+
+
+def test_semantic_dedup_target_cell_size_derives_k(spark):
+    """r9 verdict item: `target_cell_size` derives k = ceil(n / size)
+    from the corpus size so a fixed default k can't silently re-inflate
+    the intra-cell pair space on a grown corpus (the measured k-knob:
+    k=4 141s vs k=40 51s at 100x, ROUND10_PERF_NOTES.md). The derived-k
+    run must equal an explicit-k run bit-for-bit; `corpus_size` skips
+    the count() action and must change nothing else."""
+    import numpy as np
+
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.functions.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    n, dim = 24, 8
+    rows = [(i, [float(x) / 1000.0 for x in rng.randint(-1000, 1000, dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(**kw):
+        got = sorted(
+            (r.vec_id, r.cell_id, r.rnk, r.keep)
+            for r in semantic_dedup(df, threshold=0.9, **kw).collect()
+        )
+        release_shingle_caches()
+        return got
+
+    # ceil(24 / 5) = 5 cells; k argument must be overridden (not maxed)
+    explicit = run(k=5)
+    derived = run(k=4, target_cell_size=5)
+    derived_sized = run(k=4, target_cell_size=5, corpus_size=n)
+    assert derived == explicit
+    assert derived_sized == explicit
+    # a passed fit wins over the knob (reused centroids dictate k)
+    cents = [(0, [int(round(x * 1_000_000)) for x in rows[0][1]]),
+             (1, [int(round(x * 1_000_000)) for x in rows[1][1]])]
+    with_fit = run(centroids=cents, target_cell_size=5)
+    assert {c for _, c, _, _ in with_fit} <= {0, 1}
