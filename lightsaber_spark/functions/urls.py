@@ -10,22 +10,33 @@ Canonicalization rules (each a pure Catalyst expression — map-only,
 whole-stage codegen; the DuckDB oracle twin applies the identical
 regex/list pipeline):
 
-1. drop the scheme (http ≡ https for crawl identity);
-2. drop userinfo (``user:pw@host`` — never content identity) and the
+1. normalize percent-encoding (RFC 3986 §2.3/§6.2.2.1): decode
+   escapes of the UNRESERVED set (ALPHA / DIGIT / ``-._~`` — decoding
+   them never produces a delimiter, so it is safe before parsing) and
+   uppercase the hex of every surviving escape (``%2f`` → ``%2F``);
+   invalid escapes (``%zz``, lone trailing ``%``) pass through
+   literally, as browsers treat them;
+2. drop the scheme (http ≡ https for crawl identity);
+3. drop userinfo (``user:pw@host`` — never content identity) and the
    default ports ``:80``/``:443`` (non-default ports are kept: they
    select a different server);
-3. lowercase the host; strip one leading ``www.``;
-4. drop the fragment;
-5. strip trailing slashes from the path;
-6. drop tracking query params (names starting ``utm_`` or in
+4. lowercase the host; strip one leading ``www.``;
+5. drop the fragment;
+6. strip trailing slashes from the path;
+7. drop tracking query params (names starting ``utm_`` or in
    :data:`TRACKING_PARAM_NAMES`), SORT the survivors (param order is
    transport noise), rebuild ``?a=..&b=..`` only if any survive.
 
 Path and param case is preserved (case-sensitive on real servers);
-only scheme and host are case-folded. Percent-encoding is NOT
-normalized (%7E vs ~): doing it correctly needs the reserved-set
-tables of RFC 3986 §2.2 and is deliberately out of scope — the
-synthesis both engines canonicalize never emits percent-escapes.
+only scheme, host, and the escape normalization are case-folded.
+Reserved-set escapes stay encoded (``%2F`` is not a path separator);
+decoding them would change the URL's meaning (RFC 3986 §2.2).
+
+``TRACKING_PARAM_NAMES`` deliberately excludes ``ref``: unlike
+fbclid/gclid/msclkid it is frequently content-bearing on real URLs
+(``?ref=main`` branch refs, ``?ref=page-2`` pagination), so stripping
+it would false-merge distinct pages; extend the filter upstream for
+crawls where ``ref`` is known to be tracking-only.
 
 100 TB shape: canonicalization is per-row expression work (no shuffle,
 no Python); the dedup itself is one hash aggregation on the canonical
@@ -37,11 +48,73 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-#: query params that never identify content (click/campaign tracking)
-TRACKING_PARAM_NAMES = ("fbclid", "gclid", "msclkid", "ref")
+#: query params that never identify content (click/campaign tracking).
+#: 'ref' is deliberately NOT here — see the module docstring.
+TRACKING_PARAM_NAMES = ("fbclid", "gclid", "msclkid")
 
 #: any param whose name starts with this is campaign tracking
 TRACKING_PREFIX = "utm_"
+
+#: multi-label public suffixes (the static two-label slice of the
+#: Mozilla public-suffix list — public data; the single-label TLDs are
+#: handled by the base two-label rule). A host whose last TWO labels
+#: are in this set takes its last THREE labels as the registrable
+#: domain (``foo.co.uk`` → ``foo.co.uk``, not ``co.uk``). Scope: the
+#: common ccTLD second-level registries; three-label suffixes and PSL
+#: wildcard rules are out of scope for the fixture surface.
+MULTI_LABEL_PUBLIC_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "co.za", "org.za", "web.za", "net.za", "gov.za", "ac.za",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "com.tr", "com.sg", "com.hk", "com.tw", "com.my",
+    "com.ph", "com.vn", "com.eg", "com.sa", "com.ua", "com.pk",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "re.kr", "ac.kr",
+    "co.id", "or.id", "web.id", "ac.id", "sch.id",
+    "com.pl", "net.pl", "org.pl", "edu.pl",
+    "co.th", "ac.th", "or.th", "go.th", "in.th",
+    "co.il", "org.il", "ac.il", "gov.il",
+)
+
+
+def pct_normalize(url: Column) -> Column:
+    """RFC 3986 percent-encoding normalization (§2.3 + §6.2.2.1),
+    applied to the WHOLE url before parsing: split on ``%``; each tail
+    segment starting with two hex digits is an escape — decode it if
+    the code point is unreserved (ALPHA 0x41-5A/0x61-7A, DIGIT
+    0x30-39, ``-`` 2D ``.`` 2E ``_`` 5F ``~`` 7E), else keep it with
+    UPPERCASED hex; non-hex tails are literal ``%`` text. Safe before
+    parsing because no unreserved code point is a URL delimiter.
+
+    Pure Catalyst (split / transform / conv / char) — interpreted HOF,
+    but over ~0-3 escape segments per URL, far below the hot-array
+    threshold where the Arrow-UDF rewrite pays (CLAUDE.md gotcha). The
+    DuckDB twin is the identical 1-based ``list_transform`` pipeline."""
+    def _fix(seg: Column, i: Column) -> Column:
+        hex2 = F.upper(F.substring(seg, 1, 2))
+        valid = seg.rlike("^[0-9A-Fa-f]{2}")
+        cp = F.conv(hex2, 16, 10).cast("int")
+        unreserved = (
+            ((cp >= 48) & (cp <= 57))
+            | ((cp >= 65) & (cp <= 90))
+            | ((cp >= 97) & (cp <= 122))
+            | cp.isin(45, 46, 95, 126)
+        )
+        rest = F.substring(seg, 3, 2147483647)
+        return (
+            F.when(i == 0, seg)
+            .when(valid & unreserved, F.concat(F.char(cp), rest))
+            .when(valid, F.concat(F.lit("%"), hex2, rest))
+            .otherwise(F.concat(F.lit("%"), seg))
+        )
+
+    return F.array_join(F.transform(F.split(url, "%"), _fix), "")
 
 
 def _host(url: Column) -> Column:
@@ -81,10 +154,11 @@ def _kept_params(qs: Column) -> Column:
 def canonical_url(url: Column) -> Column:
     """Canonical identity string for a raw URL (rules in the module
     docstring). Pure expression — no UDF, no shuffle."""
-    path, qs = _path_and_query(url)
+    u = pct_normalize(url)
+    path, qs = _path_and_query(u)
     params = _kept_params(qs)
     return F.concat(
-        _host(url),
+        _host(u),
         path,
         F.when(
             F.size(params) > 0,
@@ -94,11 +168,19 @@ def canonical_url(url: Column) -> Column:
 
 
 def registrable_domain(url: Column) -> Column:
-    """Last two host labels (``sub.a.example.com`` → ``example.com``) —
-    the per-domain rollup key. (A real crawl uses the public-suffix
-    list; the two-label rule is the deterministic, dependency-free
-    stand-in and is exact for ``*.example.com`` test fixtures.)"""
-    return F.regexp_extract(_host(url), r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain: the last two host labels
+    (``sub.a.example.com`` → ``example.com``), or the last THREE when
+    the two-label tail is a registry suffix
+    (:data:`MULTI_LABEL_PUBLIC_SUFFIXES`: ``sub.foo.co.uk`` →
+    ``foo.co.uk``). A bare suffix host (``co.uk`` itself) falls back
+    to the two-label value — there is no registrable domain below it."""
+    host = _host(pct_normalize(url))
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*MULTI_LABEL_PUBLIC_SUFFIXES) & (last3 != F.lit("")),
+        last3,
+    ).otherwise(last2)
 
 
 def canonical_url_dedup(

@@ -1762,14 +1762,19 @@ def q_pii_redact(spark, sf_dir):
 def _url_oracle() -> str:
     """Oracle twin of ``url_canonical_dedup``: the same deterministic
     URL synthesis (scheme/case/www/trailing-slash/param-order/tracking/
-    fragment noise keyed off doc_id), then the same canonicalization
-    regex/list pipeline as ``functions/urls.py``."""
+    fragment/percent-escape/ccTLD noise keyed off doc_id), then the
+    same canonicalization regex/list pipeline as ``functions/urls.py``
+    — including the RFC 3986 percent-normalization (the ``norm`` CTE,
+    1-based indexed ``list_transform`` twin of ``pct_normalize``) and
+    the multi-label public-suffix registrable-domain rule."""
     from lightsaber_spark.functions.urls import (
+        MULTI_LABEL_PUBLIC_SUFFIXES,
         TRACKING_PARAM_NAMES,
         TRACKING_PREFIX,
     )
 
     names = ", ".join(f"'{n}'" for n in TRACKING_PARAM_NAMES)
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_PUBLIC_SUFFIXES)
     plen = len(TRACKING_PREFIX)
     return f"""
     WITH parts AS (SELECT doc_id, source,
@@ -1785,9 +1790,14 @@ def _url_oracle() -> str:
            ELSE '' END
         || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
         || CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END
-        || '.example.com'
+        || CASE WHEN doc_id % 21 = 0 THEN '.co.uk' ELSE '.example.com' END
         || CASE WHEN doc_id % 13 = 0 THEN ':80' ELSE '' END
         || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+        || CASE WHEN doc_id % 14 = 0 THEN '/x%7ey'
+                WHEN doc_id % 14 = 7 THEN '/x~y'
+                WHEN doc_id % 23 = 0 THEN '/f%2fg'
+                WHEN doc_id % 25 = 0 THEN '/b%zzq'
+                ELSE '' END
         || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
         || CASE WHEN q <> '' THEN '?' || q ELSE '' END
         || CASE WHEN doc_id % 10 = 0 THEN '#sec' || CAST(doc_id % 2 AS VARCHAR)
@@ -1795,10 +1805,22 @@ def _url_oracle() -> str:
       FROM (SELECT *, CASE WHEN doc_id % 8 < 4 THEN concat_ws('&', kept, utm, fb)
                            ELSE concat_ws('&', utm, fb, kept) END AS q
             FROM parts)),
+    norm AS (SELECT doc_id,
+        array_to_string(list_transform(string_split(url, '%'), (p, i) ->
+          CASE WHEN i = 1 THEN p
+               WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}') THEN
+                 CASE WHEN (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 48 AND 57)
+                        OR (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 65 AND 90)
+                        OR (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 97 AND 122)
+                        OR ('0x' || upper(substring(p, 1, 2)))::INT IN (45, 46, 95, 126)
+                   THEN chr(('0x' || upper(substring(p, 1, 2)))::INT) || substring(p, 3)
+                   ELSE '%' || upper(substring(p, 1, 2)) || substring(p, 3) END
+               ELSE '%' || p END), '') AS url
+      FROM raw),
     b AS (SELECT doc_id,
           regexp_replace(regexp_replace(url,
               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS body
-          FROM raw),
+          FROM norm),
     h AS (SELECT doc_id,
           regexp_replace(lower(regexp_replace(
               regexp_replace(regexp_extract(body, '^([^/?#]+)', 1),
@@ -1816,7 +1838,10 @@ def _url_oracle() -> str:
     c AS (SELECT doc_id,
            host || path || CASE WHEN len(params) > 0
                 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
-           regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+           CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
+                 AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
           FROM cp)
     SELECT canonical_url, domain, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS rep_doc_id
@@ -1829,14 +1854,16 @@ def q_url_canonical_dedup(spark, sf_dir):
     """Canonical-URL dedup — the crawl-ingest step upstream of text
     dedup. The corpus has no URL column, so a deterministic raw URL is
     synthesized per document first (scheme/host-case/www/trailing-slash/
-    param-order/tracking-param/fragment noise keyed off doc_id — the
-    ``pii_redact_stats`` fixture-extension precedent; same construction
-    in the oracle), then canonicalized (``functions/urls.py``: drop
+    param-order/tracking-param/fragment/percent-escape/ccTLD noise
+    keyed off doc_id — the ``pii_redact_stats`` fixture-extension
+    precedent; same construction in the oracle), then canonicalized
+    (``functions/urls.py``: RFC 3986 percent-normalization, drop
     scheme+fragment, fold host case, strip www./trailing slashes, drop
     utm_*/fbclid-class params, sort survivors) and exact-deduped on the
-    canonical string. Pure Catalyst expressions end-to-end: map-only
-    canonicalization + one hash aggregation — the cheapest dedup in the
-    pipeline, which is why crawl ingest runs it first."""
+    canonical string, with the public-suffix-aware registrable domain.
+    Pure Catalyst expressions end-to-end: map-only canonicalization +
+    one hash aggregation — the cheapest dedup in the pipeline, which
+    is why crawl ingest runs it first."""
     from lightsaber_spark.functions.urls import canonical_url_dedup
 
     d = _docs(spark, sf_dir)
@@ -1857,10 +1884,18 @@ def q_url_canonical_dedup(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.when(did % 11 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
-        F.lit(".example.com"),
+        F.when(did % 21 == 0, F.lit(".co.uk")).otherwise(F.lit(".example.com")),
         F.when(did % 13 == 0, F.lit(":80")).otherwise(F.lit("")),
         F.lit("/p/"),
         (did % 40).cast("string"),
+        # percent-escape noise: unreserved escape (decodes to /x~y),
+        # its decoded twin, a reserved escape (uppercases, stays
+        # encoded), and an invalid escape (literal passthrough)
+        F.when(did % 14 == 0, F.lit("/x%7ey"))
+        .when(did % 14 == 7, F.lit("/x~y"))
+        .when(did % 23 == 0, F.lit("/f%2fg"))
+        .when(did % 25 == 0, F.lit("/b%zzq"))
+        .otherwise(F.lit("")),
         F.when(did % 6 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
         F.when(

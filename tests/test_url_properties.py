@@ -17,31 +17,62 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from lightsaber_spark.functions.urls import (
+    MULTI_LABEL_PUBLIC_SUFFIXES,
     TRACKING_PARAM_NAMES,
     TRACKING_PREFIX,
     canonical_url,
+    registrable_domain,
 )
 
 _hosts = st.sampled_from(
-    ["example.com", "News.Example.com", "a.b.example.org", "EXAMPLE.NET"]
+    ["example.com", "News.Example.com", "a.b.example.org", "EXAMPLE.NET",
+     "foo.co.uk", "www-less.Sub.Example.CO.UK"]
 )
 _schemes = st.sampled_from(["http", "https", "HTTP", "HTTPS", "Ftp"])
+# segments include percent-escape shapes: unreserved (decodes), its
+# decoded twin, reserved (stays, hex uppercased), invalid (literal)
 _segs = st.lists(
-    st.sampled_from(["p", "P", "a1", "x", "docs"]), max_size=3
+    st.sampled_from(["p", "P", "a1", "x", "docs",
+                     "x%7Ey", "x%7ey", "x~y", "f%2fg", "b%zzq", "%41B"]),
+    max_size=3,
 )
+# 'ref' is content-bearing and must survive canonicalization
 _content_params = st.lists(
-    st.sampled_from(["id=1", "id=2", "q=Xy", "page=3", "refresh=1", "utmx=2"]),
+    st.sampled_from(["id=1", "id=2", "q=Xy", "page=3", "refresh=1", "utmx=2",
+                     "ref=tw", "v=%31x"]),
     max_size=3,
     unique=True,
 )
 _tracking_params = st.lists(
     st.sampled_from(
-        ["utm_source=a", "utm_campaign=B", "fbclid=zZ9", "gclid=1", "ref=tw",
-         "msclkid=m"]
+        ["utm_source=a", "utm_campaign=B", "fbclid=zZ9", "gclid=1",
+         "msclkid=m", "%75tm_x=1"]
     ),
     max_size=3,
     unique=True,
 )
+
+_UNRESERVED_CPS = (
+    set(range(48, 58)) | set(range(65, 91)) | set(range(97, 123))
+    | {45, 46, 95, 126}
+)
+
+
+def _pct_model(s: str) -> str:
+    """Pure-Python twin of `pct_normalize` (RFC 3986 §2.3/§6.2.2.1)."""
+    parts = s.split("%")
+    out = [parts[0]]
+    for seg in parts[1:]:
+        h = seg[:2]
+        if len(h) == 2 and all(c in "0123456789abcdefABCDEF" for c in h):
+            cp = int(h, 16)
+            if cp in _UNRESERVED_CPS:
+                out.append(chr(cp) + seg[2:])
+            else:
+                out.append("%" + h.upper() + seg[2:])
+        else:
+            out.append("%" + seg)
+    return "".join(out)
 
 
 @pytest.fixture(scope="module")
@@ -51,16 +82,22 @@ def spark_holder(spark):
 
 
 def _model(scheme, www, host, segs, slashes, params, frag, port=""):
-    """Pure-Python model of the documented canonicalization rules."""
-    h = (host + port).lower()
+    """Pure-Python model of the documented canonicalization rules.
+    Percent-normalization runs FIRST on the whole URL; since unreserved
+    escapes never decode to a delimiter, normalizing each component is
+    equivalent — and the param filter sees the NORMALIZED spelling
+    (an escaped `%75tm_` prefix is still tracking)."""
+    # pipeline order: pct-normalize first, THEN host case-fold
+    h = _pct_model(host + port).lower()
     if h.endswith(":80") or h.endswith(":443"):
         h = h.rsplit(":", 1)[0]
     if h.startswith("www."):
         h = h[4:]
-    path = "".join("/" + s for s in segs)
+    path = "".join("/" + _pct_model(s) for s in segs)
+    norm = [_pct_model(p) for p in params]
     kept = sorted(
         p
-        for p in params
+        for p in norm
         if p
         and not p.startswith(TRACKING_PREFIX)
         and p.split("=", 1)[0] not in TRACKING_PARAM_NAMES
@@ -132,3 +169,43 @@ def test_canonical_url_equals_python_model(
         .c
     )
     assert got2 == want, (raw2, got2, want)
+
+
+def _domain_model(host):
+    """Pure-Python twin of `registrable_domain`'s suffix rule."""
+    h = host.lower()
+    if h.startswith("www."):
+        h = h[4:]
+    labels = h.split(".")
+    last2 = ".".join(labels[-2:])
+    if last2 in MULTI_LABEL_PUBLIC_SUFFIXES and len(labels) >= 3:
+        return ".".join(labels[-3:])
+    return last2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "HTTPS"]),
+    www=st.booleans(),
+    host=st.sampled_from(
+        ["example.com", "News.Example.com", "foo.co.uk", "Sub.Foo.CO.UK",
+         "co.uk", "shop.example.com.au", "x.gov.au", "example.de",
+         "a.b.example.org"]
+    ),
+    path=st.sampled_from(["", "/a", "/a/b"]),
+)
+def test_registrable_domain_public_suffix_property(
+    spark_holder, scheme, www, host, path
+):
+    """ccTLD hosts under a multi-label public suffix must yield the
+    THREE-label registrable domain; everything else keeps the two-label
+    rule; a bare suffix host falls back to itself."""
+    spark = spark_holder
+    raw = scheme + "://" + ("www." if www else "") + host + path
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(registrable_domain(F.col("url")).alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert got == _domain_model(("www." if www else "") + host), raw

@@ -37,7 +37,8 @@ def test_canonical_url_rules(spark):
         # tracking params dropped; survivors sorted; bare ? dropped
         "http://example.com/a?utm_source=x&b=2&a=1": "example.com/a?a=1&b=2",
         "http://example.com/a?fbclid=zz&gclid=q": "example.com/a",
-        "http://example.com/a?ref=tw&id=3": "example.com/a?id=3",
+        # 'ref' is content-bearing (branch refs, pagination) — KEPT
+        "http://example.com/a?ref=tw&id=3": "example.com/a?id=3&ref=tw",
         # param ORDER is transport noise
         "http://example.com/a?b=2&a=1": "example.com/a?a=1&b=2",
         # path case preserved (case-sensitive on real servers)
@@ -50,6 +51,18 @@ def test_canonical_url_rules(spark):
         "https://example.com:443/a": "example.com/a",
         "http://example.com:8080/a": "example.com:8080/a",
         "http://u@www.Example.COM:443/a/": "example.com/a",
+        # RFC 3986 percent-normalization: unreserved escapes decode
+        # (either hex case), reserved escapes stay with UPPER hex,
+        # invalid escapes and a lone trailing % pass through literally
+        "http://example.com/x%7Ey": "example.com/x~y",
+        "http://example.com/x%7ey": "example.com/x~y",
+        "http://example.com/x~y": "example.com/x~y",
+        "http://example.com/f%2fg": "example.com/f%2Fg",
+        "http://example.com/b%zzq": "example.com/b%zzq",
+        "http://example.com/%41B%": "example.com/AB%",
+        "http://example.com/a?id=%41": "example.com/a?id=A",
+        # %75tm_source decodes to utm_source BEFORE the param filter
+        "http://example.com/a?%75tm_source=x&id=1": "example.com/a?id=1",
     }
     got = _canon(spark, list(cases))
     for (raw, want), c in zip(cases.items(), got):
@@ -57,17 +70,27 @@ def test_canonical_url_rules(spark):
 
 
 def test_registrable_domain(spark):
-    df = spark.createDataFrame(
-        [("https://www.sub.news.example.com/x",), ("http://example.org/",)],
-        "url string",
-    )
+    cases = {
+        "https://www.sub.news.example.com/x": "example.com",
+        "http://example.org/": "example.org",
+        # multi-label public suffixes take THREE labels
+        "http://foo.co.uk/a": "foo.co.uk",
+        "https://www.Sub.Foo.CO.UK/a": "foo.co.uk",
+        "http://shop.example.com.au/": "example.com.au",
+        # a bare suffix host has no registrable domain below it —
+        # falls back to the two-label value
+        "http://co.uk/": "co.uk",
+        # single-label-suffix ccTLD stays on the two-label rule
+        "http://www.example.de/": "example.de",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = [
         r.d
         for r in df.select(
             registrable_domain(F.col("url")).alias("d")
         ).collect()
     ]
-    assert got == ["example.com", "example.org"]
+    assert got == list(cases.values()), dict(zip(cases, got))
 
 
 def test_canonical_url_dedup_groups(spark):
