@@ -2356,6 +2356,11 @@ _PASSAGE_INDEX_CACHE: dict[
     tuple[int, str, str, int, "str | None"], "DataFrame"
 ] = {}
 
+#: max cached index entries owned by OTHER live sessions of the same
+#: application — bounds executor memory under session churn in one
+#: long-lived SparkContext (see the `_passage_index` lifecycle note)
+_PASSAGE_SIBLING_CAP = 2
+
 
 def release_passage_index() -> int:
     """Explicit release hook for the shared passage index: unpersist
@@ -2404,7 +2409,16 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
     returning the other one. Stale entries are pruned (best-effort
     ``unpersist()``) only when their owning session is actually DEAD —
     a second live SparkSession in the same process keeps its own entry
-    rather than the two sessions thrashing each other's index."""
+    rather than the two sessions thrashing each other's index.
+
+    Churn bound (r10 ADVICE): an ABANDONED session sharing a live
+    SparkContext is indistinguishable from a working sibling (its
+    context never stops), so session churn in one long-lived context
+    would otherwise accumulate persisted corpus-sized indexes forever.
+    Other-session entries in the same application are therefore capped
+    at :data:`_PASSAGE_SIBLING_CAP` (oldest unpersisted first) — a
+    still-live sibling that lost its entry transparently rebuilds it;
+    only the persist is dropped, never correctness."""
     from lightsaber_spark.functions.dedup import (
         positional_shingles_udf,
         shingle_hash,
@@ -2431,6 +2445,16 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
         for x in _PASSAGE_INDEX_CACHE
         if x[:2] != key[:2] and _session_dead(_PASSAGE_INDEX_CACHE[x])
     ]:
+        try:
+            _PASSAGE_INDEX_CACHE[old].unpersist()
+        except Exception:
+            pass
+        del _PASSAGE_INDEX_CACHE[old]
+    # live-sibling churn bound (dict is insertion-ordered: oldest first)
+    siblings = [
+        x for x in _PASSAGE_INDEX_CACHE if x[0] != id(spark) and x[1] == app
+    ]
+    for old in siblings[: max(0, len(siblings) - _PASSAGE_SIBLING_CAP)]:
         try:
             _PASSAGE_INDEX_CACHE[old].unpersist()
         except Exception:

@@ -114,10 +114,54 @@ def materialize_parquet_once(spark: SparkSession, build, path: str):
 
     Callers key ``path`` by their input identity (e.g. an sf_dir md5):
     regenerating the input under the same path requires deleting the
-    materialized dir first."""
+    materialized dir first.
+
+    Concurrency (r9 ADVICE): the write goes to a private temp dir and
+    is PUBLISHED by a directory rename, so a reader can never observe
+    a half-written ``path`` — it sees either nothing or a complete
+    output. When two drivers race, exactly one rename lands; the loser
+    discards its temp dir and uses the winner's output if its marker
+    is complete, else fails loudly (never silently mixes two writes).
+    Rename-as-commit assumes an atomic-rename filesystem (local, HDFS);
+    on S3-class stores front this with a cloud committer, the standard
+    caveat for rename-published output."""
     jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    hpath = jvm.org.apache.hadoop.fs.Path
+    marker = hpath(path + "/_SUCCESS")
     fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(marker):
-        build().write.mode("overwrite").parquet(path)
+        dest = hpath(path)
+        # a dir without the marker is a dead partial write — clear it
+        # so the rename below can land
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        import uuid
+
+        tmp_name = f"__tmp-{uuid.uuid4().hex}"
+        tmp = f"{path}{tmp_name}"
+        build().write.mode("overwrite").parquet(tmp)
+
+        def _lost_race():
+            fs.delete(hpath(tmp), True)
+            if not fs.exists(marker):
+                raise RuntimeError(
+                    f"materialize_parquet_once: lost the publish race for "
+                    f"{path} but no complete output (_SUCCESS) exists — "
+                    f"a concurrent writer crashed mid-publish or the dir "
+                    f"was created externally; delete it and retry"
+                )
+
+        # Hadoop rename(src, dst) with an EXISTING dst dir moves src
+        # INSIDE it instead of failing, so dest existence is the race
+        # signal — checked before renaming and re-verified via the
+        # marker after (a dest created inside the tiny check→rename
+        # window yields a nested, unpublished dir: remove it, then the
+        # same adopt-or-fail-loudly decision).
+        if fs.exists(dest):
+            _lost_race()
+        elif not fs.rename(hpath(tmp), dest):
+            _lost_race()
+        elif not fs.exists(marker):
+            fs.delete(hpath(path + "/" + path.rstrip("/").rsplit("/", 1)[-1] + tmp_name), True)
+            _lost_race()
     return spark.read.parquet(path)

@@ -76,6 +76,44 @@ def test_passage_index_prunes_dead_sessions_keeps_live(spark):
     release_passage_index()
 
 
+def test_passage_index_bounds_live_sibling_churn(spark):
+    """r10 ADVICE: abandoned sessions sharing one live SparkContext are
+    never classified dead, so other-session entries must be CAPPED
+    (oldest unpersisted first) or session churn grows executor memory
+    without bound. The current session's own entries are never evicted
+    by the cap."""
+    from lightsaber_spark.pipeline_queries import _PASSAGE_SIBLING_CAP
+
+    _PASSAGE_INDEX_CACHE.clear()
+    a = _passage_index(spark, SF, 10)
+    key = next(iter(_PASSAGE_INDEX_CACHE))
+
+    class _LiveDF:
+        unpersisted = False
+
+        def __init__(self, spark):
+            self.sparkSession = spark  # live context -> never "dead"
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    churned = []
+    for i in range(_PASSAGE_SIBLING_CAP + 3):
+        df = _LiveDF(spark)
+        churned.append(df)
+        _PASSAGE_INDEX_CACHE[(key[0] + 1 + i,) + key[1:]] = df
+    b = _passage_index(spark, SF, 5)  # triggers the prune
+    siblings = [k for k in _PASSAGE_INDEX_CACHE if k[0] != id(spark)]
+    assert len(siblings) == _PASSAGE_SIBLING_CAP, siblings
+    # oldest evicted AND unpersisted; newest survivors untouched
+    n_evicted = len(churned) - _PASSAGE_SIBLING_CAP
+    assert all(df.unpersisted for df in churned[:n_evicted])
+    assert not any(df.unpersisted for df in churned[n_evicted:])
+    # own-session entries immune to the cap
+    assert a is _PASSAGE_INDEX_CACHE[key] and b is not a
+    release_passage_index()
+
+
 def test_passage_index_key_includes_materialize_dir(spark, tmp_path):
     """Switching representations mid-session (persist → parquet) must
     build the requested representation, not return the other one."""
@@ -107,6 +145,52 @@ def test_passage_index_materialize_dir(spark, tmp_path):
         == b.selectExpr("sum(h % 1000003) s").collect()[0].s
     )
     release_passage_index()
+
+
+def test_materialize_parquet_once_publishes_by_rename(spark, tmp_path):
+    """r10 ADVICE: the one-time write must go to a private temp dir and
+    publish via rename — a reader never sees a half-written `path`, a
+    lost race discards the temp dir and reuses the winner's complete
+    output, and a race loser with NO complete output fails loudly."""
+    from lightsaber_spark.session import materialize_parquet_once
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).selectExpr("id", "id * id AS sq")
+
+    d = str(tmp_path / "once")
+    a = materialize_parquet_once(spark, build, d)
+    assert a.count() == 5 and calls["n"] == 1
+    # no temp dirs left behind after a clean publish
+    assert [p for p in os.listdir(str(tmp_path)) if "tmp" in p] == []
+    b = materialize_parquet_once(spark, build, d)
+    assert b.count() == 5 and calls["n"] == 1, "complete output reused"
+
+    # simulated lost race where the winner's output IS complete:
+    # build() itself plants a finished dest (as a concurrent writer
+    # landing between the marker check and our rename would)
+    d2 = str(tmp_path / "race_won_by_other")
+
+    def build_racing():
+        spark.range(3).write.parquet(d2)
+        return spark.range(7).selectExpr("id")
+
+    c = materialize_parquet_once(spark, build_racing, d2)
+    assert c.count() == 3, "loser must adopt the winner's output"
+
+    # lost race with an INCOMPLETE winner: loud failure, no silent mix
+    d3 = str(tmp_path / "race_lost_partial")
+
+    def build_racing_partial():
+        os.makedirs(d3, exist_ok=True)  # dest appears, no _SUCCESS
+        return spark.range(7).selectExpr("id")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="publish race"):
+        materialize_parquet_once(spark, build_racing_partial, d3)
 
 
 def test_passage_index_materialize_rejects_partial_write(spark, tmp_path):
