@@ -447,6 +447,11 @@ def ivf_cell_udf(
         cos = (s @ cm.T) / (norms[:, None] * cnorm[None, :])
         return pd.Series(ids[np.argmax(cos, axis=1)])
 
+    # lifecycle handle: at paper-scale k the broadcast is ~100s of MB,
+    # so callers that supersede an assigner (the Lloyd loop builds one
+    # per iteration) destroy the old round's blocks eagerly instead of
+    # waiting for session GC
+    _cell._ls_broadcast = bc
     return _cell
 
 
@@ -477,6 +482,7 @@ def ivf_cells_udf(
         order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
         return pd.Series([ids[row].tolist() for row in order])
 
+    _cells._ls_broadcast = bc
     return _cells
 
 
@@ -510,6 +516,7 @@ def ivf_cell_ccos_udf(
             {"cid": ids[idx], "ccos": cos[np.arange(len(idx)), idx]}
         )
 
+    _cell._ls_broadcast = bc
     return _cell
 
 
@@ -715,6 +722,11 @@ def kmeans_fit_scaled(
         cents = sorted(
             (cid, [dims[p] for p in range(len(dims))]) for cid, dims in acc.items()
         )
+        # this round's assigner is superseded — reclaim its k·dim
+        # broadcast eagerly (at paper-scale k each round pins ~100s of
+        # MB on every executor until session GC otherwise)
+        if getattr(cell, "_ls_broadcast", None) is not None:
+            cell._ls_broadcast.destroy()
     return cents
 
 
