@@ -1759,14 +1759,18 @@ def q_pii_redact(spark, sf_dir):
     return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
 
 
-def _url_oracle() -> str:
-    """Oracle twin of ``url_canonical_dedup``: the same deterministic
-    URL synthesis (scheme/case/www/trailing-slash/param-order/tracking/
-    fragment/percent-escape/ccTLD noise keyed off doc_id), then the
-    same canonicalization regex/list pipeline as ``functions/urls.py``
-    — including the RFC 3986 percent-normalization (the ``norm`` CTE,
-    1-based indexed ``list_transform`` twin of ``pct_normalize``) and
-    the multi-label public-suffix registrable-domain rule."""
+def duckdb_url_canon_ctes(src: str) -> str:
+    """The DuckDB canonicalization pipeline as a CTE chain: reads
+    ``(doc_id, url)`` rows from relation ``src`` and ends with CTE
+    ``c`` exposing ``(doc_id, canonical_url, domain)``. The single
+    source of the engine twin of ``functions/urls.py`` — used by the
+    ``url_canonical_dedup`` oracle AND the exhaustive cross-engine
+    escape test (``tests/test_urls.py``), so the two can't drift.
+    Stages: ``norm`` (RFC 3986 percent-normalization — the 1-based
+    indexed ``list_transform`` twin of ``pct_normalize``), ``b``/``h``
+    (scheme/fragment/userinfo/default-port/www/host-case), ``pq``/``cp``
+    (path slashes, tracking-param filter + sort), ``c`` (canonical
+    string + public-suffix-aware registrable domain)."""
     from lightsaber_spark.functions.urls import (
         MULTI_LABEL_PUBLIC_SUFFIXES,
         TRACKING_PARAM_NAMES,
@@ -1776,6 +1780,52 @@ def _url_oracle() -> str:
     names = ", ".join(f"'{n}'" for n in TRACKING_PARAM_NAMES)
     suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_PUBLIC_SUFFIXES)
     plen = len(TRACKING_PREFIX)
+    return f"""
+    norm AS (SELECT doc_id,
+        array_to_string(list_transform(string_split(url, '%'), (p, i) ->
+          CASE WHEN i = 1 THEN p
+               WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}') THEN
+                 CASE WHEN (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 48 AND 57)
+                        OR (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 65 AND 90)
+                        OR (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 97 AND 122)
+                        OR ('0x' || upper(substring(p, 1, 2)))::INT IN (45, 46, 95, 126)
+                   THEN chr(('0x' || upper(substring(p, 1, 2)))::INT) || substring(p, 3)
+                   ELSE '%' || upper(substring(p, 1, 2)) || substring(p, 3) END
+               ELSE '%' || p END), '') AS url
+      FROM {src}),
+    b AS (SELECT doc_id,
+          regexp_replace(regexp_replace(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS body
+          FROM norm),
+    h AS (SELECT doc_id,
+          regexp_replace(lower(regexp_replace(
+              regexp_replace(regexp_extract(body, '^([^/?#]+)', 1),
+                             '^[^@]*@', ''),
+              ':(80|443)$', '')), '^www\\.', '') AS host,
+          regexp_extract(body, '^[^/?#]+(.*)$', 1) AS rest FROM b),
+    pq AS (SELECT doc_id, host,
+           regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+           regexp_extract(rest, '\\?(.*)$', 1) AS qs FROM h),
+    cp AS (SELECT doc_id, host, path,
+           list_sort(list_filter(string_split(qs, '&'),
+             p -> p <> '' AND substring(p, 1, {plen}) <> '{TRACKING_PREFIX}'
+                  AND split_part(p, '=', 1) NOT IN ({names}))) AS params
+           FROM pq),
+    c AS (SELECT doc_id,
+           host || path || CASE WHEN len(params) > 0
+                THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
+           CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
+                 AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+          FROM cp)"""
+
+
+def _url_oracle() -> str:
+    """Oracle twin of ``url_canonical_dedup``: the same deterministic
+    URL synthesis (scheme/case/www/trailing-slash/param-order/tracking/
+    fragment/percent-escape/ccTLD noise keyed off doc_id), then the
+    shared canonicalization pipeline :func:`duckdb_url_canon_ctes`."""
     return f"""
     WITH parts AS (SELECT doc_id, source,
         CASE WHEN doc_id % 4 < 2 THEN 'id=' || CAST(doc_id % 3 AS VARCHAR) END AS kept,
@@ -1805,44 +1855,7 @@ def _url_oracle() -> str:
       FROM (SELECT *, CASE WHEN doc_id % 8 < 4 THEN concat_ws('&', kept, utm, fb)
                            ELSE concat_ws('&', utm, fb, kept) END AS q
             FROM parts)),
-    norm AS (SELECT doc_id,
-        array_to_string(list_transform(string_split(url, '%'), (p, i) ->
-          CASE WHEN i = 1 THEN p
-               WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}') THEN
-                 CASE WHEN (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 48 AND 57)
-                        OR (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 65 AND 90)
-                        OR (('0x' || upper(substring(p, 1, 2)))::INT BETWEEN 97 AND 122)
-                        OR ('0x' || upper(substring(p, 1, 2)))::INT IN (45, 46, 95, 126)
-                   THEN chr(('0x' || upper(substring(p, 1, 2)))::INT) || substring(p, 3)
-                   ELSE '%' || upper(substring(p, 1, 2)) || substring(p, 3) END
-               ELSE '%' || p END), '') AS url
-      FROM raw),
-    b AS (SELECT doc_id,
-          regexp_replace(regexp_replace(url,
-              '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS body
-          FROM norm),
-    h AS (SELECT doc_id,
-          regexp_replace(lower(regexp_replace(
-              regexp_replace(regexp_extract(body, '^([^/?#]+)', 1),
-                             '^[^@]*@', ''),
-              ':(80|443)$', '')), '^www\\.', '') AS host,
-          regexp_extract(body, '^[^/?#]+(.*)$', 1) AS rest FROM b),
-    pq AS (SELECT doc_id, host,
-           regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
-           regexp_extract(rest, '\\?(.*)$', 1) AS qs FROM h),
-    cp AS (SELECT doc_id, host, path,
-           list_sort(list_filter(string_split(qs, '&'),
-             p -> p <> '' AND substring(p, 1, {plen}) <> '{TRACKING_PREFIX}'
-                  AND split_part(p, '=', 1) NOT IN ({names}))) AS params
-           FROM pq),
-    c AS (SELECT doc_id,
-           host || path || CASE WHEN len(params) > 0
-                THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
-           CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
-                 AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
-                THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-                ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
-          FROM cp)
+    {duckdb_url_canon_ctes("raw")}
     SELECT canonical_url, domain, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS rep_doc_id
     FROM c GROUP BY 1, 2

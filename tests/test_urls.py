@@ -93,6 +93,50 @@ def test_registrable_domain(spark):
     assert got == list(cases.values()), dict(zip(cases, got))
 
 
+def test_pct_normalize_cross_engine_all_bytes(spark):
+    """Exhaustive cross-engine lock of the escape rules: %XX for ALL
+    256 code points (both hex spellings), plus truncated/invalid/
+    doubled escapes, must canonicalize identically in Spark and in the
+    shared DuckDB pipeline (`duckdb_url_canon_ctes` — the SAME CTEs the
+    url_canonical_dedup oracle runs, so oracle and test can't drift)."""
+    import duckdb
+
+    from lightsaber_spark.pipeline_queries import duckdb_url_canon_ctes
+
+    urls = []
+    for cp in range(256):
+        hx = f"{cp:02x}"
+        urls.append(f"http://example.com/p%{hx}q")
+        urls.append(f"http://example.com/p%{hx.upper()}q")
+    urls += [
+        "http://example.com/p%",         # lone trailing %
+        "http://example.com/p%z1q",      # invalid first nibble
+        "http://example.com/p%1zq",      # invalid second nibble
+        "http://example.com/p%%41q",     # literal % then a valid escape
+        "http://example.com/%41%42%43",  # run of escapes
+        "http://foo.co.uk/%7Ea?id=%31&utm_x=%32",  # query-side escapes
+    ]
+    rows = list(enumerate(urls))
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got_spark = {
+        r.doc_id: (r.c, r.d)
+        for r in df.select(
+            "doc_id",
+            canonical_url(F.col("url")).alias("c"),
+            registrable_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+    sql = (
+        "WITH " + duckdb_url_canon_ctes("src")
+        + " SELECT doc_id, canonical_url, domain FROM c"
+    )
+    got_duck = {i: (cu, dm) for i, cu, dm in con.execute(sql).fetchall()}
+    assert got_spark == got_duck
+
+
 def test_canonical_url_dedup_groups(spark):
     # four spellings of one page + one distinct page
     df = spark.createDataFrame(
