@@ -173,14 +173,23 @@ def registrable_domain(url: Column) -> Column:
     the two-label tail is a registry suffix
     (:data:`MULTI_LABEL_PUBLIC_SUFFIXES`: ``sub.foo.co.uk`` →
     ``foo.co.uk``). A bare suffix host (``co.uk`` itself) falls back
-    to the two-label value — there is no registrable domain below it."""
+    to the two-label value — there is no registrable domain below it.
+    IP-literal hosts (IPv4 dotted quads, bracketed IPv6) have no
+    registrable domain at all (PSL semantics) — the host itself is the
+    rollup key, never a dotted tail like ``3.4`` of ``1.2.3.4``."""
     host = _host(pct_normalize(url))
+    # optional :port — _host keeps non-default ports by design
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}(:\d+)?$") | host.startswith("[")
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    return F.when(
-        last2.isin(*MULTI_LABEL_PUBLIC_SUFFIXES) & (last3 != F.lit("")),
-        last3,
-    ).otherwise(last2)
+    return (
+        F.when(is_ip, host)
+        .when(
+            last2.isin(*MULTI_LABEL_PUBLIC_SUFFIXES) & (last3 != F.lit("")),
+            last3,
+        )
+        .otherwise(last2)
+    )
 
 
 def canonical_url_dedup(

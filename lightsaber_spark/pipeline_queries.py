@@ -1814,7 +1814,9 @@ def duckdb_url_canon_ctes(src: str) -> str:
     c AS (SELECT doc_id,
            host || path || CASE WHEN len(params) > 0
                 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
-           CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
+           CASE WHEN regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}(:\\d+)?$')
+                  OR host LIKE '[%' THEN host
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
                  AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                 THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
                 ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain

@@ -172,10 +172,16 @@ def test_canonical_url_equals_python_model(
 
 
 def _domain_model(host):
-    """Pure-Python twin of `registrable_domain`'s suffix rule."""
+    """Pure-Python twin of `registrable_domain`'s suffix + IP rules."""
+    import re
+
     h = host.lower()
+    if h.endswith(":80") or h.endswith(":443"):
+        h = h.rsplit(":", 1)[0]
     if h.startswith("www."):
         h = h[4:]
+    if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}(:\d+)?", h) or h.startswith("["):
+        return h
     labels = h.split(".")
     last2 = ".".join(labels[-2:])
     if last2 in MULTI_LABEL_PUBLIC_SUFFIXES and len(labels) >= 3:
@@ -190,7 +196,8 @@ def _domain_model(host):
     host=st.sampled_from(
         ["example.com", "News.Example.com", "foo.co.uk", "Sub.Foo.CO.UK",
          "co.uk", "shop.example.com.au", "x.gov.au", "example.de",
-         "a.b.example.org"]
+         "a.b.example.org", "1.2.3.4", "10.0.0.1:8080", "192.168.0.1:443",
+         "[2001:db8::1]"]
     ),
     path=st.sampled_from(["", "/a", "/a/b"]),
 )

@@ -82,6 +82,13 @@ def test_registrable_domain(spark):
         "http://co.uk/": "co.uk",
         # single-label-suffix ccTLD stays on the two-label rule
         "http://www.example.de/": "example.de",
+        # IP literals have no registrable domain (PSL semantics):
+        # the host itself is the rollup key, never a dotted tail
+        "http://1.2.3.4/a": "1.2.3.4",
+        "http://10.0.0.1:8080/a": "10.0.0.1:8080",
+        "http://192.168.0.1:80/a": "192.168.0.1",
+        "http://[2001:db8::1]/a": "[2001:db8::1]",
+        "http://[2001:db8::1]:443/a": "[2001:db8::1]",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     got = [
@@ -115,6 +122,8 @@ def test_pct_normalize_cross_engine_all_bytes(spark):
         "http://example.com/p%%41q",     # literal % then a valid escape
         "http://example.com/%41%42%43",  # run of escapes
         "http://foo.co.uk/%7Ea?id=%31&utm_x=%32",  # query-side escapes
+        "http://1.2.3.4/%41",                      # IP host + escape
+        "http://[2001:db8::1]:8080/%7Ex",          # bracketed IPv6 + port
     ]
     rows = list(enumerate(urls))
     df = spark.createDataFrame(rows, "doc_id long, url string")
