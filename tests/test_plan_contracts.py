@@ -45,6 +45,7 @@ _EXCHANGE_CEILINGS = {
     "dedup_minhash_lsh": 8,            # signature agg + band join + verify
     "pack_sequences_ctx512": 5,        # range part ×2 subplans (AQE reuses) + chunk agg + tiny offsets + window
     "tpch_q1_pricing_summary": 1,      # single hash agg
+    "url_canonical_dedup": 1,          # map-only canon + one hash agg
 }
 
 _LAZY_FLAGSHIPS = sorted(_EXCHANGE_CEILINGS)
@@ -64,6 +65,16 @@ def test_exchange_ceiling(spark, name):
         f"{name}: {n} exchanges > ceiling {_EXCHANGE_CEILINGS[name]} — a new "
         "shuffle appeared; re-justify in PLANS.md and raise deliberately"
     )
+
+
+def test_url_canonicalization_stays_pure_catalyst(spark):
+    """canonical_url's contract is ZERO Python in the plan: the whole
+    pipeline (percent-normalization included) is Catalyst expressions,
+    so the crawl-ingest dedup never pays an Arrow/pickle boundary. A
+    Python-eval node appearing here means someone rewrote a rule as a
+    UDF — a 100 TB regression even if results stay correct."""
+    p = _plan(spark, "url_canonical_dedup")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
 def test_filter_pushdown_reaches_scan(spark):
