@@ -38,6 +38,12 @@ fbclid/gclid/msclkid it is frequently content-bearing on real URLs
 it would false-merge distinct pages; extend the filter upstream for
 crawls where ``ref`` is known to be tracking-only.
 
+Remaining scope boundary: IDN hosts are NOT punycode-normalized
+(``bücher.de`` and ``xn--bcher-kva.de`` dedup as different pages) —
+correct ASCII-casefold behavior is preserved, and both engines agree,
+but Unicode↔ACE equivalence needs an IDNA table and is out of scope
+for the fixture surface.
+
 100 TB shape: canonicalization is per-row expression work (no shuffle,
 no Python); the dedup itself is one hash aggregation on the canonical
 string — the cheapest possible dedup join key, which is the point of
