@@ -124,6 +124,16 @@ def test_pct_normalize_cross_engine_all_bytes(spark):
         "http://foo.co.uk/%7Ea?id=%31&utm_x=%32",  # query-side escapes
         "http://1.2.3.4/%41",                      # IP host + escape
         "http://[2001:db8::1]:8080/%7Ex",          # bracketed IPv6 + port
+        # malformed/unusual frontier inputs: the LOCK here is that both
+        # engines agree byte-for-byte, whatever the canonical form is
+        "",                                        # empty string
+        "example.com/x",                           # schemeless
+        "//www.example.com/x",                     # protocol-relative
+        "mailto:user@x.com",                       # non-hierarchical
+        "http://",                                 # scheme only
+        "http:///path-no-host",                    # empty authority
+        "http://example.com/a?&&b=1&",             # empty param segments
+        "http://example.com/a?=v&x=",              # nameless/valueless
     ]
     rows = list(enumerate(urls))
     df = spark.createDataFrame(rows, "doc_id long, url string")
