@@ -156,6 +156,54 @@ def test_pct_normalize_cross_engine_all_bytes(spark):
     assert got_spark == got_duck
 
 
+def test_pct_normalize_cross_engine_fuzz(spark):
+    """Seeded fuzz lock over delimiter soup, partial escapes, and
+    multibyte UTF-8 text: both engines must canonicalize identically
+    for ANY input — string_split/substring/upper/chr semantics have to
+    agree beyond the systematic %XX sweep (é/中 exercise the UTF-8
+    character-vs-byte handling of substring on both sides)."""
+    import random
+
+    import duckdb
+
+    from lightsaber_spark.pipeline_queries import duckdb_url_canon_ctes
+
+    rng = random.Random(42)
+    alphabet = list("%0129abcfgABCF~._-/?&=#@:") + [
+        "é", "ü", "中", "%%", "%4", "%4g", "%C3%A9", "%e4%b8%ad"
+    ]
+    urls = [
+        "http://Example.com/"
+        + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+        for _ in range(150)
+    ] + [
+        "https://www.h%6fst.co.uk/p?"
+        + "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 10)))
+        for _ in range(50)
+    ]
+    rows = list(enumerate(urls))
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got_s = {
+        r.doc_id: (r.c, r.d)
+        for r in df.select(
+            "doc_id",
+            canonical_url(F.col("url")).alias("c"),
+            registrable_domain(F.col("url")).alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+    got_d = {
+        i: (c, d)
+        for i, c, d in con.execute(
+            "WITH " + duckdb_url_canon_ctes("src")
+            + " SELECT doc_id, canonical_url, domain FROM c"
+        ).fetchall()
+    }
+    assert got_s == got_d
+
+
 def test_canonical_url_dedup_groups(spark):
     # four spellings of one page + one distinct page
     df = spark.createDataFrame(
