@@ -157,10 +157,15 @@ def _kept_params(qs: Column) -> Column:
     )
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column, pre_normalized: bool = False) -> Column:
     """Canonical identity string for a raw URL (rules in the module
-    docstring). Pure expression — no UDF, no shuffle."""
-    u = pct_normalize(url)
+    docstring). Pure expression — no UDF, no shuffle.
+    ``pre_normalized=True`` means ``url`` is already the output of
+    :func:`pct_normalize` — callers that also need
+    :func:`registrable_domain` normalize ONCE and pass the shared
+    column (r10 ADVICE: the duplicated interpreted HOF on the hot
+    map-only path)."""
+    u = url if pre_normalized else pct_normalize(url)
     path, qs = _path_and_query(u)
     params = _kept_params(qs)
     return F.concat(
@@ -173,7 +178,7 @@ def canonical_url(url: Column) -> Column:
     )
 
 
-def registrable_domain(url: Column) -> Column:
+def registrable_domain(url: Column, pre_normalized: bool = False) -> Column:
     """Registrable domain: the last two host labels
     (``sub.a.example.com`` → ``example.com``), or the last THREE when
     the two-label tail is a registry suffix
@@ -182,8 +187,9 @@ def registrable_domain(url: Column) -> Column:
     to the two-label value — there is no registrable domain below it.
     IP-literal hosts (IPv4 dotted quads, bracketed IPv6) have no
     registrable domain at all (PSL semantics) — the host itself is the
-    rollup key, never a dotted tail like ``3.4`` of ``1.2.3.4``."""
-    host = _host(pct_normalize(url))
+    rollup key, never a dotted tail like ``3.4`` of ``1.2.3.4``.
+    ``pre_normalized`` as in :func:`canonical_url`."""
+    host = _host(url if pre_normalized else pct_normalize(url))
     # optional :port — _host keeps non-default ports by design
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}(:\d+)?$") | host.startswith("[")
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
@@ -203,11 +209,22 @@ def canonical_url_dedup(
 ) -> DataFrame:
     """Canonical-URL exact dedup: one row per canonical URL with the
     document count and the lowest-id representative. Output columns:
-    ``(canonical_url, domain, n_docs, rep_doc_id)``."""
+    ``(canonical_url, domain, n_docs, rep_doc_id)``.
+
+    Percent-normalization runs ONCE per row: the normalized URL is a
+    named intermediate column feeding both :func:`canonical_url` and
+    :func:`registrable_domain` (r10 ADVICE — inlining it into both
+    would duplicate the interpreted split/transform HOF on the hot
+    map-only path; the project boundary survives CollapseProject
+    because the alias is referenced twice and the expression is
+    non-cheap, verified by the plan test in ``tests/test_urls.py``)."""
     c = df.select(
         F.col(id_col).cast("bigint").alias("_id"),
-        canonical_url(F.col(url_col)).alias("canonical_url"),
-        registrable_domain(F.col(url_col)).alias("domain"),
+        pct_normalize(F.col(url_col)).alias("_u"),
+    ).select(
+        "_id",
+        canonical_url(F.col("_u"), pre_normalized=True).alias("canonical_url"),
+        registrable_domain(F.col("_u"), pre_normalized=True).alias("domain"),
     )
     return c.groupBy("canonical_url", "domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

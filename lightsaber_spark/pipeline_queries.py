@@ -2371,9 +2371,11 @@ _PASSAGE_INDEX_CACHE: dict[
     tuple[int, str, str, int, "str | None"], "DataFrame"
 ] = {}
 
-#: max cached index entries owned by OTHER live sessions of the same
-#: application — bounds executor memory under session churn in one
-#: long-lived SparkContext (see the `_passage_index` lifecycle note)
+#: max DISTINCT sibling sessions (other live sessions of the same
+#: application) whose cached index entries are kept — bounds executor
+#: memory under session churn in one long-lived SparkContext without
+#: evicting a single busy sibling's own set of (sf_dir, k) indexes
+#: (see the `_passage_index` lifecycle note)
 _PASSAGE_SIBLING_CAP = 2
 
 
@@ -2430,10 +2432,13 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
     SparkContext is indistinguishable from a working sibling (its
     context never stops), so session churn in one long-lived context
     would otherwise accumulate persisted corpus-sized indexes forever.
-    Other-session entries in the same application are therefore capped
-    at :data:`_PASSAGE_SIBLING_CAP` (oldest unpersisted first) — a
-    still-live sibling that lost its entry transparently rebuilds it;
-    only the persist is dropped, never correctness."""
+    Other SESSIONS in the same application are therefore capped at
+    :data:`_PASSAGE_SIBLING_CAP` distinct sibling sessions (oldest
+    sessions' entries unpersisted first; a single live sibling holding
+    several (sf_dir, k) indexes keeps them all — the cap is per
+    session, not per entry, per the r10 advice follow-up). A still-live
+    sibling that lost its entries transparently rebuilds them; only the
+    persist is dropped, never correctness."""
     from lightsaber_spark.functions.dedup import (
         positional_shingles_udf,
         shingle_hash,
@@ -2465,11 +2470,17 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
         except Exception:
             pass
         del _PASSAGE_INDEX_CACHE[old]
-    # live-sibling churn bound (dict is insertion-ordered: oldest first)
-    siblings = [
-        x for x in _PASSAGE_INDEX_CACHE if x[0] != id(spark) and x[1] == app
-    ]
-    for old in siblings[: max(0, len(siblings) - _PASSAGE_SIBLING_CAP)]:
+    # live-sibling churn bound (dict is insertion-ordered: oldest
+    # first). The cap counts DISTINCT sibling SESSIONS, not entries
+    # (r10 ADVICE): one live sibling legitimately holding several
+    # (sf_dir, k) indexes keeps them all — only entries belonging to
+    # sessions beyond the newest _PASSAGE_SIBLING_CAP are evicted.
+    sib_sessions: list[int] = []
+    for x in _PASSAGE_INDEX_CACHE:
+        if x[0] != id(spark) and x[1] == app and x[0] not in sib_sessions:
+            sib_sessions.append(x[0])
+    evict = set(sib_sessions[: max(0, len(sib_sessions) - _PASSAGE_SIBLING_CAP)])
+    for old in [x for x in _PASSAGE_INDEX_CACHE if x[0] in evict]:
         try:
             _PASSAGE_INDEX_CACHE[old].unpersist()
         except Exception:

@@ -119,12 +119,19 @@ def materialize_parquet_once(spark: SparkSession, build, path: str):
     Concurrency (r9 ADVICE): the write goes to a private temp dir and
     is PUBLISHED by a directory rename, so a reader can never observe
     a half-written ``path`` — it sees either nothing or a complete
-    output. When two drivers race, exactly one rename lands; the loser
-    discards its temp dir and uses the winner's output if its marker
-    is complete, else fails loudly (never silently mixes two writes).
+    output (in the narrow recheck→delete window below, a complete
+    output can still transiently VANISH and be rebuilt — a retryable
+    read failure, never corruption). When two drivers race, exactly
+    one rename lands; the loser discards its temp dir and uses the
+    winner's output if its marker is complete, else fails loudly
+    (never silently mixes two writes).
     Rename-as-commit assumes an atomic-rename filesystem (local, HDFS);
     on S3-class stores front this with a cloud committer, the standard
     caveat for rename-published output."""
+    # normalize a trailing slash so the temp dir is always a SIBLING of
+    # dest (r10 ADVICE: "path/" + tmp_name would nest the temp dir
+    # INSIDE dest and trip the race check spuriously)
+    path = path.rstrip("/") or path
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     marker = hpath(path + "/_SUCCESS")
@@ -132,8 +139,12 @@ def materialize_parquet_once(spark: SparkSession, build, path: str):
     if not fs.exists(marker):
         dest = hpath(path)
         # a dir without the marker is a dead partial write — clear it
-        # so the rename below can land
+        # so the rename below can land. A winner may have PUBLISHED in
+        # the window since the top marker check (r10 ADVICE), so
+        # re-check and adopt a complete output instead of deleting it.
         if fs.exists(dest):
+            if fs.exists(marker):
+                return spark.read.parquet(path)
             fs.delete(dest, True)
         import uuid
 
@@ -162,6 +173,6 @@ def materialize_parquet_once(spark: SparkSession, build, path: str):
         elif not fs.rename(hpath(tmp), dest):
             _lost_race()
         elif not fs.exists(marker):
-            fs.delete(hpath(path + "/" + path.rstrip("/").rsplit("/", 1)[-1] + tmp_name), True)
+            fs.delete(hpath(path + "/" + path.rsplit("/", 1)[-1] + tmp_name), True)
             _lost_race()
     return spark.read.parquet(path)

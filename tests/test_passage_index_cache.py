@@ -210,3 +210,73 @@ def test_passage_index_materialize_rejects_partial_write(spark, tmp_path):
     assert os.path.exists(os.path.join(sub, "_SUCCESS")), "index rewritten"
     assert b.count() == n
     release_passage_index()
+
+
+def test_passage_index_sibling_cap_is_per_session(spark):
+    """r10 ADVICE follow-up: the churn cap counts DISTINCT sibling
+    sessions, not entries — a single live sibling holding more than
+    _PASSAGE_SIBLING_CAP (sf_dir, k) indexes keeps them ALL (no
+    eviction with zero session churn)."""
+    from lightsaber_spark.pipeline_queries import _PASSAGE_SIBLING_CAP
+
+    _PASSAGE_INDEX_CACHE.clear()
+    a = _passage_index(spark, SF, 10)
+    key = next(iter(_PASSAGE_INDEX_CACHE))
+
+    class _LiveDF:
+        unpersisted = False
+
+        def __init__(self, spark):
+            self.sparkSession = spark
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    # ONE sibling session with cap+2 distinct (k) entries
+    one_sid = key[0] + 1
+    own = []
+    for i in range(_PASSAGE_SIBLING_CAP + 2):
+        df = _LiveDF(spark)
+        own.append(df)
+        _PASSAGE_INDEX_CACHE[(one_sid, key[1], key[2], 100 + i, key[4])] = df
+    _passage_index(spark, SF, 5)  # triggers the prune
+    assert not any(df.unpersisted for df in own), (
+        "a single sibling session's entries must never be evicted"
+    )
+    # now churn in TWO more sibling sessions: the oldest session
+    # (one_sid) exceeds the cap and loses ALL its entries at once
+    newer = []
+    for j in range(_PASSAGE_SIBLING_CAP):
+        df = _LiveDF(spark)
+        newer.append(df)
+        _PASSAGE_INDEX_CACHE[(one_sid + 1 + j, key[1], key[2], 10, key[4])] = df
+    _passage_index(spark, SF, 7)
+    assert all(df.unpersisted for df in own), "oldest session evicted whole"
+    assert not any(df.unpersisted for df in newer)
+    sib_sessions = {k[0] for k in _PASSAGE_INDEX_CACHE if k[0] != id(spark)}
+    assert len(sib_sessions) == _PASSAGE_SIBLING_CAP
+    release_passage_index()
+
+
+def test_materialize_parquet_once_trailing_slash(spark, tmp_path):
+    """r10 ADVICE: a path with a trailing slash must behave identically
+    to the bare path — the temp dir is built from the normalized path
+    (a sibling of dest), so the post-write race check can't fire
+    spuriously on our own nested temp dir."""
+    from lightsaber_spark.session import materialize_parquet_once
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(4).selectExpr("id")
+
+    d = str(tmp_path / "slashed")
+    a = materialize_parquet_once(spark, build, d + "/")
+    assert a.count() == 4 and calls["n"] == 1
+    # no leftover temp dirs anywhere (neither sibling nor nested)
+    assert [p for p in os.listdir(str(tmp_path)) if "tmp" in p] == []
+    assert [p for p in os.listdir(d) if "tmp" in p] == []
+    # the slashed and bare spellings address the SAME materialization
+    b = materialize_parquet_once(spark, build, d)
+    assert b.count() == 4 and calls["n"] == 1, "complete output reused"

@@ -224,3 +224,23 @@ def test_canonical_url_dedup_groups(spark):
         "example.com/p/1": (4, 1),
         "example.com/p/2": (1, 5),
     }
+
+
+def test_canonical_url_dedup_normalizes_once(spark):
+    """r10 ADVICE: canonical_url_dedup must evaluate pct_normalize ONCE
+    per row — the normalized URL is a shared intermediate column, and
+    the project boundary must survive CollapseProject (it does: the
+    alias is referenced twice and the HOF chain is non-cheap). A
+    regression reintroducing per-consumer normalization doubles the
+    interpreted split/transform work on the hot map-only path."""
+    df = spark.createDataFrame(
+        [(1, "http://www.Example.com/a%7eb?utm_x=1&id=2")],
+        "doc_id long, url string",
+    )
+    out = canonical_url_dedup(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(url") == 1, plan
+    # the results are unchanged by the shared-normalization rewrite
+    rows = out.collect()
+    assert rows[0].canonical_url == "example.com/a~b?id=2"
+    assert rows[0].domain == "example.com"
