@@ -20,7 +20,9 @@ regex/list pipeline):
 3. drop userinfo (``user:pw@host`` — never content identity) and the
    default ports ``:80``/``:443`` (non-default ports are kept: they
    select a different server);
-4. lowercase the host; strip one leading ``www.``;
+4. lowercase the host; strip one leading ``www.`` — unless the host
+   itself is a PSL exception name (``www.ck``), whose ``www`` is the
+   registrable domain's own label;
 5. drop the fragment;
 6. strip trailing slashes from the path;
 7. drop tracking query params (names starting ``utm_`` or in
@@ -66,8 +68,8 @@ TRACKING_PREFIX = "utm_"
 #: handled by the base two-label rule). A host whose last TWO labels
 #: are in this set takes its last THREE labels as the registrable
 #: domain (``foo.co.uk`` → ``foo.co.uk``, not ``co.uk``). Scope: the
-#: common ccTLD second-level registries; three-label suffixes and PSL
-#: wildcard rules are out of scope for the fixture surface.
+#: common ccTLD second-level registries; wildcard, exception, and
+#: three-label rules are the companion tables below.
 MULTI_LABEL_PUBLIC_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
     "plc.uk", "sch.uk", "nhs.uk", "police.uk",
@@ -86,6 +88,36 @@ MULTI_LABEL_PUBLIC_SUFFIXES = (
     "com.pl", "net.pl", "org.pl", "edu.pl",
     "co.th", "ac.th", "or.th", "go.th", "in.th",
     "co.il", "org.il", "ac.il", "gov.il",
+)
+
+#: PSL WILDCARD rules (``*.ck`` et al — public data): under these
+#: TLDs, EVERY second-level label is itself a public suffix, so the
+#: registrable domain is the last THREE labels
+#: (``x.shop.foo.ck`` → ``shop.foo.ck``); a bare two-label host under
+#: a wildcard TLD is a public suffix and falls back to itself,
+#: mirroring the bare-suffix convention above. Slice of the PSL's
+#: ccTLD wildcard entries.
+PSL_WILDCARD_TLDS = ("bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg")
+
+#: PSL EXCEPTION rules (``!www.ck``): hosts carved OUT of a wildcard —
+#: the listed name is itself the registrable domain (public suffix is
+#: the bare TLD), for the host itself and anything beneath it.
+PSL_WILDCARD_EXCEPTIONS = ("www.ck",)
+
+#: three-label public suffixes — the PSL's US locality namespace slice
+#: (``k12.<state>.us`` / ``cc.<state>.us`` / ``lib.<state>.us``,
+#: uniform over the state codes; public data). A host whose last THREE
+#: labels are in this set takes its last FOUR labels as the
+#: registrable domain (``district.k12.ca.us`` stays whole).
+_US_STATES = (
+    "ak", "al", "ar", "az", "ca", "co", "ct", "dc", "de", "fl", "ga",
+    "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md", "me",
+    "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj", "nm",
+    "nv", "ny", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "va", "vt", "wa", "wi", "wv", "wy",
+)
+THREE_LABEL_PUBLIC_SUFFIXES = tuple(
+    f"{ns}.{st}.us" for st in _US_STATES for ns in ("k12", "cc", "lib")
 )
 
 
@@ -125,12 +157,17 @@ def pct_normalize(url: Column) -> Column:
 
 def _host(url: Column) -> Column:
     """Lowercased host: userinfo and default ports (:80/:443) dropped,
-    a single leading ``www.`` stripped."""
+    a single leading ``www.`` stripped — EXCEPT when the host itself is
+    a PSL exception name (``www.ck``), where ``www`` is not subdomain
+    noise but the registrable domain's own label (stripping it would
+    collapse a real site into its bare TLD)."""
     body = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     auth = F.regexp_extract(body, r"^([^/?#]+)", 1)
     auth = F.regexp_replace(auth, r"^[^@]*@", "")  # userinfo
     host = F.lower(F.regexp_replace(auth, r":(80|443)$", ""))
-    return F.regexp_replace(host, r"^www\.", "")
+    return F.when(host.isin(*PSL_WILDCARD_EXCEPTIONS), host).otherwise(
+        F.regexp_replace(host, r"^www\.", "")
+    )
 
 
 def _path_and_query(url: Column) -> tuple[Column, Column]:
@@ -179,23 +216,45 @@ def canonical_url(url: Column, pre_normalized: bool = False) -> Column:
 
 
 def registrable_domain(url: Column, pre_normalized: bool = False) -> Column:
-    """Registrable domain: the last two host labels
-    (``sub.a.example.com`` → ``example.com``), or the last THREE when
-    the two-label tail is a registry suffix
-    (:data:`MULTI_LABEL_PUBLIC_SUFFIXES`: ``sub.foo.co.uk`` →
-    ``foo.co.uk``). A bare suffix host (``co.uk`` itself) falls back
-    to the two-label value — there is no registrable domain below it.
-    IP-literal hosts (IPv4 dotted quads, bracketed IPv6) have no
-    registrable domain at all (PSL semantics) — the host itself is the
-    rollup key, never a dotted tail like ``3.4`` of ``1.2.3.4``.
+    """Registrable domain per the PSL algorithm (longest matching rule
+    wins; exceptions override wildcards), over the static rule slices
+    above:
+
+    - IP-literal hosts (IPv4 dotted quads, bracketed IPv6) have no
+      registrable domain at all (PSL semantics) — the host itself is
+      the rollup key, never a dotted tail like ``3.4`` of ``1.2.3.4``;
+    - EXCEPTION rules (:data:`PSL_WILDCARD_EXCEPTIONS`, ``!www.ck``):
+      the listed two-label name IS the registrable domain for itself
+      and everything beneath it;
+    - three-label suffixes (:data:`THREE_LABEL_PUBLIC_SUFFIXES`):
+      last FOUR labels (``district.k12.ca.us`` stays whole);
+    - WILDCARD TLDs (:data:`PSL_WILDCARD_TLDS`, ``*.ck``): every
+      second-level name is a public suffix → last THREE labels;
+    - two-label suffixes (:data:`MULTI_LABEL_PUBLIC_SUFFIXES`):
+      last THREE labels (``sub.foo.co.uk`` → ``foo.co.uk``);
+    - default: last TWO labels (``sub.a.example.com`` → ``example.com``).
+
+    A bare suffix host (``co.uk``, ``foo.ck``, ``k12.ca.us``) falls
+    back to itself — there is no registrable domain below it.
     ``pre_normalized`` as in :func:`canonical_url`."""
     host = _host(url if pre_normalized else pct_normalize(url))
     # optional :port — _host keeps non-default ports by design
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}(:\d+)?$") | host.startswith("[")
+    last1 = F.regexp_extract(host, r"([^.]+)$", 1)
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    last4 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$", 1)
     return (
         F.when(is_ip, host)
+        .when(last2.isin(*PSL_WILDCARD_EXCEPTIONS), last2)
+        .when(
+            last3.isin(*THREE_LABEL_PUBLIC_SUFFIXES),
+            F.when(last4 != F.lit(""), last4).otherwise(last3),
+        )
+        .when(
+            last1.isin(*PSL_WILDCARD_TLDS),
+            F.when(last3 != F.lit(""), last3).otherwise(last2),
+        )
         .when(
             last2.isin(*MULTI_LABEL_PUBLIC_SUFFIXES) & (last3 != F.lit("")),
             last3,

@@ -1767,18 +1767,26 @@ def duckdb_url_canon_ctes(src: str) -> str:
     ``url_canonical_dedup`` oracle AND the exhaustive cross-engine
     escape test (``tests/test_urls.py``), so the two can't drift.
     Stages: ``norm`` (RFC 3986 percent-normalization — the 1-based
-    indexed ``list_transform`` twin of ``pct_normalize``), ``b``/``h``
-    (scheme/fragment/userinfo/default-port/www/host-case), ``pq``/``cp``
+    indexed ``list_transform`` twin of ``pct_normalize``),
+    ``b``/``h0``/``h`` (scheme/fragment/userinfo/default-port/host-case,
+    then www-stripping guarded by the PSL exception names), ``pq``/``cp``
     (path slashes, tracking-param filter + sort), ``c`` (canonical
-    string + public-suffix-aware registrable domain)."""
+    string + PSL-ladder registrable domain: exception → three-label →
+    wildcard → two-label → default)."""
     from lightsaber_spark.functions.urls import (
         MULTI_LABEL_PUBLIC_SUFFIXES,
+        PSL_WILDCARD_EXCEPTIONS,
+        PSL_WILDCARD_TLDS,
+        THREE_LABEL_PUBLIC_SUFFIXES,
         TRACKING_PARAM_NAMES,
         TRACKING_PREFIX,
     )
 
     names = ", ".join(f"'{n}'" for n in TRACKING_PARAM_NAMES)
     suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_PUBLIC_SUFFIXES)
+    exceptions = ", ".join(f"'{s}'" for s in PSL_WILDCARD_EXCEPTIONS)
+    wildcards = ", ".join(f"'{s}'" for s in PSL_WILDCARD_TLDS)
+    three_label = ", ".join(f"'{s}'" for s in THREE_LABEL_PUBLIC_SUFFIXES)
     plen = len(TRACKING_PREFIX)
     return f"""
     norm AS (SELECT doc_id,
@@ -1797,12 +1805,16 @@ def duckdb_url_canon_ctes(src: str) -> str:
           regexp_replace(regexp_replace(url,
               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS body
           FROM norm),
-    h AS (SELECT doc_id,
-          regexp_replace(lower(regexp_replace(
+    h0 AS (SELECT doc_id,
+          lower(regexp_replace(
               regexp_replace(regexp_extract(body, '^([^/?#]+)', 1),
                              '^[^@]*@', ''),
-              ':(80|443)$', '')), '^www\\.', '') AS host,
+              ':(80|443)$', '')) AS rawhost,
           regexp_extract(body, '^[^/?#]+(.*)$', 1) AS rest FROM b),
+    h AS (SELECT doc_id,
+          CASE WHEN rawhost IN ({exceptions}) THEN rawhost
+               ELSE regexp_replace(rawhost, '^www\\.', '') END AS host,
+          rest FROM h0),
     pq AS (SELECT doc_id, host,
            regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
            regexp_extract(rest, '\\?(.*)$', 1) AS qs FROM h),
@@ -1816,6 +1828,16 @@ def duckdb_url_canon_ctes(src: str) -> str:
                 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
            CASE WHEN regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}(:\\d+)?$')
                   OR host LIKE '[%' THEN host
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({exceptions})
+                THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({three_label})
+                THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                          THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
+                          ELSE regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) END
+                WHEN regexp_extract(host, '([^.]+)$', 1) IN ({wildcards})
+                THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                          THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                          ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
                  AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                 THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
@@ -1842,7 +1864,11 @@ def _url_oracle() -> str:
            ELSE '' END
         || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
         || CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END
-        || CASE WHEN doc_id % 21 = 0 THEN '.co.uk' ELSE '.example.com' END
+        || CASE WHEN doc_id % 19 = 0 THEN '.www.ck'
+                WHEN doc_id % 21 = 0 THEN '.co.uk'
+                WHEN doc_id % 21 = 7 THEN '.k12.ca.us'
+                WHEN doc_id % 21 = 14 THEN '.foo.ck'
+                ELSE '.example.com' END
         || CASE WHEN doc_id % 13 = 0 THEN ':80' ELSE '' END
         || '/p/' || CAST(doc_id % 40 AS VARCHAR)
         || CASE WHEN doc_id % 14 = 0 THEN '/x%7ey'
@@ -1899,7 +1925,13 @@ def q_url_canonical_dedup(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.when(did % 11 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
-        F.when(did % 21 == 0, F.lit(".co.uk")).otherwise(F.lit(".example.com")),
+        # ccTLD noise: PSL exception (www.ck), two-label registry
+        # (co.uk), three-label US locality (k12.ca.us), wildcard (*.ck)
+        F.when(did % 19 == 0, F.lit(".www.ck"))
+        .when(did % 21 == 0, F.lit(".co.uk"))
+        .when(did % 21 == 7, F.lit(".k12.ca.us"))
+        .when(did % 21 == 14, F.lit(".foo.ck"))
+        .otherwise(F.lit(".example.com")),
         F.when(did % 13 == 0, F.lit(":80")).otherwise(F.lit("")),
         F.lit("/p/"),
         (did % 40).cast("string"),

@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from lightsaber_spark.functions.urls import (
     MULTI_LABEL_PUBLIC_SUFFIXES,
+    PSL_WILDCARD_EXCEPTIONS,
+    PSL_WILDCARD_TLDS,
+    THREE_LABEL_PUBLIC_SUFFIXES,
     TRACKING_PARAM_NAMES,
     TRACKING_PREFIX,
     canonical_url,
@@ -91,7 +94,7 @@ def _model(scheme, www, host, segs, slashes, params, frag, port=""):
     h = _pct_model(host + port).lower()
     if h.endswith(":80") or h.endswith(":443"):
         h = h.rsplit(":", 1)[0]
-    if h.startswith("www."):
+    if h.startswith("www.") and h not in PSL_WILDCARD_EXCEPTIONS:
         h = h[4:]
     path = "".join("/" + _pct_model(s) for s in segs)
     norm = [_pct_model(p) for p in params]
@@ -172,24 +175,32 @@ def test_canonical_url_equals_python_model(
 
 
 def _domain_model(host):
-    """Pure-Python twin of `registrable_domain`'s suffix + IP rules."""
+    """Pure-Python twin of `registrable_domain`'s PSL ladder: IP →
+    exception → three-label suffix → wildcard TLD → two-label suffix →
+    default two labels (bare suffix hosts fall back to themselves)."""
     import re
 
     h = host.lower()
     if h.endswith(":80") or h.endswith(":443"):
         h = h.rsplit(":", 1)[0]
-    if h.startswith("www."):
+    if h.startswith("www.") and h not in PSL_WILDCARD_EXCEPTIONS:
         h = h[4:]
     if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}(:\d+)?", h) or h.startswith("["):
         return h
     labels = h.split(".")
     last2 = ".".join(labels[-2:])
+    if last2 in PSL_WILDCARD_EXCEPTIONS:
+        return last2
+    if ".".join(labels[-3:]) in THREE_LABEL_PUBLIC_SUFFIXES:
+        return ".".join(labels[-4:]) if len(labels) >= 4 else ".".join(labels[-3:])
+    if labels[-1] in PSL_WILDCARD_TLDS:
+        return ".".join(labels[-3:]) if len(labels) >= 3 else last2
     if last2 in MULTI_LABEL_PUBLIC_SUFFIXES and len(labels) >= 3:
         return ".".join(labels[-3:])
     return last2
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=14, deadline=None)
 @given(
     scheme=st.sampled_from(["http", "HTTPS"]),
     www=st.booleans(),
@@ -197,16 +208,23 @@ def _domain_model(host):
         ["example.com", "News.Example.com", "foo.co.uk", "Sub.Foo.CO.UK",
          "co.uk", "shop.example.com.au", "x.gov.au", "example.de",
          "a.b.example.org", "1.2.3.4", "10.0.0.1:8080", "192.168.0.1:443",
-         "[2001:db8::1]"]
+         "[2001:db8::1]",
+         # PSL wildcard (*.ck): 2-label = bare suffix, 3+ labels = last3
+         "foo.ck", "shop.Foo.CK", "a.b.foo.ck", "things.np",
+         # PSL exception (!www.ck): itself and anything beneath it
+         "www.ck", "pages.www.ck", "a.pages.www.ck",
+         # three-label US locality suffixes: last FOUR labels
+         "k12.ca.us", "District.K12.CA.US", "hs.district.k12.ca.us",
+         "lib.ny.us", "branch.lib.ny.us"]
     ),
     path=st.sampled_from(["", "/a", "/a/b"]),
 )
 def test_registrable_domain_public_suffix_property(
     spark_holder, scheme, www, host, path
 ):
-    """ccTLD hosts under a multi-label public suffix must yield the
-    THREE-label registrable domain; everything else keeps the two-label
-    rule; a bare suffix host falls back to itself."""
+    """Hosts under every PSL rule class (two-label suffix, three-label
+    suffix, wildcard, exception, IP literal) must match the pure-Python
+    PSL-ladder model; bare suffix hosts fall back to themselves."""
     spark = spark_holder
     raw = scheme + "://" + ("www." if www else "") + host + path
     got = (

@@ -26,6 +26,9 @@ def test_canonical_url_rules(spark):
         # scheme dropped, host case folded, www stripped
         "HTTPS://WWW.Example.COM/a": "example.com/a",
         "http://example.com/a": "example.com/a",
+        # PSL exception host: www. is the domain's own label, NOT noise
+        "http://WWW.CK/x": "www.ck/x",
+        "http://www.www.ck/x": "www.ck/x",
         # fragment dropped
         "http://example.com/a#sec2": "example.com/a",
         # trailing slashes stripped (also multiple)
@@ -82,6 +85,22 @@ def test_registrable_domain(spark):
         "http://co.uk/": "co.uk",
         # single-label-suffix ccTLD stays on the two-label rule
         "http://www.example.de/": "example.de",
+        # PSL WILDCARD (*.ck): every 2nd-level name is a public suffix
+        # -> last THREE labels; a bare 2-label host falls back to itself
+        "http://shop.foo.ck/a": "shop.foo.ck",
+        "http://x.shop.foo.ck/a": "shop.foo.ck",
+        "http://foo.ck/": "foo.ck",
+        "http://deals.things.np/": "deals.things.np",
+        # PSL EXCEPTION (!www.ck): www.ck IS the registrable domain —
+        # for itself (www. must NOT be stripped) and anything beneath
+        "http://www.ck/": "www.ck",
+        "http://pages.www.ck/": "www.ck",
+        "http://a.pages.WWW.CK/": "www.ck",
+        # three-label US locality suffixes -> last FOUR labels
+        "http://district.k12.ca.us/": "district.k12.ca.us",
+        "http://hs.district.k12.ca.us/": "district.k12.ca.us",
+        "http://www.branch.lib.ny.us/": "branch.lib.ny.us",
+        "http://k12.ca.us/": "k12.ca.us",
         # IP literals have no registrable domain (PSL semantics):
         # the host itself is the rollup key, never a dotted tail
         "http://1.2.3.4/a": "1.2.3.4",
