@@ -40,11 +40,18 @@ fbclid/gclid/msclkid it is frequently content-bearing on real URLs
 it would false-merge distinct pages; extend the filter upstream for
 crawls where ``ref`` is known to be tracking-only.
 
-Remaining scope boundary: IDN hosts are NOT punycode-normalized
-(``bücher.de`` and ``xn--bcher-kva.de`` dedup as different pages) —
-correct ASCII-casefold behavior is preserved, and both engines agree,
-but Unicode↔ACE equivalence needs an IDNA table and is out of scope
-for the fixture surface.
+IDN hosts (r10 verdict decision, explicit): the DEFAULT pipeline does
+not punycode-normalize (``bücher.de`` and ``xn--bcher-kva.de`` dedup
+as different pages) — a pure-SQL DuckDB twin of RFC 3492 is
+impractical (the encoder is an iterative variable-length integer
+code, not expressible as a relational expression), so the oracle
+surface stays ASCII and both engines agree bit-for-bit. For crawls
+with IDN hosts, :func:`idn_hosts_to_ascii_udf` (an Arrow-batched
+RFC 3492 punycode encoder, locked against the stdlib IDNA codec in
+pytest) rewrites each non-ASCII host label to its ``xn--`` ACE form
+UPSTREAM of :func:`canonical_url`, after which the two spellings
+dedup together; mapping is lowercase-only (full UTS 46 mapping —
+width folding, deviation characters — is documented out of scope).
 
 100 TB shape: canonicalization is per-row expression work (no shuffle,
 no Python); the dedup itself is one hash aggregation on the canonical
@@ -54,6 +61,9 @@ running it first.
 
 from __future__ import annotations
 
+# module-level so pandas-UDF type-hint inference works under
+# `from __future__ import annotations` (CLAUDE.md gotcha)
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 #: query params that never identify content (click/campaign tracking).
@@ -261,6 +271,122 @@ def registrable_domain(url: Column, pre_normalized: bool = False) -> Column:
         )
         .otherwise(last2)
     )
+
+
+# --------------------------------------------------------------------------
+# IDN hosts → ASCII (ACE) — the opt-in upstream step for multilingual
+# crawls (module-docstring scope decision). Pure-Python RFC 3492
+# encoder + an Arrow-batched URL-host rewriter; NOT part of the
+# default canonical pipeline (no SQL twin is practical).
+# --------------------------------------------------------------------------
+
+def punycode_encode(label: str) -> str:
+    """RFC 3492 punycode of one host label (the bare encoding, no
+    ``xn--`` prefix). Deterministic integer algorithm — locked against
+    the stdlib IDNA codec in ``tests/test_urls.py``. Python ints are
+    unbounded, so the RFC's overflow checks are unnecessary."""
+    base, tmin, tmax = 36, 1, 26
+    skew, damp, initial_bias, initial_n = 38, 700, 72, 128
+
+    def adapt(delta: int, numpoints: int, firsttime: bool) -> int:
+        delta = delta // damp if firsttime else delta // 2
+        delta += delta // numpoints
+        k = 0
+        while delta > ((base - tmin) * tmax) // 2:
+            delta //= base - tmin
+            k += base
+        return k + (((base - tmin + 1) * delta) // (delta + skew))
+
+    def digit_char(d: int) -> str:
+        # 0..25 -> 'a'..'z', 26..35 -> '0'..'9'
+        return chr(d + 22 + 75 * (d < 26))
+
+    cps = [ord(c) for c in label]
+    output = [c for c in label if ord(c) < 128]
+    basic_len = h = len(output)
+    if basic_len:
+        output.append("-")
+    n, delta, bias = initial_n, 0, initial_bias
+    while h < len(cps):
+        m = min(cp for cp in cps if cp >= n)
+        delta += (m - n) * (h + 1)
+        n = m
+        for cp in cps:
+            if cp < n:
+                delta += 1
+            elif cp == n:
+                q = delta
+                k = base
+                while True:
+                    t = tmin if k <= bias else (tmax if k >= bias + tmax else k - bias)
+                    if q < t:
+                        break
+                    output.append(digit_char(t + (q - t) % (base - t)))
+                    q = (q - t) // (base - t)
+                    k += base
+                output.append(digit_char(q))
+                bias = adapt(delta, h + 1, h == basic_len)
+                delta = 0
+                h += 1
+        delta += 1
+        n += 1
+    return "".join(output)
+
+
+def idn_label_to_ascii(label: str) -> str:
+    """One host label → its ACE form: lowercase, then ``xn--`` +
+    punycode when any code point is non-ASCII (already-ASCII labels —
+    including existing ``xn--`` ones — pass through lowercased).
+    Lowercase-only mapping; full UTS 46 is out of scope (docstring)."""
+    low = label.lower()
+    if all(ord(c) < 128 for c in low):
+        return low
+    return "xn--" + punycode_encode(low)
+
+
+def idn_host_to_ascii(host: str) -> str:
+    """Whole host → ACE: each dot-separated label mapped independently
+    (RFC 5890 structure). Bracketed IPv6 literals pass through."""
+    if host.startswith("["):
+        return host
+    return ".".join(idn_label_to_ascii(lb) for lb in host.split("."))
+
+
+def _idn_url_to_ascii(url: str) -> str:
+    """Rewrite ONLY the host of a raw URL to its ACE form, leaving
+    scheme, userinfo, port, path, query, and fragment untouched (the
+    path may legitimately carry non-ASCII — percent-encoding it is the
+    separate, default pct_normalize step)."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)(.*)$", url, re.S)
+    scheme, auth, rest = m.group(1) or "", m.group(2), m.group(3)
+    user = ""
+    if "@" in auth:
+        user, auth = auth.rsplit("@", 1)
+        user += "@"
+    port = ""
+    if not auth.startswith("[") and ":" in auth:
+        auth, p = auth.rsplit(":", 1)
+        port = ":" + p
+    return scheme + user + idn_host_to_ascii(auth) + port + rest
+
+
+def idn_hosts_to_ascii_udf():
+    """Arrow-batched URL rewriter: every non-ASCII host label becomes
+    its ``xn--`` ACE form so ``bücher.de`` and ``xn--bcher-kva.de``
+    canonicalize identically downstream. Opt-in (see the module
+    docstring scope decision): apply BEFORE :func:`canonical_url` /
+    :func:`canonical_url_dedup` on crawls with IDN hosts. Map-only
+    per-row work — no shuffle, linear at any scale."""
+
+    @F.pandas_udf("string")
+    def _enc(urls: pd.Series) -> pd.Series:
+        return urls.map(
+            lambda u: _idn_url_to_ascii(u) if isinstance(u, str) else u
+        )
+
+    return _enc
 
 
 def canonical_url_dedup(

@@ -263,3 +263,78 @@ def test_canonical_url_dedup_normalizes_once(spark):
     rows = out.collect()
     assert rows[0].canonical_url == "example.com/a~b?id=2"
     assert rows[0].domain == "example.com"
+
+
+def test_punycode_matches_stdlib_idna():
+    """The RFC 3492 encoder must agree with the stdlib IDNA codec's
+    ToASCII on real-script labels (for lowercase letter labels the two
+    differ only by nameprep, which is identity there), and with the
+    RFC's own published sample vector."""
+    from lightsaber_spark.functions.urls import (
+        idn_label_to_ascii,
+        punycode_encode,
+    )
+
+    labels = ["bücher", "münchen", "日本語", "россия", "ñandú", "café",
+              "ελλάδα", "한국", "中文网", "עברית", "täst", "øl"]
+    for lb in labels:
+        want = lb.encode("idna").decode("ascii")
+        assert idn_label_to_ascii(lb) == want, lb
+    # mixed-case input lowercases first (UTS 46-lite mapping)
+    assert idn_label_to_ascii("BÜCHER") == "bücher".encode("idna").decode()
+    # ASCII labels (incl. existing ACE) pass through lowercased
+    assert idn_label_to_ascii("Example") == "example"
+    assert idn_label_to_ascii("xn--bcher-kva") == "xn--bcher-kva"
+    # RFC 3492 §7.1 sample (A), Arabic (Egyptian)
+    arabic = ("ليهمابتكل"
+              "موشعربي؟")
+    assert punycode_encode(arabic) == "egbpdaj6bu4bxfgehfvwxn"
+
+
+def test_idn_url_rewrite_preserves_structure():
+    """Only the host is rewritten: scheme, userinfo, port, path, query,
+    fragment — and any non-ASCII OUTSIDE the host — stay untouched."""
+    from lightsaber_spark.functions.urls import _idn_url_to_ascii
+
+    cases = {
+        "http://bücher.de/x": "http://xn--bcher-kva.de/x",
+        "https://u:pw@bücher.de:8080/ä?q=ü#f":
+            "https://u:pw@xn--bcher-kva.de:8080/ä?q=ü#f",
+        "http://shop.日本語.jp/a": "http://shop.xn--wgv71a119e.jp/a",
+        "http://example.com/ok": "http://example.com/ok",
+        "http://[2001:db8::1]:443/a": "http://[2001:db8::1]:443/a",
+        "bücher.de/x": "xn--bcher-kva.de/x",  # schemeless
+    }
+    for raw, want in cases.items():
+        assert _idn_url_to_ascii(raw) == want, raw
+
+
+def test_idn_opt_in_unifies_unicode_and_ace_spellings(spark):
+    """After the opt-in ACE rewrite, the Unicode and xn-- spellings of
+    one page canonicalize identically and dedup together — closing the
+    documented IDN boundary for crawls that enable it."""
+    from lightsaber_spark.functions.urls import idn_hosts_to_ascii_udf
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://bücher.de/x"),
+            (2, "http://xn--bcher-kva.de/x"),
+            (3, "https://www.BÜCHER.de/x/"),
+            (4, "http://bücher.de/y"),
+        ],
+        "doc_id long, url string",
+    )
+    ace = df.select("doc_id", idn_hosts_to_ascii_udf()(F.col("url")).alias("url"))
+    rows = {
+        r.canonical_url: (r.n_docs, r.rep_doc_id)
+        for r in canonical_url_dedup(ace).collect()
+    }
+    assert rows == {
+        "xn--bcher-kva.de/x": (3, 1),
+        "xn--bcher-kva.de/y": (1, 4),
+    }
+    got_domains = {
+        r.d
+        for r in ace.select(registrable_domain(F.col("url")).alias("d")).collect()
+    }
+    assert got_domains == {"xn--bcher-kva.de"}
