@@ -99,12 +99,40 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
     return s.withColumn("_norm", F.sqrt(_scaled_dot(F.col("_sv"), F.col("_sv"))))
 
 
+def derive_n_blocks(
+    n_rows: int, dim: int, target_block_bytes: int
+) -> int:
+    """Tile count so ONE block's scaled matrix (≈ n_rows / n_blocks
+    rows × dim float64) fits ``target_block_bytes``:
+    ceil(n_rows · dim · 8 / target). The auto-derivation companion to
+    ``target_cell_size`` (r10 verdict #4) — a fixed tile count on a
+    growing relation silently overshoots executor memory, exactly as a
+    fixed k re-inflates the pair space. At the SemDeDup paper's shape
+    (cells of ~10⁴ rows × 768 dims ≈ 61 MB) a 16 MB target derives 4
+    tiles — today's default — while a 10⁶-row relation derives 384
+    instead of silently building four 2 GB tiles."""
+    import math
+
+    return max(1, math.ceil(n_rows * dim * 8 / target_block_bytes))
+
+
+def _peek_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector width from one row — a bounded eager action (single-row
+    limit) in the same documented class as the fit/count collects."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return 1
+    return int(row["d"])
+
+
 def blocked_allpairs_cosine(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 16,
+    target_block_bytes: int | None = None,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via block-nested-loop GEMM.
 
@@ -123,11 +151,19 @@ def blocked_allpairs_cosine(
 
     At 100 TB scale: n_blocks² tasks, each a dense GEMM — compute-bound
     and embarrassingly parallel; raise n_blocks so each tile fits in
-    executor memory (tile rows ≈ n / n_blocks).
+    executor memory (tile rows ≈ n / n_blocks) — or pass
+    ``target_block_bytes`` and n_blocks is DERIVED via
+    :func:`derive_n_blocks` from the relation size (``corpus_size`` if
+    supplied, else one count) and the peeked vector width. Tiling is
+    plan-shape only, never semantics (pinned by the block-count
+    invariance tests), so the oracle is unaffected.
     """
     import numpy as np
     import pandas as pd
 
+    if target_block_bytes is not None:
+        n = corpus_size if corpus_size is not None else df.count()
+        n_blocks = derive_n_blocks(n, _peek_dim(df, vec_col), target_block_bytes)
     base = df.select(
         F.col(id_col).cast("bigint").alias("_id"), F.col(vec_col).alias("_v")
     )
@@ -531,6 +567,7 @@ def semantic_dedup(
     centroids: list[tuple[int, list[int]]] | None = None,
     target_cell_size: int | None = None,
     corpus_size: int | None = None,
+    target_block_bytes: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     by clustering embeddings and dropping near-identical members
@@ -580,16 +617,34 @@ def semantic_dedup(
     corpus silently re-inflates the intra-cell pair space (~n²/k);
     deriving k from n keeps expected cell size — and therefore
     per-cell GEMM cost — constant as the corpus grows. Ignored when
-    ``centroids`` is passed (a reused fit dictates its own k)."""
+    ``centroids`` is passed (a reused fit dictates its own k).
+
+    ``target_block_bytes`` closes the companion manual knob (r10
+    verdict #4): when set, ``n_blocks`` is DERIVED via
+    :func:`derive_n_blocks` from the EXPECTED cell size (⌈n / k⌉ rows ×
+    peeked dim × 8 B) so per-tile memory stays bounded at paper-scale
+    cells where a fixed n_blocks=4 would overshoot (10⁴ × 768 ≈ 61 MB
+    cells derive today's 4 tiles at a 16 MB target; 100× that derives
+    ~400 instead of four 1.5 GB tiles). Tiling is plan-shape only —
+    results are bit-identical for ANY n_blocks (the block-count
+    invariance test), so the oracle is unaffected."""
     import math
 
     from pyspark.sql import Window
 
     from lightsaber_spark.functions.dedup import register_cache
 
+    n: int | None = corpus_size
     if centroids is None and target_cell_size is not None:
-        n = corpus_size if corpus_size is not None else corpus.count()
+        n = n if n is not None else corpus.count()
         k = max(1, math.ceil(n / target_cell_size))
+    if target_block_bytes is not None:
+        n = n if n is not None else corpus.count()
+        k_eff = len(centroids) if centroids is not None else k
+        cell_rows = max(1, math.ceil(n / max(1, k_eff)))
+        n_blocks = derive_n_blocks(
+            cell_rows, _peek_dim(corpus, vec_col), target_block_bytes
+        )
     cents = (
         centroids
         if centroids is not None

@@ -677,3 +677,60 @@ def test_semantic_dedup_target_cell_size_derives_k(spark):
              (1, [int(round(x * 1_000_000)) for x in rows[1][1]])]
     with_fit = run(centroids=cents, target_cell_size=5)
     assert {c for _, c, _, _ in with_fit} <= {0, 1}
+
+
+def test_derive_n_blocks_from_target_bytes():
+    """r10 verdict #4: the tile knob derives from a byte target like k
+    derives from target_cell_size. Paper-shape cells (10^4 x 768 dims
+    = 61 MB) at a 16 MB target give today's default 4 tiles; a 100x
+    cell derives ~367 instead of silently building 1.5 GB tiles; tiny
+    fixtures floor at 1."""
+    from lightsaber_spark.functions.similarity import derive_n_blocks
+
+    mb = 1 << 20
+    assert derive_n_blocks(10_000, 768, 16 * mb) == 4
+    assert derive_n_blocks(1_000_000, 768, 16 * mb) == 367
+    assert derive_n_blocks(20, 64, 16 * mb) == 1
+    assert derive_n_blocks(0, 768, 16 * mb) == 1
+
+
+def test_semantic_dedup_target_block_bytes_is_semantics_free(spark):
+    """A derived tile count must give bit-identical output to the
+    default (tiling is plan shape, not semantics) — and must actually
+    derive MORE than one tile when the target is small."""
+    import numpy as np
+
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.functions.similarity import (
+        blocked_allpairs_cosine,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim = 30, 8
+    rows = [(i, [float(x) / 1000.0 for x in rng.randint(-1000, 1000, dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(**kw):
+        got = sorted(
+            (r.vec_id, r.cell_id, r.rnk, r.keep)
+            for r in semantic_dedup(df, threshold=0.9, k=3, **kw).collect()
+        )
+        release_shingle_caches()
+        return got
+
+    # dim*8 = 64 B/row; target 256 B -> ceil(10 rows * 64 / 256) = 3 tiles
+    assert run(target_block_bytes=256) == run()
+    # corpus_size skips the count() and changes nothing else
+    assert run(target_block_bytes=256, corpus_size=n) == run()
+    # blocked_allpairs_cosine: same knob, same invariance
+    a = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in blocked_allpairs_cosine(df, 0.9, n_blocks=4).collect()
+    )
+    b = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in blocked_allpairs_cosine(df, 0.9, target_block_bytes=256).collect()
+    )
+    assert a == b
