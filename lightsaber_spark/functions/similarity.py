@@ -726,6 +726,153 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_delta(
+    corpus_kept: DataFrame,
+    delta: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 4,
+    target_block_bytes: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup for ingest batches (the delta twin of
+    :func:`semantic_dedup` — exact and MinHash dedup both have one,
+    ``dedup_delta_vs_corpus``): dedup a DELTA batch against the KEPT
+    corpus without re-clustering the corpus.
+
+    Production shape: each new crawl is assigned to the FROZEN
+    ``centroids`` of the existing fit (:func:`ivf_cell_ccos_udf` —
+    reuse, never refit per batch), and a delta vector is dropped iff
+
+    - any KEPT corpus member of its cell has pairwise cosine >=
+      ``threshold`` (the corpus store only retains kept members —
+      dropped ones are gone, so they can't suppress new arrivals), OR
+    - any EARLIER-RANKED member of the same delta batch does (ranked
+      by centroid-cosine ASC, id ASC within the cell — the same
+      diversity-first order as the batch rule; against all earlier
+      delta members, kept or not, exactly as :func:`semantic_dedup`
+      compares against all earlier cell members).
+
+    Both inputs carry ``(id_col, vec_col)``; ids must be globally
+    unique across the two (the GEMM blocking keys on id). Returns one
+    row per DELTA vector: ``(vec_id, cell_id, rnk, keep)`` where
+    ``rnk`` is the delta-batch-local rank (corpus members implicitly
+    rank earlier than every delta member).
+
+    Composition law (pinned in pytest): when the corpus run kept
+    everything and delta members rank after corpus members in every
+    cell (ccos ordering), corpus-run ∘ delta-increment is bit-identical
+    to one batch :func:`semantic_dedup` over corpus ∪ delta with the
+    same frozen centroids, with ``rnk`` offset by the cell's corpus
+    population. (In general the two differ only through members the
+    corpus run DROPPED — kept-only comparison is the production
+    semantics; a batch rerun also compares against dropped members.)
+
+    100 TB shape: same as the batch operator — broadcast-centroid
+    assignment (no shuffle), pair space cell-local AND delta-vs-(kept ∪
+    delta) only, never corpus × corpus again; the per-cell GEMM tiles
+    by ``n_blocks`` (or ``target_block_bytes``, derived from the
+    expected KEPT cell size). Work per ingest batch is
+    O(|delta| · cell_size), linear in batch size for a fixed corpus."""
+    import math
+
+    from pyspark.sql import Window
+
+    from lightsaber_spark.functions.dedup import register_cache
+
+    if target_block_bytes is not None:
+        n = corpus_kept.count() + delta.count()
+        cell_rows = max(1, math.ceil(n / max(1, len(centroids))))
+        n_blocks = derive_n_blocks(
+            cell_rows, _peek_dim(delta, vec_col), target_block_bytes
+        )
+    cc = ivf_cell_ccos_udf(centroids, centroids_scaled=True)
+    d = delta.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        scaled_vec(F.col(vec_col)).alias("_sv"),
+        cc(F.col(vec_col)).alias("_a"),
+    ).select(
+        "vec_id",
+        "_sv",
+        F.col("_a.cid").alias("cell_id"),
+        F.col("_a.ccos").alias("_ccos"),
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("_ccos").asc(), F.col("vec_id").asc()
+    )
+    # feeds both the pair stage and the final keep join — persist the
+    # pandas-UDF subplan (register_cache lifecycle, CLAUDE.md rule)
+    ranked = register_cache(
+        d.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    )
+    cell = ivf_cell_udf(centroids, centroids_scaled=True)
+    kept = corpus_kept.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        scaled_vec(F.col(vec_col)).alias("_sv"),
+        cell(F.col(vec_col)).alias("cell_id"),
+        F.lit(0).cast("bigint").alias("rnk"),  # all corpus ranks earlier
+    )
+    allrows = ranked.select("vec_id", "_sv", "cell_id", "rnk").unionAll(kept)
+    rep = (
+        allrows.withColumn(
+            "_blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+        )
+        .withColumn("_p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .withColumn("_gi", F.least("_blk", "_p"))
+        .withColumn("_gj", F.greatest("_blk", "_p"))
+    )
+
+    def _mat(sub: "pd.DataFrame"):
+        S = np.stack([np.asarray(v, dtype=np.float64) for v in sub["_sv"]])
+        return S, np.sqrt((S * S).sum(axis=1))
+
+    def fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        gi, gj = int(key[1]), int(key[2])
+        if gi == gj:
+            S, n = _mat(pdf)
+            C = (S @ S.T) / (n[:, None] * n[None, :])
+            r = pdf["rnk"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            # strictly-later rank drops; corpus rows (rnk 0) can never
+            # be later than anything, so only delta rows land here
+            drop = ((r[:, None] > r[None, :]) & (C >= threshold)).any(axis=1)
+            return pd.DataFrame({"vec_id": ids[drop]})
+        a, b = pdf[pdf["_blk"] == gi], pdf[pdf["_blk"] == gj]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        Sa, na = _mat(a)
+        Sb, nb = _mat(b)
+        C = (Sa @ Sb.T) / (na[:, None] * nb[None, :])
+        ra, rb = a["rnk"].to_numpy(), b["rnk"].to_numpy()
+        ia, ib = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+        ii, jj = np.nonzero(C >= threshold)
+        # unlike the batch kernel, ranks here are NOT unique (all kept
+        # corpus rows carry 0): only a STRICTLY later side drops, and a
+        # corpus-corpus tie (0, 0) drops neither
+        later = np.concatenate(
+            [ia[ii][ra[ii] > rb[jj]], ib[jj][rb[jj] > ra[ii]]]
+        )
+        return pd.DataFrame({"vec_id": np.unique(later)})
+
+    dropped = (
+        rep.groupBy("cell_id", "_gi", "_gj")
+        .applyInPandas(fn, "vec_id bigint")
+        .distinct()
+    )
+    return ranked.join(
+        dropped.withColumn("_d", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell_id",
+        "rnk",
+        F.when(F.col("_d").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
 def _half_up_div(s: int, n: int) -> int:
     """round(s / n) with HALF_UP (away-from-zero) on exact integers —
     the same rounding Spark and DuckDB apply, reproducible as

@@ -51,6 +51,7 @@ from lightsaber_spark.functions.similarity import (
     ivf_topk,
     kmeans_fit_scaled,
     semantic_dedup,
+    semantic_dedup_delta,
 )
 from lightsaber_spark.functions.multimodal import (
     decode_media,
@@ -943,14 +944,24 @@ def q_sim_ivf_kmeans(spark, sf_dir):
 
 _SEMDEDUP_TAU = 0.35
 
+# scaled-embedding source select (append a WHERE to slice it)
+_SCALED_EMB = (
+    "SELECT vec_id, list_transform(embedding, "
+    f"x -> round(x::DOUBLE * {SCALE})::BIGINT) AS sv FROM embeddings"
+)
 
-@query(
-    "dedup_semantic_groups",
-    f"""
-    WITH e AS (SELECT vec_id,
-                      list_transform(embedding,
-                          x -> round(x::DOUBLE * {SCALE})::BIGINT) AS sv
-               FROM embeddings),
+
+def _semdedup_ctes() -> str:
+    """The SemDeDup oracle core over a caller-defined CTE ``e``:
+    deterministic integer Lloyd fit (k=4, 2 rounds, seeds ``vec_id <
+    4`` within ``e`` — exactly ``kmeans_fit_scaled``'s rule applied to
+    the source relation), final assignment with centroid cosine,
+    diversity-first rank, and the upper-triangular drop rule. Ends
+    with CTEs ``c2`` (frozen centroids), ``ranked``, and ``drp`` —
+    single-sourced for ``dedup_semantic_groups`` (e = all embeddings)
+    and ``dedup_semantic_delta`` (e = the corpus split), so the fit
+    and drop rule can't drift between the batch and delta oracles."""
+    return f"""
     c0 AS (SELECT vec_id AS cid, sv AS cv FROM e WHERE vec_id < 4),
     {_KM_ASSIGN.format(out='a0', cents='c0', cos=_COS_II.format(a='e.sv', b='cv'))},
     {_KM_UPDATE.format(sums='m0', assign='a0', out='c1')},
@@ -969,7 +980,14 @@ _SEMDEDUP_TAU = 0.35
     drp AS (SELECT DISTINCT b.vec_id
             FROM ranked a JOIN ranked b
               ON a.cid = b.cid AND a.rnk < b.rnk
-            WHERE {_COS_II.format(a='a.sv', b='b.sv')} >= {_SEMDEDUP_TAU})
+            WHERE {_COS_II.format(a='a.sv', b='b.sv')} >= {_SEMDEDUP_TAU})"""
+
+
+@query(
+    "dedup_semantic_groups",
+    f"""
+    WITH e AS ({_SCALED_EMB}),
+    {_semdedup_ctes()}
     SELECT r.vec_id, r.cid AS cell_id, r.rnk,
            CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM ranked r LEFT JOIN drp d ON r.vec_id = d.vec_id
@@ -988,6 +1006,65 @@ def q_dedup_semantic(spark, sf_dir):
     return semantic_dedup(
         _embs(spark, sf_dir), threshold=_SEMDEDUP_TAU, k=4, iters=2
     )
+
+
+@query(
+    "dedup_semantic_delta",
+    f"""
+    WITH e AS ({_SCALED_EMB} WHERE vec_id % 10 <> 0),
+    delt AS ({_SCALED_EMB} WHERE vec_id % 10 = 0),
+    {_semdedup_ctes()},
+    kept AS (SELECT r.vec_id, r.sv, r.cid FROM ranked r
+             LEFT JOIN drp d ON r.vec_id = d.vec_id WHERE d.vec_id IS NULL),
+    dfin AS (SELECT delt.vec_id, delt.sv, cid,
+                    {_COS_II.format(a='delt.sv', b='cv')} AS ccos,
+                    row_number() OVER (PARTITION BY delt.vec_id
+                        ORDER BY {_COS_II.format(a='delt.sv', b='cv')} DESC,
+                                 cid ASC) AS rn
+             FROM delt CROSS JOIN c2),
+    dranked AS (SELECT vec_id, sv, cid, ccos,
+                       CAST(row_number() OVER (PARTITION BY cid
+                           ORDER BY ccos ASC, vec_id ASC) AS BIGINT) AS rnk
+                FROM dfin WHERE rn = 1),
+    prior AS (SELECT vec_id, sv, cid, CAST(0 AS BIGINT) AS rnk FROM kept
+              UNION ALL
+              SELECT vec_id, sv, cid, rnk FROM dranked),
+    ddrp AS (SELECT DISTINCT b.vec_id
+             FROM prior a JOIN dranked b
+               ON a.cid = b.cid AND a.rnk < b.rnk
+             WHERE {_COS_II.format(a='a.sv', b='b.sv')} >= {_SEMDEDUP_TAU})
+    SELECT r.vec_id, r.cid AS cell_id, r.rnk,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM dranked r LEFT JOIN ddrp d ON r.vec_id = d.vec_id
+    """,
+)
+def q_dedup_semantic_delta(spark, sf_dir):
+    """Incremental SemDeDup for ingest (the delta twin the exact and
+    MinHash ladders already have via ``dedup_delta_vs_corpus``): the
+    corpus split (vec_id % 10 != 0) is fit and deduped once — the
+    existing-corpus state a real pipeline carries between crawls —
+    then the DELTA batch (vec_id % 10 == 0) is assigned to the FROZEN
+    centroids (no per-batch re-clustering) and a delta vector drops
+    iff a KEPT corpus member of its cell, or an earlier-ranked member
+    of the same batch, is within the threshold. The oracle unrolls the
+    corpus fit + drop rule through the shared ``_semdedup_ctes`` chain
+    and the frozen-assignment + kept-union drop rule on top, so every
+    delta keep/drop decision is verified bit-for-bit. Naturally
+    non-vacuous: 13/50 delta drops at sf0.001, 20/50 at sf0.01.
+
+    Scale shape: delta work is O(|delta| x cell size) — assignment is
+    a broadcast-centroid GEMM (no shuffle), the pair stage is
+    delta-vs-(kept + earlier-delta) within cells only, never
+    corpus x corpus again (``semantic_dedup_delta`` docstring)."""
+    e = _embs(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    cents = kmeans_fit_scaled(corpus, k=4, iters=2)
+    base = semantic_dedup(corpus, threshold=_SEMDEDUP_TAU, centroids=cents)
+    kept = corpus.join(
+        base.filter(F.col("keep") == 1).select("vec_id"), "vec_id"
+    )
+    return semantic_dedup_delta(kept, delta, cents, threshold=_SEMDEDUP_TAU)
 
 
 # ---------------------------------------------------------------------------

@@ -734,3 +734,171 @@ def test_semantic_dedup_target_block_bytes_is_semantics_free(spark):
         for r in blocked_allpairs_cosine(df, 0.9, target_block_bytes=256).collect()
     )
     assert a == b
+
+
+def test_semantic_dedup_delta_matches_brute_force_rule(spark):
+    """Incremental SemDeDup must equal an independent numpy model of
+    the declared rule: assign delta to FROZEN centroids; rank delta
+    within cell (centroid-cos ASC, id ASC); drop a delta vector iff any
+    KEPT corpus member of its cell, or any earlier-ranked delta member,
+    has pairwise cosine >= tau. Planted exact copies make both drop
+    paths non-vacuous."""
+    import numpy as np
+
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.functions.similarity import (
+        SCALE,
+        semantic_dedup_delta,
+    )
+
+    rng = np.random.RandomState(31)
+    dim, tau = 8, 0.95
+
+    def mk(v):
+        return [float(x) for x in v]
+
+    corpus = [(i, mk(rng.randint(-1000, 1000, dim) / 1000.0))
+              for i in range(1, 25)]
+    delta = [(100 + j, mk(rng.randint(-1000, 1000, dim) / 1000.0))
+             for j in range(8)]
+    # plant: two delta copies of corpus vectors (drop via kept corpus),
+    # one delta copy of another delta vector (drop via earlier delta)
+    delta.append((200, corpus[2][1]))
+    delta.append((201, corpus[7][1]))
+    delta.append((202, delta[0][1]))
+    cents = [(0, [int(round(x * SCALE)) for x in corpus[0][1]]),
+             (1, [int(round(x * SCALE)) for x in corpus[1][1]])]
+
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    ddf = spark.createDataFrame(delta, "vec_id long, embedding array<float>")
+    out = semantic_dedup_delta(cdf, ddf, cents, threshold=tau, n_blocks=3)
+    got = {r.vec_id: (r.cell_id, r.rnk, r.keep) for r in out.collect()}
+    release_shingle_caches()
+
+    # ---- independent numpy model ----
+    def smat(rows):
+        m = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+        y = m * SCALE
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+    cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in sorted(cents)])
+    cids = np.array([c for c, _ in sorted(cents)], dtype=np.int64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+
+    def assign(S):
+        n = np.sqrt((S * S).sum(axis=1))
+        cos = (S @ cm.T) / (n[:, None] * cn[None, :])
+        idx = np.argmax(cos, axis=1)
+        return cids[idx], cos[np.arange(len(S)), idx], n
+
+    Sc, Sd = smat(corpus), smat(delta)
+    c_ids = np.array([i for i, _ in corpus])
+    d_ids = np.array([i for i, _ in delta])
+    c_cell, _, c_n = assign(Sc)
+    d_cell, d_ccos, d_n = assign(Sd)
+
+    expect = {}
+    for cid in np.unique(d_cell):
+        sel = np.nonzero(d_cell == cid)[0]
+        order = sel[np.lexsort((d_ids[sel], d_ccos[sel]))]
+        ksel = np.nonzero(c_cell == cid)[0]
+        for rank_pos, gi in enumerate(order):
+            dropped = False
+            if len(ksel):
+                cos_k = (Sd[gi] @ Sc[ksel].T) / (d_n[gi] * c_n[ksel])
+                dropped = bool((cos_k >= tau).any())
+            if not dropped and rank_pos:
+                earlier = order[:rank_pos]
+                cos_e = (Sd[gi] @ Sd[earlier].T) / (d_n[gi] * d_n[earlier])
+                dropped = bool((cos_e >= tau).any())
+            expect[int(d_ids[gi])] = (int(cid), rank_pos + 1, 0 if dropped else 1)
+
+    assert got == expect
+    # only delta rows come back, and the planted copies dropped
+    assert set(got) == {i for i, _ in delta}
+    assert got[200][2] == 0 and got[201][2] == 0 and got[202][2] == 0
+    # at least one organic keep
+    assert any(v[2] == 1 for v in got.values())
+
+
+def test_semantic_dedup_delta_composes_to_batch_rerun(spark):
+    """Composition law: when the corpus run keeps everything and every
+    delta member ranks after every corpus member of its cell (higher
+    centroid-cos), corpus-run + delta-increment must be BIT-IDENTICAL
+    to one batch semantic_dedup over corpus + delta with the same
+    frozen centroids — keep flags equal, delta rnk offset by the
+    cell's corpus population."""
+    import math
+
+    import numpy as np
+
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.functions.similarity import (
+        SCALE,
+        semantic_dedup,
+        semantic_dedup_delta,
+    )
+
+    tau = 0.95
+
+    def v(theta_deg, u, dim4=True):
+        """(cos t, 0, sin t * u2, sin t * u3): angle t to centroid c0,
+        direction u in the orthogonal plane — cos(v1, v2) =
+        cos t1 cos t2 + sin t1 sin t2 (u1 . u2)."""
+        t = math.radians(theta_deg)
+        return [math.cos(t), 0.0, math.sin(t) * u[0], math.sin(t) * u[1]]
+
+    def w(theta_deg, u):
+        """Cell-1 twin of v: angle to c1=(0,1,0,0)."""
+        t = math.radians(theta_deg)
+        return [0.0, math.cos(t), math.sin(t) * u[0], math.sin(t) * u[1]]
+
+    # cell 0 around c0=(1,0,0,0); cell 1 around c1=(0,1,0,0).
+    # Precondition by construction: within each cell every CORPUS
+    # member has LOWER centroid-cos than every DELTA member, so the
+    # batch rerun ranks corpus first (rank = ccos ASC).
+    corpus = [
+        (1, v(40, (1.0, 0.0))),   # ccos .766
+        (2, v(50, (0.0, 1.0))),   # ccos .643; cos(1,2)=.49 -> both keep
+        (3, w(40, (1.0, 0.0))),   # cell 1, ccos .766
+    ]
+    delta = [
+        (100, v(24, (1.0, 0.0))),  # cos to id 1 = cos(16deg)=.961 -> drop
+        (101, v(10, (0.0, 1.0))),  # clean -> keep (ccos .985)
+        (102, w(10, (0.0, 1.0))),  # cell 1: cos to id 3 = .754 -> keep
+    ]
+    cents = [(0, [SCALE, 0, 0, 0]), (1, [0, SCALE, 0, 0])]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    ddf = spark.createDataFrame(delta, "vec_id long, embedding array<float>")
+
+    base = semantic_dedup(cdf, threshold=tau, centroids=cents)
+    base_rows = {r.vec_id: r for r in base.collect()}
+    release_shingle_caches()
+    assert all(r.keep == 1 for r in base_rows.values()), "fixture precondition"
+    corpus_cell_pop = {}
+    for r in base_rows.values():
+        corpus_cell_pop[r.cell_id] = corpus_cell_pop.get(r.cell_id, 0) + 1
+
+    inc = semantic_dedup_delta(cdf, ddf, cents, threshold=tau)
+    inc_rows = {r.vec_id: r for r in inc.collect()}
+    release_shingle_caches()
+
+    both = cdf.unionAll(ddf)
+    full = semantic_dedup(both, threshold=tau, centroids=cents)
+    full_rows = {r.vec_id: r for r in full.collect()}
+    release_shingle_caches()
+
+    # corpus members: batch rerun reproduces the corpus-only run
+    for i, _ in corpus:
+        assert (full_rows[i].cell_id, full_rows[i].rnk, full_rows[i].keep) == (
+            base_rows[i].cell_id, base_rows[i].rnk, base_rows[i].keep
+        )
+    # delta members: same cell + keep; rnk offset by corpus cell pop
+    for i, _ in delta:
+        f, g = full_rows[i], inc_rows[i]
+        assert f.cell_id == g.cell_id
+        assert f.keep == g.keep
+        assert f.rnk == g.rnk + corpus_cell_pop.get(g.cell_id, 0)
+    # and the planted outcomes are the interesting ones
+    assert inc_rows[100].keep == 0
+    assert inc_rows[101].keep == 1 and inc_rows[102].keep == 1
