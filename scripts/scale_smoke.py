@@ -75,6 +75,8 @@ QUERIES = [
     # round 9
     "dedup_semantic_groups",
     "url_canonical_dedup",
+    # round 11
+    "dedup_semantic_delta",
 ]
 
 _COPY_UNCHANGED = ("region", "nation", "customer", "supplier", "part")
