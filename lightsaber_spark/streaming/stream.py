@@ -327,6 +327,126 @@ def streaming_neardup_lsh(
     )
 
 
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming SemDeDup ingest — the streaming twin of
+    :func:`~lightsaber_spark.functions.similarity.semantic_dedup_delta`
+    (completing the streaming dedup ladder: exact digest, MinHash-LSH,
+    line boilerplate, URL frontier, and now semantic). Each arriving
+    vector is assigned to its FROZEN centroid cell (stateless Arrow
+    GEMM against the broadcast matrix — reuse the corpus fit, never
+    refit on a stream) and KEPT iff no already-kept member of its cell
+    is within ``threshold`` cosine.
+
+    Declared semantics — the SEQUENTIAL greedy variant of the paper's
+    rule: processing order is id order (the in-order model, SURVEY
+    §2.9 — ids must not regress across micro-batches), and comparison
+    is against KEPT members only (an online system can only suppress
+    against vectors it retained). The batch/delta operators instead
+    rank by centroid-cosine and compare against ALL earlier-ranked
+    members, so kept SETS can differ between the two — both are
+    members of the paper's greedy family; the streaming semantics are
+    pinned against an independent sequential Python model and are
+    micro-batch-split invariant (pytest).
+
+    State per cell: the kept members' ids + integer-scaled vectors —
+    (dim + 1)·8 bytes per KEPT member (dim 64 ⇒ 520 B), the
+    irreducible online-dedup state, bounded by the kept-set size and
+    partitioned by cell exactly like the batch pair space. Each batch
+    does ONE vectorized GEMM of its new rows against the cell's kept
+    matrix (plus the sequential in-batch fold), all in exact
+    integer-valued float64 — bit-identical arithmetic to the batch
+    kernels. Emits ``(vec_id, cell_id, keep)`` per arrival in update
+    mode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from lightsaber_spark.functions.similarity import SCALE, ivf_cell_udf
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("cell_id", LongType()),
+            StructField("keep", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("flat", ArrayType(LongType())),  # kept vectors, concat
+        ]
+    )
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            kept_ids = list(state.get[0])
+            flat = list(state.get[1])
+        else:
+            kept_ids, flat = [], []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        rows = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            y = m * SCALE
+            s = np.sign(y) * np.floor(np.abs(y) + 0.5)  # HALF_UP, exact ints
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")  # in-order fold
+            dim = s.shape[1]
+            kmat = (
+                np.array(flat, dtype=np.float64).reshape(-1, dim)
+                if flat
+                else np.empty((0, dim))
+            )
+            knorm = np.sqrt((kmat * kmat).sum(axis=1))
+            # one GEMM of the whole batch against the kept-state matrix,
+            # then a sequential in-batch fold for rows kept this batch
+            norms = np.sqrt((s * s).sum(axis=1))
+            vs_state = (
+                (s @ kmat.T) / (norms[:, None] * knorm[None, :])
+                if len(kmat)
+                else np.empty((len(s), 0))
+            )
+            new_rows: list[int] = []  # indexes into s kept THIS batch
+            for i in order:
+                dropped = bool((vs_state[i] >= threshold).any())
+                if not dropped and new_rows:
+                    kn = s[new_rows]
+                    cos = (s[i] @ kn.T) / (
+                        norms[i] * np.sqrt((kn * kn).sum(axis=1))
+                    )
+                    dropped = bool((cos >= threshold).any())
+                if not dropped:
+                    new_rows.append(int(i))
+                rows.append([int(ids[i]), int(key[0]), 0 if dropped else 1])
+            if new_rows:
+                kept_ids.extend(int(ids[i]) for i in new_rows)
+                flat.extend(int(x) for x in s[new_rows].ravel())
+                state.update((kept_ids, flat))
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    cell = ivf_cell_udf(centroids, centroids_scaled=True)
+    assigned = stream.select(
+        F.col(id_col).cast("bigint").alias("vec_id"),
+        F.col(vec_col).alias(vec_col),
+        cell(F.col(vec_col)).alias("cell_id"),
+    )
+    return assigned.groupBy("cell_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def streaming_line_boilerplate(
     stream: DataFrame,
     min_df: int = 5,

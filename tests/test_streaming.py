@@ -1550,3 +1550,159 @@ def test_streaming_url_frontier_dedup(spark, tmp_path):
     out = [r.canonical_url for r in got.collect()]
     assert sorted(out) == sorted(f"example.com/p/{p}" for p in range(20))
     assert len(out) == len(set(out)) == 20
+
+
+def _semantic_stream_fixture():
+    """Synthetic embedding stream with planted near-dups: random base
+    vectors plus exact copies scattered across the id range, so drops
+    happen both within one micro-batch and across batches."""
+    import numpy as np
+
+    rng = np.random.RandomState(47)
+    dim = 8
+    base = [
+        [float(x) / 1000.0 for x in rng.randint(-1000, 1000, dim)]
+        for _ in range(12)
+    ]
+    rows = []
+    for i in range(36):
+        if i % 6 == 5:
+            rows.append((i, base[i % 12]))  # exact copy of an earlier id
+        else:
+            rows.append(
+                (i, [float(x) / 1000.0 for x in rng.randint(-1000, 1000, dim)])
+            )
+    cents = [
+        (0, [int(round(x * 1_000_000)) for x in base[0]]),
+        (1, [int(round(x * 1_000_000)) for x in base[1]]),
+    ]
+    return rows, cents
+
+
+def _semantic_sequential_model(rows, cents, tau):
+    """Independent Python model of the DECLARED streaming semantics:
+    frozen-centroid assignment (argmax cosine, ties lowest cid), then
+    per cell a sequential id-order greedy — keep iff no already-KEPT
+    member is within tau."""
+    import numpy as np
+
+    cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in sorted(cents)])
+    cids = np.array([c for c, _ in sorted(cents)], dtype=np.int64)
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    out = {}
+    kept: dict[int, list] = {}
+    for vid, v in sorted(rows):
+        x = np.asarray(v, dtype=np.float64) * 1_000_000
+        s = np.sign(x) * np.floor(np.abs(x) + 0.5)
+        n = np.sqrt((s * s).sum())
+        cos_c = (s @ cm.T) / (n * cn)
+        cell = int(cids[np.argmax(cos_c)])
+        dropped = False
+        for k in kept.get(cell, []):
+            kn = np.sqrt((k * k).sum())
+            if (s @ k) / (n * kn) >= tau:
+                dropped = True
+                break
+        if not dropped:
+            kept.setdefault(cell, []).append(s)
+        out[vid] = (cell, 0 if dropped else 1)
+    return out
+
+
+def test_streaming_semantic_dedup_matches_sequential_model(spark, tmp_path):
+    """Streaming SemDeDup must equal the independent sequential model —
+    and be micro-batch-split INVARIANT (1 file per trigger vs all at
+    once give the same verdicts: in-batch fold == cross-batch state)."""
+    import time as _t
+
+    from lightsaber_spark.streaming.stream import streaming_semantic_dedup
+
+    rows, cents = _semantic_stream_fixture()
+    tau = 0.999999
+    want = _semantic_sequential_model(rows, cents, tau)
+    assert any(k == 0 for _, k in want.values()), "fixture must drop"
+    assert any(k == 1 for _, k in want.values())
+
+    src = str(tmp_path / "vec_src")
+    # in-order contract: id ranges ascend across micro-batch files
+    for lo, hi in ((0, 12), (12, 24), (24, 36)):
+        spark.createDataFrame(
+            rows[lo:hi], "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+
+    def run(max_files, name, ck):
+        stream = read_stream(
+            spark, src, schema, max_files_per_trigger=max_files
+        )
+        s = streaming_semantic_dedup(stream, cents, tau)
+        got = run_available_now(
+            s, str(tmp_path / ck), table_name=name, output_mode="update"
+        )
+        return {r.vec_id: (r.cell_id, r.keep) for r in got.collect()}
+
+    got1 = run(1, "t_sem_stream1", "ck_sem1")
+    assert got1 == want
+    got3 = run(3, "t_sem_stream3", "ck_sem3")  # all files in one batch
+    assert got3 == want
+
+
+def test_streaming_semantic_dedup_checkpoint_restart(spark, tmp_path):
+    """Kept-member state must survive a stop/restart: phase 1 streams
+    the low ids, phase 2 (restarted from the same checkpoint) streams
+    copies of phase-1 vectors — each copy must be DROPPED against a
+    phase-1 kept member recovered from the checkpoint, and the union
+    of verdicts equals the uninterrupted sequential model."""
+    import time as _t
+
+    from lightsaber_spark.streaming.stream import streaming_semantic_dedup
+
+    rows, cents = _semantic_stream_fixture()
+    phase1 = rows[:18]
+    # phase 2: exact copies of phase-1 vectors under new (higher) ids
+    phase2 = [(100 + i, v) for i, v in phase1[:6]]
+    tau = 0.999999
+    want = _semantic_sequential_model(phase1 + phase2, cents, tau)
+    assert all(want[vid][1] == 0 for vid, _ in phase2), (
+        "every phase-2 copy must drop against phase-1 state"
+    )
+
+    src = str(tmp_path / "vec_src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    schema = spark.createDataFrame(
+        phase1, "vec_id long, embedding array<float>"
+    ).schema
+
+    def run_phase():
+        stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+        s = streaming_semantic_dedup(stream, cents, tau)
+
+        def write(batch, _bid):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            s.writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        phase1, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_phase()
+    _t.sleep(1.1)
+    spark.createDataFrame(
+        phase2, "vec_id long, embedding array<float>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_phase()
+
+    got = {
+        r.vec_id: (r.cell_id, r.keep)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
