@@ -239,6 +239,44 @@ def main() -> None:
 
         return streaming_line_df_counts(line_docs())
 
+    # streaming SemDeDup (round 11): 64-dim vectors synthesized from a
+    # bounded pattern pool (value % pool), so exact copies re-arrive
+    # forever and the kept-member state saturates at pool size instead
+    # of growing with the stream — the realistic long-run regime of
+    # online dedup (most arrivals are suppressed). Batch size is capped
+    # per shape: each row ships 64 floats through Arrow and the
+    # batch-vs-kept GEMM is O(rows x kept x dim) per cell.
+    _SEM_ROWS_PER_BATCH = 100_000
+    _SEM_POOL, _SEM_DIM = 2_000, 64
+
+    def _sem_pat(p: int) -> list[int]:
+        return [
+            int(round((((p * 31 + i * 17) % 1999) - 999) / 1000.0 * 1_000_000))
+            for i in range(_SEM_DIM)
+        ]
+
+    def embedding_stream():
+        s = rate_micro_batch_source(
+            spark,
+            rows_per_batch=_SEM_ROWS_PER_BATCH,
+            num_partitions=32,
+            start_timestamp_ms=100_000,
+            advance_ms_per_batch=1000,
+        )
+        pat = F.col("value") % _SEM_POOL
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(_SEM_DIM - 1)),
+            lambda i: (((pat * 31 + i * 17) % 1999) - 999).cast("double")
+            / 1000.0,
+        )
+        return s.select(F.col("value").alias("vec_id"), vec.alias("embedding"))
+
+    def semantic_shape():
+        from lightsaber_spark.streaming.stream import streaming_semantic_dedup
+
+        cents = [(c, _sem_pat(c)) for c in range(8)]
+        return streaming_semantic_dedup(embedding_stream(), cents, 0.999999)
+
     # theta shape feeds --rows-per-batch rows per SIDE — its real
     # per-batch ingest (both sides) differs from the global figure and
     # must be reported per shape, not globally
@@ -300,6 +338,10 @@ def main() -> None:
         # line_df per distinct line; flag set = filter(df >= k)
         # downstream) — the 100 TB scale path, no python anywhere
         "line_df_counts": (line_df_shape, args.rows_per_batch, {}, "update"),
+        # streaming SemDeDup: frozen-centroid assignment (Arrow GEMM)
+        # + per-cell kept-member state; pool-bounded state (see the
+        # shape comment). rows/s counts VECTORS (64 floats each).
+        "semantic_dedup": (semantic_shape, _SEM_ROWS_PER_BATCH, {}, "update"),
     }
     if args.shapes:
         wanted = args.shapes.split(",")
