@@ -413,7 +413,9 @@ def streaming_semantic_dedup(
             # regime most arrivals are suppressed by existing kept
             # members, so they must never enter the python fold (the
             # per-row loop runs ONLY for state-survivors — measured
-            # 16.8K → 244K vec/s on the saturated stream_bench shape)
+            # 16.8K → ~35-42K vec/s on the saturated stream_bench
+            # shape; the residual is Arrow transfer + list→matrix
+            # conversion, see STREAM_BENCH.md round 11)
             if len(kmat):
                 drop_state = (
                     ((s @ kmat.T) / (norms[:, None] * knorm[None, :]))
@@ -432,8 +434,8 @@ def streaming_semantic_dedup(
                     continue
                 dropped = False
                 if kn_idx:
-                    m = len(kn_idx)
-                    cos = (s[i] @ kn_mat[:m].T) / (norms[i] * kn_norm[:m])
+                    nk = len(kn_idx)
+                    cos = (s[i] @ kn_mat[:nk].T) / (norms[i] * kn_norm[:nk])
                     dropped = bool((cos >= threshold).any())
                 if not dropped:
                     kn_mat[len(kn_idx)] = s[i]
