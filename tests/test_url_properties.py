@@ -234,3 +234,40 @@ def test_registrable_domain_public_suffix_property(
         .d
     )
     assert got == _domain_model(("www." if www else "") + host), raw
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    label=st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=ord("a"), max_codepoint=ord("z")),
+            st.characters(min_codepoint=0x00E0, max_codepoint=0x00FF),  # latin-1 letters
+            st.characters(min_codepoint=0x0430, max_codepoint=0x044F),  # cyrillic
+            st.characters(min_codepoint=0x3041, max_codepoint=0x3093),  # hiragana
+            st.characters(min_codepoint=0x4E00, max_codepoint=0x4E80),  # CJK slice
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_punycode_property_matches_stdlib(label):
+    """Property fuzz of the RFC 3492 encoder: for ANY lowercase letter
+    label drawn from mixed scripts, our ACE form equals the stdlib IDNA
+    codec's ToASCII (inputs the stdlib rejects — e.g. nameprep
+    prohibited output — are skipped: the encoder's scope is the
+    post-mapping encode step)."""
+    from hypothesis import assume
+
+    from lightsaber_spark.functions.urls import idn_label_to_ascii
+
+    try:
+        want = label.encode("idna").decode("ascii")
+    except UnicodeError:
+        assume(False)
+        return
+    # stdlib applies nameprep; restrict the property to labels nameprep
+    # maps to themselves so the comparison isolates the ENCODER
+    import encodings.idna as _idna
+
+    assume(_idna.nameprep(label) == label)
+    assert idn_label_to_ascii(label) == want, label

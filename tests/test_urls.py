@@ -153,6 +153,21 @@ def test_pct_normalize_cross_engine_all_bytes(spark):
         "http:///path-no-host",                    # empty authority
         "http://example.com/a?&&b=1&",             # empty param segments
         "http://example.com/a?=v&x=",              # nameless/valueless
+        # PSL-ladder cross-engine lock (r11): the SQL CASE ladder in
+        # duckdb_url_canon_ctes mirrors registrable_domain by hand —
+        # exactly where drift would creep in, so every rule class and
+        # its edge shapes are locked engine-to-engine here
+        "http://x.shop.foo.ck/a",         # wildcard TLD -> last3
+        "http://foo.ck/a",                # bare wildcard suffix -> itself
+        "http://WWW.CK/x",                # exception: www NOT stripped
+        "http://www.www.ck/x",            # www noise ON the exception
+        "http://a.pages.www.ck/x",        # beneath the exception
+        "http://deals.things.np/",        # second wildcard TLD
+        "http://hs.district.k12.ca.us/",  # 3-label suffix -> last4
+        "http://k12.ca.us/",              # bare 3-label suffix
+        "http://www.branch.lib.ny.us/",   # 3-label suffix + www noise
+        "http://shop.foo.ck:8080/a",      # wildcard + kept port tail
+        "http://sub.foo.co.uk:443/b",     # 2-label suffix + dropped port
     ]
     rows = list(enumerate(urls))
     df = spark.createDataFrame(rows, "doc_id long, url string")
