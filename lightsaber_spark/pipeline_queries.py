@@ -1008,6 +1008,68 @@ def q_dedup_semantic(spark, sf_dir):
     )
 
 
+def _semdedup_corpus_state(spark, sf_dir, corpus, materialize_dir=None):
+    """Frozen corpus state for incremental SemDeDup — the 2-round
+    Lloyd fit plus the kept-member id set of the corpus dedup, i.e.
+    exactly what a production pipeline carries between crawls.
+
+    Default (unset): both are derived fresh per build. The corpus-side
+    recompute dominates the registered query's measured cost (~all of
+    3.35 s warm at sf0.1, `ROUND12_PERF_NOTES.md`) and stays in the
+    default path ON PURPOSE so the DuckDB oracle can unroll the fit
+    and drop rule bit-for-bit — don't "optimize" it away.
+
+    For repeated ingest batches over the SAME corpus (scheduled crawl
+    dedup at 100 TB), pass ``materialize_dir`` or set
+    ``$LIGHTSABER_SEMDEDUP_CORPUS_DIR`` to write both relations to
+    parquet ONCE — the same ``_SUCCESS``-guarded escape hatch as the
+    passage index and the pagerank pair list (unset everywhere
+    in-repo, so default behavior is unchanged). Sizes: centroids are
+    k rows (the bounded-collect class the fit already is), kept ids
+    one bigint per kept member — the dedup store a pipeline persists
+    anyway. Subsequent batches then pay only the O(|delta| · cell)
+    delta stage."""
+    if materialize_dir is None:
+        materialize_dir = os.environ.get("LIGHTSABER_SEMDEDUP_CORPUS_DIR")
+
+    def fit():
+        return kmeans_fit_scaled(corpus, k=4, iters=2)
+
+    def kept_ids(cents):
+        base = semantic_dedup(
+            corpus, threshold=_SEMDEDUP_TAU, centroids=cents
+        )
+        return base.filter(F.col("keep") == 1).select("vec_id")
+
+    if not materialize_dir:
+        cents = fit()
+        return cents, corpus.join(kept_ids(cents), "vec_id")
+
+    from lightsaber_spark.session import materialize_parquet_once
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = materialize_dir.rstrip("/")
+    cents_pq = materialize_parquet_once(
+        spark,
+        lambda: spark.createDataFrame(
+            [(int(c), [int(x) for x in v]) for c, v in fit()],
+            "cid BIGINT, cv ARRAY<BIGINT>",
+        ),
+        f"{root}/semdedup_cents_{tag}",
+    )
+    # k rows — the same bounded collect class as the fit itself;
+    # sorted by cid to reproduce kmeans_fit_scaled's ordering (ties in
+    # the assignment UDFs break by centroid id)
+    cents = sorted(
+        (int(r["cid"]), [int(x) for x in r["cv"]])
+        for r in cents_pq.collect()
+    )
+    kept_pq = materialize_parquet_once(
+        spark, lambda: kept_ids(cents), f"{root}/semdedup_kept_{tag}"
+    )
+    return cents, corpus.join(kept_pq, "vec_id")
+
+
 @query(
     "dedup_semantic_delta",
     f"""
@@ -1055,15 +1117,15 @@ def q_dedup_semantic_delta(spark, sf_dir):
     Scale shape: delta work is O(|delta| x cell size) — assignment is
     a broadcast-centroid GEMM (no shuffle), the pair stage is
     delta-vs-(kept + earlier-delta) within cells only, never
-    corpus x corpus again (``semantic_dedup_delta`` docstring)."""
+    corpus x corpus again (``semantic_dedup_delta`` docstring). The
+    corpus fit + corpus dedup recomputed here for the oracle's sake
+    can be frozen to parquet via ``$LIGHTSABER_SEMDEDUP_CORPUS_DIR``
+    (``_semdedup_corpus_state`` — unset by default), after which
+    repeated ingest batches pay only the delta stage."""
     e = _embs(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") % 10 != 0)
     delta = e.filter(F.col("vec_id") % 10 == 0)
-    cents = kmeans_fit_scaled(corpus, k=4, iters=2)
-    base = semantic_dedup(corpus, threshold=_SEMDEDUP_TAU, centroids=cents)
-    kept = corpus.join(
-        base.filter(F.col("keep") == 1).select("vec_id"), "vec_id"
-    )
+    cents, kept = _semdedup_corpus_state(spark, sf_dir, corpus)
     return semantic_dedup_delta(kept, delta, cents, threshold=_SEMDEDUP_TAU)
 
 

@@ -902,3 +902,51 @@ def test_semantic_dedup_delta_composes_to_batch_rerun(spark):
     # and the planted outcomes are the interesting ones
     assert inc_rows[100].keep == 0
     assert inc_rows[101].keep == 1 and inc_rows[102].keep == 1
+
+
+def test_semdedup_corpus_state_materialize_dir(spark, tmp_path, monkeypatch):
+    """The frozen-corpus escape hatch (``$LIGHTSABER_SEMDEDUP_CORPUS_DIR``):
+    centroids + kept ids are parquet-written once (``_SUCCESS``-guarded,
+    same recipe as the pagerank pair list), delta verdicts are
+    bit-identical to the derived default path, and on reuse neither the
+    Lloyd fit nor the corpus dedup runs again — repeated ingest batches
+    pay only the delta stage."""
+    import os
+
+    import lightsaber_spark.pipeline_queries as pq
+    from lightsaber_spark.functions.dedup import release_shingle_caches
+    from lightsaber_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q = SPARK_QUERIES["dedup_semantic_delta"]
+
+    def rows():
+        out = {
+            (r.vec_id, r.cell_id, r.rnk, r.keep)
+            for r in q(spark, sf).collect()
+        }
+        release_shingle_caches()
+        return out
+
+    monkeypatch.delenv("LIGHTSABER_SEMDEDUP_CORPUS_DIR", raising=False)
+    base = rows()
+    assert base, "fixture produces delta rows"
+
+    d = str(tmp_path / "semdedup_corpus")
+    monkeypatch.setenv("LIGHTSABER_SEMDEDUP_CORPUS_DIR", d)
+    assert rows() == base
+    subs = sorted(os.listdir(d))
+    assert len(subs) == 2
+    assert subs[0].startswith("semdedup_cents_")
+    assert subs[1].startswith("semdedup_kept_")
+    for s in subs:
+        assert os.path.exists(os.path.join(d, s, "_SUCCESS"))
+
+    # reuse: corpus-side state must come from parquet — fail loudly if
+    # either expensive stage re-runs
+    def _boom(*a, **k):
+        raise AssertionError("corpus stage re-ran despite frozen state")
+
+    monkeypatch.setattr(pq, "kmeans_fit_scaled", _boom)
+    monkeypatch.setattr(pq, "semantic_dedup", _boom)
+    assert rows() == base
