@@ -67,22 +67,34 @@ def _newest_round() -> int:
     return max(rounds)
 
 
-def _check_tree_clean() -> None:
-    """Refuse to vouch hashes from a dirty tree (ADVICE r4): run
-    mid-round after code changes, this script would record hashes of
-    already-rewritten code as driver-green, silently defeating the
-    staleness mechanization. ``--force`` overrides (with a warning)
-    for the rare legitimate case (e.g. docs-only changes)."""
+def _check_tree_clean(rnd: int) -> None:
+    """Refuse to vouch hashes the driver never verified. Two traps:
+
+    - dirty tree (ADVICE r4): uncommitted query-implementation edits
+      mean current hashes describe rewritten code, not the swept code;
+    - COMMITTED post-sweep edits (hit in round 11's continuation): the
+      sweep file lands in a driver commit, a later session rewrites
+      queries and commits, and a re-run of this script — on a clean
+      tree — would vouch the NEW hashes with the OLD green rows. Guard:
+      if any commit after the one that last touched
+      ``CORRECTNESS_r{rnd}.json`` touched ``lightsaber_spark/`` or
+      ``__spark_entry__.py``, the sweep predates the code — refuse.
+
+    ``--force`` overrides both (with a warning) for the rare
+    legitimate case (e.g. docs-only changes)."""
     import subprocess
 
-    try:
-        out = subprocess.run(
-            ["git", "status", "--porcelain", "--",
-             "lightsaber_spark", "__spark_entry__.py"],
-            cwd=ROOT, capture_output=True, text=True, timeout=30,
-        ).stdout.strip()
-    except Exception:
-        return  # no git — nothing to check
+    def _git(*args: str) -> str | None:
+        try:
+            return subprocess.run(
+                ["git", *args], cwd=ROOT, capture_output=True,
+                text=True, timeout=30,
+            ).stdout.strip()
+        except Exception:
+            return None  # no git — nothing to check
+
+    out = _git("status", "--porcelain", "--",
+               "lightsaber_spark", "__spark_entry__.py")
     if out:
         raise SystemExit(
             "record_hashes.py: REFUSING — query-implementation files "
@@ -90,6 +102,25 @@ def _check_tree_clean() -> None:
             "Hashes recorded now would vouch code the driver never "
             "verified. Run at round start on the swept tree, or pass "
             "--force if the changes provably don't affect any query."
+        )
+    sweep = f"CORRECTNESS_r{rnd:02d}.json"
+    if not os.path.exists(os.path.join(ROOT, sweep)):
+        sweep = f"CORRECTNESS_r{rnd}.json"
+    sweep_commit = _git("log", "-1", "--format=%H", "--", sweep)
+    if not sweep_commit:
+        return  # sweep file uncommitted/untracked — history can't date it
+    later = _git("log", "--oneline", f"{sweep_commit}..HEAD", "--",
+                 "lightsaber_spark", "__spark_entry__.py")
+    if later:
+        raise SystemExit(
+            f"record_hashes.py: REFUSING — query-implementation commits "
+            f"postdate the r{rnd} sweep ({sweep} landed in "
+            f"{sweep_commit[:9]}):\n{later}\n"
+            "The driver verified the code as of that sweep, not HEAD; "
+            "recording now would vouch unverified implementations (they "
+            "stay stale and front for the next sweep instead). Pass "
+            "--force only if the later commits provably don't affect "
+            "any query."
         )
 
 
@@ -101,7 +132,7 @@ def main(argv: list[str]) -> int:
     if "--force" in argv:
         print("WARNING: --force — skipping the clean-tree precondition check")
     else:
-        _check_tree_clean()
+        _check_tree_clean(rnd)
 
     green = _green_in_round(rnd)
     cur = current_hashes()
