@@ -119,8 +119,12 @@ def derive_n_blocks(
 def _peek_dim(df: DataFrame, vec_col: str) -> int:
     """Vector width from one row — a bounded eager action (single-row
     limit) in the same documented class as the fit/count collects."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if row is None:
+    row = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull() & (F.col("d") >= 0))
+        .first()
+    )
+    if row is None:  # empty relation, or nothing but null vectors
         return 1
     return int(row["d"])
 
@@ -827,33 +831,50 @@ def semantic_dedup_delta(
         S = np.stack([np.asarray(v, dtype=np.float64) for v in sub["_sv"]])
         return S, np.sqrt((S * S).sum(axis=1))
 
+    empty = pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+
+    def _side_drops(x: "pd.DataFrame", Sy, ny, ry) -> "np.ndarray":
+        """ids of x's DELTA rows (rnk > 0) suppressed by any
+        strictly-earlier-ranked row of the (S, norm, rnk) side. Only
+        delta rows can ever drop (kept corpus rows carry rnk 0, never
+        strictly later than anything), so the GEMM's left operand is
+        the delta slice alone — |delta_block| x |block| work, the
+        O(|delta| . cell) contract, NOT |block|^2 (kept x kept
+        verdicts were computed and discarded before round 11's
+        continuation fixed this)."""
+        m = x["rnk"].to_numpy() > 0
+        if not m.any():
+            return np.array([], dtype=np.int64)
+        Sx, nx = _mat(x[m])
+        C = (Sx @ Sy.T) / (nx[:, None] * ny[None, :])
+        rx = x["rnk"].to_numpy()[m]
+        hit = ((rx[:, None] > ry[None, :]) & (C >= threshold)).any(axis=1)
+        return x["vec_id"].to_numpy()[m][hit]
+
     def fn(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         gi, gj = int(key[1]), int(key[2])
         if gi == gj:
+            if not (pdf["rnk"].to_numpy() > 0).any():
+                return empty  # all-kept tile: nothing can drop
             S, n = _mat(pdf)
-            C = (S @ S.T) / (n[:, None] * n[None, :])
-            r = pdf["rnk"].to_numpy()
-            ids = pdf["vec_id"].to_numpy()
-            # strictly-later rank drops; corpus rows (rnk 0) can never
-            # be later than anything, so only delta rows land here
-            drop = ((r[:, None] > r[None, :]) & (C >= threshold)).any(axis=1)
-            return pd.DataFrame({"vec_id": ids[drop]})
+            return pd.DataFrame(
+                {"vec_id": _side_drops(pdf, S, n, pdf["rnk"].to_numpy())}
+            )
         a, b = pdf[pdf["_blk"] == gi], pdf[pdf["_blk"] == gj]
         if len(a) == 0 or len(b) == 0:
-            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
-        Sa, na = _mat(a)
-        Sb, nb = _mat(b)
-        C = (Sa @ Sb.T) / (na[:, None] * nb[None, :])
-        ra, rb = a["rnk"].to_numpy(), b["rnk"].to_numpy()
-        ia, ib = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
-        ii, jj = np.nonzero(C >= threshold)
-        # unlike the batch kernel, ranks here are NOT unique (all kept
-        # corpus rows carry 0): only a STRICTLY later side drops, and a
-        # corpus-corpus tie (0, 0) drops neither
-        later = np.concatenate(
-            [ia[ii][ra[ii] > rb[jj]], ib[jj][rb[jj] > ra[ii]]]
-        )
-        return pd.DataFrame({"vec_id": np.unique(later)})
+            return empty
+        out = []
+        # each direction: the other block is the suppressor side (a
+        # strictly-later rank drops; kept-kept ties (0, 0) drop neither)
+        if (a["rnk"].to_numpy() > 0).any():
+            Sb, nb = _mat(b)
+            out.append(_side_drops(a, Sb, nb, b["rnk"].to_numpy()))
+        if (b["rnk"].to_numpy() > 0).any():
+            Sa, na = _mat(a)
+            out.append(_side_drops(b, Sa, na, a["rnk"].to_numpy()))
+        if not out:
+            return empty
+        return pd.DataFrame({"vec_id": np.unique(np.concatenate(out))})
 
     dropped = (
         rep.groupBy("cell_id", "_gi", "_gj")
