@@ -20,9 +20,11 @@ regex/list pipeline):
 3. drop userinfo (``user:pw@host`` — never content identity) and the
    default ports ``:80``/``:443`` (non-default ports are kept: they
    select a different server);
-4. lowercase the host; strip one leading ``www.`` — unless the host
-   itself is a PSL exception name (``www.ck``), whose ``www`` is the
-   registrable domain's own label;
+4. lowercase the host; strip one leading ``www.`` — unless ``www`` is
+   the registrable label itself: the host is a PSL exception name
+   (``www.ck``), or the remainder after stripping would be a bare
+   public suffix (``www.com``, ``www.co.uk``, ``www.foo.ck`` under
+   ``*.ck``, ``www.k12.ca.us``);
 5. drop the fragment;
 6. strip trailing slashes from the path;
 7. drop tracking query params (names starting ``utm_`` or in
@@ -167,17 +169,35 @@ def pct_normalize(url: Column) -> Column:
 
 def _host(url: Column) -> Column:
     """Lowercased host: userinfo and default ports (:80/:443) dropped,
-    a single leading ``www.`` stripped — EXCEPT when the host itself is
-    a PSL exception name (``www.ck``), where ``www`` is not subdomain
-    noise but the registrable domain's own label (stripping it would
-    collapse a real site into its bare TLD)."""
+    a single leading ``www.`` stripped — EXCEPT when ``www`` is the
+    registrable label itself, i.e. the host is a PSL exception name
+    (``www.ck``) or what REMAINS after stripping would be a bare
+    public suffix (``www.com``, ``www.co.uk``, ``www.foo.ck`` under
+    ``*.ck``, ``www.k12.ca.us``): there ``www`` is not subdomain noise
+    but the site, and stripping would collapse it into its public
+    suffix (r11-continuation review finding — previously only the
+    literal exception names were guarded)."""
     body = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     auth = F.regexp_extract(body, r"^([^/?#]+)", 1)
     auth = F.regexp_replace(auth, r"^[^@]*@", "")  # userinfo
     host = F.lower(F.regexp_replace(auth, r":(80|443)$", ""))
-    return F.when(host.isin(*PSL_WILDCARD_EXCEPTIONS), host).otherwise(
-        F.regexp_replace(host, r"^www\.", "")
+    bare = F.regexp_replace(host, r"^www\.", "")
+    # is the post-strip remainder itself a public suffix? (an exception
+    # name is NOT a suffix — it's registrable, so www. above it is
+    # ordinary noise)
+    bare_is_suffix = (
+        ~bare.contains(".")
+        | bare.isin(*MULTI_LABEL_PUBLIC_SUFFIXES)
+        | bare.isin(*THREE_LABEL_PUBLIC_SUFFIXES)
+        | (
+            bare.rlike(r"^[^.]+\.[^.]+$")
+            & F.regexp_extract(bare, r"([^.]+)$", 1).isin(*PSL_WILDCARD_TLDS)
+            & ~bare.isin(*PSL_WILDCARD_EXCEPTIONS)
+        )
     )
+    return F.when(
+        host.isin(*PSL_WILDCARD_EXCEPTIONS) | bare_is_suffix, host
+    ).otherwise(bare)
 
 
 def _path_and_query(url: Column) -> tuple[Column, Column]:
@@ -244,9 +264,10 @@ def registrable_domain(url: Column, pre_normalized: bool = False) -> Column:
       last THREE labels (``sub.foo.co.uk`` → ``foo.co.uk``);
     - default: last TWO labels (``sub.a.example.com`` → ``example.com``).
 
-    A bare suffix host (``co.uk``, ``foo.ck``, ``k12.ca.us``) falls
-    back to itself — there is no registrable domain below it.
-    ``pre_normalized`` as in :func:`canonical_url`."""
+    A bare suffix host (``co.uk``, ``foo.ck``, ``k12.ca.us``, a lone
+    TLD, any single-label host) falls back to itself — there is no
+    registrable domain below it. ``pre_normalized`` as in
+    :func:`canonical_url`."""
     host = _host(url if pre_normalized else pct_normalize(url))
     # optional :port — _host keeps non-default ports by design
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}(:\d+)?$") | host.startswith("[")
@@ -263,13 +284,15 @@ def registrable_domain(url: Column, pre_normalized: bool = False) -> Column:
         )
         .when(
             last1.isin(*PSL_WILDCARD_TLDS),
-            F.when(last3 != F.lit(""), last3).otherwise(last2),
+            F.when(last3 != F.lit(""), last3)
+            .when(last2 != F.lit(""), last2)
+            .otherwise(host),
         )
         .when(
             last2.isin(*MULTI_LABEL_PUBLIC_SUFFIXES) & (last3 != F.lit("")),
             last3,
         )
-        .otherwise(last2)
+        .otherwise(F.when(last2 != F.lit(""), last2).otherwise(host))
     )
 
 

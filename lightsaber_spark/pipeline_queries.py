@@ -1907,8 +1907,9 @@ def duckdb_url_canon_ctes(src: str) -> str:
     escape test (``tests/test_urls.py``), so the two can't drift.
     Stages: ``norm`` (RFC 3986 percent-normalization — the 1-based
     indexed ``list_transform`` twin of ``pct_normalize``),
-    ``b``/``h0``/``h`` (scheme/fragment/userinfo/default-port/host-case,
-    then www-stripping guarded by the PSL exception names), ``pq``/``cp``
+    ``b``/``h0``/``h1``/``h`` (scheme/fragment/userinfo/default-port/
+    host-case, then www-stripping guarded by the PSL exception names
+    AND by the remainder-is-a-public-suffix check), ``pq``/``cp``
     (path slashes, tracking-param filter + sort), ``c`` (canonical
     string + PSL-ladder registrable domain: exception → three-label →
     wildcard → two-label → default)."""
@@ -1950,10 +1951,18 @@ def duckdb_url_canon_ctes(src: str) -> str:
                              '^[^@]*@', ''),
               ':(80|443)$', '')) AS rawhost,
           regexp_extract(body, '^[^/?#]+(.*)$', 1) AS rest FROM b),
+    h1 AS (SELECT doc_id, rawhost, rest,
+          regexp_replace(rawhost, '^www\\.', '') AS barehost FROM h0),
     h AS (SELECT doc_id,
           CASE WHEN rawhost IN ({exceptions}) THEN rawhost
-               ELSE regexp_replace(rawhost, '^www\\.', '') END AS host,
-          rest FROM h0),
+               WHEN NOT contains(barehost, '.') THEN rawhost
+               WHEN barehost IN ({suffixes}) THEN rawhost
+               WHEN barehost IN ({three_label}) THEN rawhost
+               WHEN regexp_matches(barehost, '^[^.]+\\.[^.]+$')
+                    AND regexp_extract(barehost, '([^.]+)$', 1) IN ({wildcards})
+                    AND barehost NOT IN ({exceptions}) THEN rawhost
+               ELSE barehost END AS host,
+          rest FROM h1),
     pq AS (SELECT doc_id, host,
            regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
            regexp_extract(rest, '\\?(.*)$', 1) AS qs FROM h),
@@ -1976,11 +1985,15 @@ def duckdb_url_canon_ctes(src: str) -> str:
                 WHEN regexp_extract(host, '([^.]+)$', 1) IN ({wildcards})
                 THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-                          ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END
+                          WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+                          THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                          ELSE host END
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
                  AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                 THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-                ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
+                THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                ELSE host END AS domain
           FROM cp)"""
 
 
@@ -2002,8 +2015,11 @@ def _url_oracle() -> str:
         || CASE WHEN doc_id % 17 = 0 THEN 'u' || CAST(doc_id AS VARCHAR) || '@'
            ELSE '' END
         || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
-        || CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END
-        || CASE WHEN doc_id % 19 = 0 THEN '.www.ck'
+        || CASE WHEN doc_id % 33 IN (0, 12) THEN ''
+                WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END
+        || CASE WHEN doc_id % 33 = 0 THEN 'foo.ck'
+                WHEN doc_id % 33 = 12 THEN 'co.uk'
+                WHEN doc_id % 19 = 0 THEN '.www.ck'
                 WHEN doc_id % 21 = 0 THEN '.co.uk'
                 WHEN doc_id % 21 = 7 THEN '.k12.ca.us'
                 WHEN doc_id % 21 = 14 THEN '.foo.ck'
@@ -2063,10 +2079,17 @@ def q_url_canonical_dedup(spark, sf_dir):
             did % 17 == 0, F.concat(F.lit("u"), did.cast("string"), F.lit("@"))
         ).otherwise(F.lit("")),
         F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
-        F.when(did % 11 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        # %33 ∈ {0,12} ⊂ %3=0: bare-suffix hosts that always carry
+        # www. — the registrable site IS www.<suffix>, exercising the
+        # keep-branch of the www guard in both engines
+        F.when((did % 33 == 0) | (did % 33 == 12), F.lit(""))
+        .when(did % 11 == 0, F.upper(F.col("source")))
+        .otherwise(F.col("source")),
         # ccTLD noise: PSL exception (www.ck), two-label registry
         # (co.uk), three-label US locality (k12.ca.us), wildcard (*.ck)
-        F.when(did % 19 == 0, F.lit(".www.ck"))
+        F.when(did % 33 == 0, F.lit("foo.ck"))
+        .when(did % 33 == 12, F.lit("co.uk"))
+        .when(did % 19 == 0, F.lit(".www.ck"))
         .when(did % 21 == 0, F.lit(".co.uk"))
         .when(did % 21 == 7, F.lit(".k12.ca.us"))
         .when(did % 21 == 14, F.lit(".foo.ck"))

@@ -29,7 +29,9 @@ from lightsaber_spark.functions.urls import (
 
 _hosts = st.sampled_from(
     ["example.com", "News.Example.com", "a.b.example.org", "EXAMPLE.NET",
-     "foo.co.uk", "www-less.Sub.Example.CO.UK"]
+     "foo.co.uk", "www-less.Sub.Example.CO.UK",
+     # hosts whose www. must NOT strip (remainder is a public suffix)
+     "co.uk", "Foo.CK", "k12.ca.us", "COM"]
 )
 _schemes = st.sampled_from(["http", "https", "HTTP", "HTTPS", "Ftp"])
 # segments include percent-escape shapes: unreserved (decodes), its
@@ -84,6 +86,29 @@ def spark_holder(spark):
     return spark
 
 
+def _strip_www(h: str) -> str:
+    """Pure-Python twin of `_host`'s www rule: one leading ``www.``
+    strips UNLESS the host is a PSL exception name or the remainder
+    would be a bare public suffix (single label, two-label/three-label
+    suffix table hit, or a two-label name under a wildcard TLD that is
+    not an exception)."""
+    if not h.startswith("www.") or h in PSL_WILDCARD_EXCEPTIONS:
+        return h
+    bare = h[4:]
+    labels = bare.split(".")
+    bare_is_suffix = (
+        "." not in bare
+        or bare in MULTI_LABEL_PUBLIC_SUFFIXES
+        or bare in THREE_LABEL_PUBLIC_SUFFIXES
+        or (
+            len(labels) == 2
+            and labels[-1] in PSL_WILDCARD_TLDS
+            and bare not in PSL_WILDCARD_EXCEPTIONS
+        )
+    )
+    return h if bare_is_suffix else bare
+
+
 def _model(scheme, www, host, segs, slashes, params, frag, port=""):
     """Pure-Python model of the documented canonicalization rules.
     Percent-normalization runs FIRST on the whole URL; since unreserved
@@ -91,11 +116,10 @@ def _model(scheme, www, host, segs, slashes, params, frag, port=""):
     equivalent — and the param filter sees the NORMALIZED spelling
     (an escaped `%75tm_` prefix is still tracking)."""
     # pipeline order: pct-normalize first, THEN host case-fold
-    h = _pct_model(host + port).lower()
+    h = _pct_model(("www." if www else "") + host + port).lower()
     if h.endswith(":80") or h.endswith(":443"):
         h = h.rsplit(":", 1)[0]
-    if h.startswith("www.") and h not in PSL_WILDCARD_EXCEPTIONS:
-        h = h[4:]
+    h = _strip_www(h)
     path = "".join("/" + _pct_model(s) for s in segs)
     norm = [_pct_model(p) for p in params]
     kept = sorted(
@@ -151,13 +175,21 @@ def test_canonical_url_equals_python_model(
 
     # noise invariance: a second spelling with flipped noise axes
     # canonicalizes identically (default ports are interchangeable
-    # with no port; a non-default port is identity and must stay)
+    # with no port; a non-default port is identity and must stay).
+    # The www axis flips ONLY where www is actually noise — on a host
+    # that is itself a public suffix, www.<host> is a DIFFERENT page
+    # (the registrable site) by design, so that axis stays put.
+    hlow = _pct_model(host + port).lower()
+    if hlow.endswith(":80") or hlow.endswith(":443"):
+        hlow = hlow.rsplit(":", 1)[0]
+    www_is_noise = _strip_www("www." + hlow) != "www." + hlow
+    www2 = (not www) if www_is_noise else www
     port2 = ":8080" if port == ":8080" else {"": ":80", ":80": ":443", ":443": ""}[port]
     raw2 = (
         scheme.swapcase()
         + "://"
         + ("" if userinfo else "alice:s3c@")
-        + ("" if www else "www.")
+        + ("www." if www2 else "")
         + host.swapcase()
         + port2
         + "".join("/" + s for s in segs)
@@ -183,8 +215,7 @@ def _domain_model(host):
     h = host.lower()
     if h.endswith(":80") or h.endswith(":443"):
         h = h.rsplit(":", 1)[0]
-    if h.startswith("www.") and h not in PSL_WILDCARD_EXCEPTIONS:
-        h = h[4:]
+    h = _strip_www(h)
     if re.fullmatch(r"\d{1,3}(\.\d{1,3}){3}(:\d+)?", h) or h.startswith("["):
         return h
     labels = h.split(".")
@@ -215,7 +246,10 @@ def _domain_model(host):
          "www.ck", "pages.www.ck", "a.pages.www.ck",
          # three-label US locality suffixes: last FOUR labels
          "k12.ca.us", "District.K12.CA.US", "hs.district.k12.ca.us",
-         "lib.ny.us", "branch.lib.ny.us"]
+         "lib.ny.us", "branch.lib.ny.us",
+         # bare/single-label hosts fall back to themselves; with the
+         # www prefix they are registrable sites and must KEEP it
+         "ck", "localhost", "co.uk", "things.np"]
     ),
     path=st.sampled_from(["", "/a", "/a/b"]),
 )
