@@ -99,7 +99,8 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     return out
 
 
-def materialize_parquet_once(spark: SparkSession, build, path: str):
+def materialize_parquet_once(spark: SparkSession, build, path: str,
+                             _pre_rename_hook=None):
     """One-time parquet materialization with ``_SUCCESS``-guarded reuse
     — the 100 TB escape hatch for relations too big (or too expensive)
     to persist in executor memory across consumers/jobs.
@@ -164,15 +165,32 @@ def materialize_parquet_once(spark: SparkSession, build, path: str):
 
         # Hadoop rename(src, dst) with an EXISTING dst dir moves src
         # INSIDE it instead of failing, so dest existence is the race
-        # signal — checked before renaming and re-verified via the
-        # marker after (a dest created inside the tiny check→rename
-        # window yields a nested, unpublished dir: remove it, then the
-        # same adopt-or-fail-loudly decision).
+        # signal — checked before renaming and re-verified after: a
+        # dest created inside the tiny check→rename window swallows
+        # our temp dir as a nested child, which must be removed
+        # UNCONDITIONALLY (review finding: the old marker-gated
+        # cleanup skipped it when the winner had already published
+        # complete, permanently leaking a duplicate parquet tree
+        # inside the published path), then the same
+        # adopt-or-fail-loudly decision. `_pre_rename_hook` is a
+        # test-only seam for planting a winner inside that window.
         if fs.exists(dest):
             _lost_race()
-        elif not fs.rename(hpath(tmp), dest):
-            _lost_race()
-        elif not fs.exists(marker):
-            fs.delete(hpath(path + "/" + path.rsplit("/", 1)[-1] + tmp_name), True)
-            _lost_race()
+        else:
+            if _pre_rename_hook is not None:
+                _pre_rename_hook()  # the check→rename window
+            if not fs.rename(hpath(tmp), dest):
+                _lost_race()
+                return spark.read.parquet(path)
+            nested = hpath(path + "/" + path.rsplit("/", 1)[-1] + tmp_name)
+            if fs.exists(nested):
+                fs.delete(nested, True)
+                _lost_race()
+            elif not fs.exists(marker):
+                raise RuntimeError(
+                    f"materialize_parquet_once: published {path} but its "
+                    f"_SUCCESS marker is missing and no nested rename "
+                    f"occurred — the temp write itself was incomplete; "
+                    f"delete the dir and retry"
+                )
     return spark.read.parquet(path)

@@ -85,16 +85,38 @@ def _check_tree_clean(rnd: int) -> None:
     import subprocess
 
     def _git(*args: str) -> str | None:
+        """stdout of a git command; None only when git is genuinely
+        absent (binary missing). A git that EXISTS but FAILS (corrupt
+        repo, bad object) refuses loudly — returning None there would
+        silently skip the very precondition this function guards
+        (review finding: rc was ignored, so empty-stdout-on-error
+        passed as 'sweep uncommitted')."""
         try:
-            return subprocess.run(
+            proc = subprocess.run(
                 ["git", *args], cwd=ROOT, capture_output=True,
                 text=True, timeout=30,
-            ).stdout.strip()
-        except Exception:
+            )
+        except FileNotFoundError:
             return None  # no git — nothing to check
+        except Exception as exc:
+            raise SystemExit(
+                f"record_hashes.py: REFUSING — git {' '.join(args)} "
+                f"failed ({exc}); cannot establish the swept-tree "
+                "precondition. Fix git or pass --force."
+            )
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"record_hashes.py: REFUSING — git {' '.join(args)} "
+                f"exited {proc.returncode}: {proc.stderr.strip()}\n"
+                "Cannot establish the swept-tree precondition. Fix git "
+                "or pass --force."
+            )
+        return proc.stdout.strip()
 
     out = _git("status", "--porcelain", "--",
                "lightsaber_spark", "__spark_entry__.py")
+    if out is None:
+        return  # no git — nothing to check
     if out:
         raise SystemExit(
             "record_hashes.py: REFUSING — query-implementation files "

@@ -280,3 +280,38 @@ def test_materialize_parquet_once_trailing_slash(spark, tmp_path):
     # the slashed and bare spellings address the SAME materialization
     b = materialize_parquet_once(spark, build, d)
     assert b.count() == 4 and calls["n"] == 1, "complete output reused"
+
+
+def test_materialize_nested_rename_race_cleans_up(spark, tmp_path):
+    """Review finding (r11 continuation): a winner publishing INSIDE
+    the check->rename window makes Hadoop rename nest our temp dir
+    inside the published dest; the old marker-gated cleanup skipped it
+    whenever the winner was complete, leaking a duplicate parquet tree
+    inside the published path. The loser must delete the nested dir
+    and adopt the winner's output."""
+    from lightsaber_spark.session import materialize_parquet_once
+
+    d = str(tmp_path / "race_nested")
+
+    def plant_winner():
+        # a complete competing publish lands in the window
+        spark.range(3).write.parquet(d)
+
+    out = materialize_parquet_once(
+        spark,
+        lambda: spark.range(7).selectExpr("id"),
+        d,
+        _pre_rename_hook=plant_winner,
+    )
+    assert out.count() == 3, "loser adopts the winner's output"
+    assert [p for p in os.listdir(d) if "__tmp-" in p] == [], (
+        "no nested duplicate tree inside the published dest"
+    )
+    assert [p for p in os.listdir(str(tmp_path)) if "__tmp-" in p] == [], (
+        "loser's sibling temp dir removed"
+    )
+    # subsequent reuse is clean and does not rebuild
+    again = materialize_parquet_once(
+        spark, lambda: spark.range(7).selectExpr("id"), d
+    )
+    assert again.count() == 3
