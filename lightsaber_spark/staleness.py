@@ -25,7 +25,13 @@ dominant import style, resolved via AST).  Known limits (conservative
 by design): references reached only via ``getattr``/dispatch tables
 and module-level *data* constants are not chased — but oracle SQL
 built from such constants IS hashed via the registered oracle string,
-which covers the catalog's actual usage.
+which covers the catalog's actual usage.  Also NOT chased: the
+module-attribute call style (``import lightsaber_spark.x as x`` then
+``x.fn(...)`` — module globals are deliberately skipped) and RELATIVE
+imports (``from .functions import dedup`` — ``node.level`` is
+rejected).  Neither appears in the catalog; if you introduce one, the
+referenced helper's source will NOT enter the query's hash, so use
+absolute ``from lightsaber_spark.x import fn`` in query code.
 """
 
 from __future__ import annotations
@@ -109,6 +115,61 @@ def _local_imports(source: str):
                 yield tgt
 
 
+#: per-object expansion cache: id(obj) -> (mod, qual, source, children,
+#: obj). 166 queries share a dense helper core (dedup/similarity/text);
+#: without this every ``current_hashes()`` re-ran getsource + ast.parse
+#: + import_module once PER QUERY per shared helper — O(queries ×
+#: shared closure) on every driver start. The obj reference in the
+#: value keeps the id stable for the process lifetime. Memoization is
+#: output-transparent: ``_sources_for`` returns the same mapping, so
+#: hash VALUES are unchanged.
+_NODE_CACHE: dict[int, tuple] = {}
+
+
+def _expand_node(obj) -> tuple:
+    """(module, qual, source, children) for one closure-walk node —
+    qual/source are None for nodes that contribute no source (plain
+    callables without code)."""
+    mod = getattr(obj, "__module__", "") or ""
+
+    if inspect.isclass(obj):
+        qual = f"{mod}.{obj.__qualname__}"
+        children = []
+        for v in vars(obj).values():
+            v = getattr(v, "__func__", v)
+            if callable(v):
+                children.append(v)
+        return (mod, qual, _source_of(obj), tuple(children), obj)
+
+    code = getattr(obj, "__code__", None)
+    if code is None:
+        return (mod, None, None, (), obj)
+    qual = f"{mod}.{getattr(obj, '__qualname__', getattr(obj, '__name__', '?'))}"
+    src = _source_of(obj)
+    children = []
+    for tgt in _local_imports(src):
+        if callable(tgt) or inspect.isclass(tgt):
+            children.append(tgt)
+    g = getattr(obj, "__globals__", {})
+    for nm in _referenced_names(code):
+        tgt = g.get(nm)
+        if tgt is None or isinstance(tgt, types.ModuleType):
+            continue
+        tmod = getattr(tgt, "__module__", "") or ""
+        if tmod.startswith(_PKG_PREFIX) and (
+            callable(tgt) or inspect.isclass(tgt)
+        ):
+            children.append(tgt)
+    for cell in getattr(obj, "__closure__", None) or ():
+        try:
+            v = cell.cell_contents
+        except ValueError:
+            continue
+        if callable(v):
+            children.append(v)
+    return (mod, qual, src, tuple(children), obj)
+
+
 def _sources_for(fn) -> dict[str, str]:
     """``{qualified_name: source}`` for ``fn`` and every
     lightsaber_spark function/class transitively reachable from it by
@@ -122,48 +183,17 @@ def _sources_for(fn) -> dict[str, str]:
         if id(obj) in visited:
             continue
         visited.add(id(obj))
-        mod = getattr(obj, "__module__", "") or ""
+        cached = _NODE_CACHE.get(id(obj))
+        if cached is None:
+            cached = _expand_node(obj)
+            _NODE_CACHE[id(obj)] = cached
+        mod, qual, src, children = cached[:4]
         if not is_root and not mod.startswith(_PKG_PREFIX):
             continue
-
-        if inspect.isclass(obj):
-            qual = f"{mod}.{obj.__qualname__}"
-            if qual not in seen:
-                seen[qual] = _source_of(obj)
-                for v in vars(obj).values():
-                    v = getattr(v, "__func__", v)
-                    if callable(v):
-                        stack.append((v, False))
-            continue
-
-        code = getattr(obj, "__code__", None)
-        if code is None:
-            continue
-        qual = f"{mod}.{getattr(obj, '__qualname__', getattr(obj, '__name__', '?'))}"
-        if qual in seen:
-            continue
-        seen[qual] = _source_of(obj)
-        for tgt in _local_imports(seen[qual]):
-            if callable(tgt) or inspect.isclass(tgt):
-                stack.append((tgt, False))
-
-        g = getattr(obj, "__globals__", {})
-        for nm in _referenced_names(code):
-            tgt = g.get(nm)
-            if tgt is None or isinstance(tgt, types.ModuleType):
-                continue
-            tmod = getattr(tgt, "__module__", "") or ""
-            if tmod.startswith(_PKG_PREFIX) and (
-                callable(tgt) or inspect.isclass(tgt)
-            ):
-                stack.append((tgt, False))
-        for cell in getattr(obj, "__closure__", None) or ():
-            try:
-                v = cell.cell_contents
-            except ValueError:
-                continue
-            if callable(v):
-                stack.append((v, False))
+        if qual is not None and src is not None and qual not in seen:
+            seen[qual] = src
+        for ch in children:
+            stack.append((ch, False))
     return seen
 
 

@@ -91,7 +91,7 @@ def streaming_windowed_agg(
         F.unix_micros(F.col("_w.start")).cast("bigint").alias("window_start_us"),
         *keys,
         *[F.col(a) for _, _, a in aggs],
-    ).withColumn("window_start", (F.col("window_start_us") / 1_000_000).cast("bigint")) \
+    ).withColumn("window_start", F.expr("window_start_us DIV 1000000")) \
      .drop("window_start_us")
     return _cast_outputs(out, aggs, float32_output)
 
@@ -128,7 +128,7 @@ def streaming_post_window_argmax(
         F.col("_win._k").alias(key_col),
         F.col("_win.n").alias("n"),
     ).select(
-        (F.col("_us") / 1_000_000).cast("bigint").alias("window_start"),
+        F.expr("_us DIV 1000000").alias("window_start"),
         key_col,
         "n",
     )
@@ -187,8 +187,10 @@ def streaming_theta_join(
     d_us = max_delta_sec * us
 
     def bucket(c):
-        ts_us = F.unix_micros(F.col(c))
-        return ((ts_us - (ts_us % d_us)) / d_us).cast("bigint")
+        # SQL DIV (trunc toward zero) — identical to the previous
+        # (x - x % d) / d float form for every sign, without the
+        # banned /+cast pattern (CLAUDE.md exactness invariant)
+        return F.expr(f"unix_micros(`{c}`) DIV {d_us}")
 
     l_wm = left.withWatermark(left_ts, watermark).withColumn(
         "_tj_bkt", bucket(left_ts)
@@ -242,10 +244,15 @@ def run_available_now(
     input (deterministic test trigger), collect via the memory sink,
     and return the result as a DataFrame.
 
-    ``checkpoint_dir`` gives Scabbard-style exactly-once restart
-    semantics for free (reference: FileBackedCheckpointCoordinator,
-    ``src/checkpoint/FileBackedCheckpointCoordinator.h:34-42`` — ~2000
-    lines of C++ replaced by one option)."""
+    ``checkpoint_dir`` here is PER-RUN bookkeeping only: the memory
+    sink cannot resume from a checkpoint (CLAUDE.md gotcha), so
+    re-invoking with the same dir does NOT continue where the last run
+    stopped. Scabbard-style exactly-once RESTART semantics
+    (reference: FileBackedCheckpointCoordinator,
+    ``src/checkpoint/FileBackedCheckpointCoordinator.h:34-42``) come
+    from the same one-line option on a RESUMABLE sink — see the
+    parquet-sink restart test (``test_checkpoint_restart``), where
+    Spark's checkpoint replaces those ~2000 lines of C++."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
@@ -397,7 +404,9 @@ def streaming_semantic_dedup(
             )
             y = m * SCALE
             s = np.sign(y) * np.floor(np.abs(y) + 0.5)  # HALF_UP, exact ints
-            ids = pdf[id_col].to_numpy()
+            # the upstream select aliases id_col to "vec_id" — reading
+            # pdf[id_col] here crashed every non-default id_col caller
+            ids = pdf["vec_id"].to_numpy()
             order = np.argsort(ids, kind="stable")  # in-order fold
             dim = s.shape[1]
             kmat = (
@@ -468,6 +477,33 @@ def streaming_semantic_dedup(
     )
 
 
+def _distinct_trimmed_lines(
+    stream: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(doc_id, line)`` — one row per (document, distinct non-empty
+    trimmed line). The single source of the stateless in-row explode
+    shared by :func:`streaming_line_boilerplate` and its JVM
+    df-counter twin :func:`streaming_line_df_counts`: STREAM_BENCH
+    compares their outputs, so the line normalization must never
+    drift between them (it was previously copy-pasted in both)."""
+    return stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    # NOT bare F.trim: transform() sees its optional 2nd
+                    # param (trim chars, Spark 3.5+) and passes the
+                    # element INDEX there, stripping digits off line ends
+                    F.transform(
+                        F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
+                    ),
+                    lambda x: x != F.lit(""),
+                )
+            )
+        ).alias("line"),
+    )
+
+
 def streaming_line_boilerplate(
     stream: DataFrame,
     min_df: int = 5,
@@ -528,22 +564,9 @@ def streaming_line_boilerplate(
             pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
         )
 
-    lines = stream.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    # NOT bare F.trim: transform() sees its optional 2nd param
-                    # (trim chars, Spark 3.5+) and passes the element
-                    # INDEX there, stripping digits off line ends
-                    F.transform(
-                        F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
-                    ),
-                    lambda x: x != F.lit(""),
-                )
-            )
-        ).alias("line"),
-    ).select("doc_id", shingle_hash(F.col("line")).alias("lh"))
+    lines = _distinct_trimmed_lines(stream, id_col, text_col).select(
+        "doc_id", shingle_hash(F.col("line")).alias("lh")
+    )
     return lines.groupBy("lh").applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
     )
@@ -589,22 +612,9 @@ def streaming_line_df_counts(
     side of the split, not an always-on unbounded-stream resident."""
     from lightsaber_spark.functions.dedup import shingle_hash
 
-    lines = stream.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    # NOT bare F.trim: transform() sees its optional 2nd param
-                    # (trim chars, Spark 3.5+) and passes the element
-                    # INDEX there, stripping digits off line ends
-                    F.transform(
-                        F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
-                    ),
-                    lambda x: x != F.lit(""),
-                )
-            )
-        ).alias("line"),
-    ).select(shingle_hash(F.col("line")).alias("lh"))
+    lines = _distinct_trimmed_lines(stream, id_col, text_col).select(
+        shingle_hash(F.col("line")).alias("lh")
+    )
     return lines.groupBy("lh").agg(
         F.count(F.lit(1)).cast("bigint").alias("line_df")
     )
@@ -714,7 +724,9 @@ def streaming_order_violations(
 
     out_schema = StructType(
         [
-            StructField(key_col, LongType()),
+            # key keeps its SOURCE type — hardcoding LongType crashed
+            # on string keys like event_type (review finding)
+            StructField(key_col, stream.schema[key_col].dataType),
             StructField("ts_us", LongType()),
             StructField("max_seen_us", LongType()),
         ]
@@ -730,7 +742,7 @@ def streaming_order_violations(
             ts_us = sorted(int(t) // 1000 for t in pdf[ts_col].astype("int64"))
             for t in ts_us:
                 if max_us is not None and t < max_us:
-                    rows.append([int(key[0]), t, max_us])
+                    rows.append([key[0], t, max_us])
                 else:
                     max_us = t
             state.update((max_us,))
@@ -838,7 +850,9 @@ def streaming_gapfill_count(
 
     out_schema = StructType(
         [
-            StructField(key_col, LongType()),
+            # key keeps its SOURCE type — hardcoding LongType crashed
+            # on string keys like event_type (review finding)
+            StructField(key_col, stream.schema[key_col].dataType),
             StructField("window_start", LongType()),
             StructField("n", LongType()),
         ]
@@ -847,10 +861,18 @@ def streaming_gapfill_count(
         [StructField("cw", LongType()), StructField("cn", LongType())]
     )
     size_us = size_sec * 1_000_000
+    # gap output is inherently one row per missed window; a single bad
+    # clock (years-ahead event) used to materialize them ALL into one
+    # Python list → executor OOM. Yield in bounded chunks instead —
+    # pandas->Arrow batches stream to the JVM incrementally, so memory
+    # stays O(chunk) however long the gap.
+    chunk_rows = 1 << 16
 
     def fn(key, pdf_iter, state):
         cw, cn = state.get if state.exists else (None, 0)
+        cols = [f.name for f in out_schema.fields]
         rows = []
+        emitted = False
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
@@ -861,9 +883,13 @@ def streaming_gapfill_count(
                 elif w == cw:
                     cn += 1
                 elif w > cw:
-                    rows.append([int(key[0]), cw, cn])
+                    rows.append([key[0], cw, cn])
                     for x in range(cw + size_sec, w, size_sec):
-                        rows.append([int(key[0]), x, 0])
+                        rows.append([key[0], x, 0])
+                        if len(rows) >= chunk_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            emitted = True
+                            rows = []
                     cw, cn = w, 1
                 # w < cw would be an in-order violation; the monitor
                 # operator exists to surface those — here the row still
@@ -872,10 +898,12 @@ def streaming_gapfill_count(
                 else:
                     cn += 1
             state.update((cw, cn))
-        cols = [f.name for f in out_schema.fields]
-        yield (
-            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
-        )
+        if rows or not emitted:
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame(columns=cols)
+            )
 
     return (
         stream.select(key_col, ts_col)

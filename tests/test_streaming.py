@@ -1706,3 +1706,88 @@ def test_streaming_semantic_dedup_checkpoint_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+def test_streaming_monitors_accept_string_keys(spark, tmp_path):
+    """Review finding (r11 continuation): the order-violation monitor
+    and streaming gap-fill hardcoded LongType keys (``int(key[0])``),
+    crashing on the repo's canonical STRING grouping key (event_type).
+    Both must carry the key's source type through."""
+    from lightsaber_spark.streaming.stream import (
+        streaming_gapfill_count,
+        streaming_order_violations,
+    )
+
+    def _ts(s):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [("view", _ts(110)), ("view", _ts(200)), ("click", _ts(120))],
+        "event_type string, ts timestamp",
+    )
+    b2 = spark.createDataFrame(
+        [("view", _ts(150)), ("click", _ts(125))],
+        "event_type string, ts timestamp",
+    )
+    b1.coalesce(1).write.parquet(src + "/b=1")
+    b2.coalesce(1).write.parquet(src + "/b=2")
+    schema = spark.read.parquet(src + "/b=1").schema
+
+    stream = read_stream(spark, src + "/b=*", schema, max_files_per_trigger=1)
+    out = run_available_now(
+        streaming_order_violations(stream, "ts", "event_type"),
+        str(tmp_path / "ck_ord_s"),
+        table_name="t_ord_s",
+        output_mode="update",
+    ).collect()
+    assert {(r.event_type, r.ts_us, r.max_seen_us) for r in out} == {
+        ("view", 150_000_000, 200_000_000)
+    }
+
+    stream2 = read_stream(spark, src + "/b=*", schema, max_files_per_trigger=1)
+    gf = run_available_now(
+        streaming_gapfill_count(stream2, "ts", "event_type", 10),
+        str(tmp_path / "ck_gf_s"),
+        table_name="t_gf_s",
+        output_mode="update",
+    ).collect()
+    rows = {(r.event_type, r.window_start, r.n) for r in gf}
+    # view: window 110 (1 row) closes when t=200 arrives, emitting the
+    # skipped windows 120..190 at n=0; the in-order-violating t=150
+    # folds into the CURRENT window, which stays un-closed in state;
+    # click never closes a window and emits nothing.
+    assert ("view", 110, 1) in rows
+    assert {w for (k, w, n) in rows if k == "view" and n == 0} == set(
+        range(120, 200, 10)
+    )
+    assert not any(k == "click" for (k, _, _) in rows)
+
+
+def test_streaming_semantic_dedup_custom_id_col(spark, tmp_path):
+    """Review finding (r11 continuation): the stateful fn read
+    ``pdf[id_col]`` but the upstream select aliases the id to
+    ``vec_id``, so any non-default ``id_col`` crashed every
+    micro-batch. Verdicts under a renamed id column must equal the
+    default-named run."""
+    from lightsaber_spark.streaming.stream import streaming_semantic_dedup
+
+    rows, cents = _semantic_stream_fixture()
+    tau = 0.999999
+    want = _semantic_sequential_model(rows, cents, tau)
+
+    src = str(tmp_path / "vec_src")
+    spark.createDataFrame(
+        [(i, v) for i, v in rows], "doc_id long, embedding array<float>"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+    got = run_available_now(
+        streaming_semantic_dedup(stream, cents, tau, id_col="doc_id"),
+        str(tmp_path / "ck_sem_id"),
+        table_name="t_sem_idcol",
+        output_mode="update",
+    )
+    assert {r.vec_id: (r.cell_id, r.keep) for r in got.collect()} == want
