@@ -64,9 +64,15 @@ def word_shingles(c: Column, k: int = 3) -> Column:
     contexts."""
     toks = tokens(c)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    # sequence(1, 0) steps DOWN to [1, 0] (it never yields empty), and
+    # slice(toks, 0, k) then throws — a short/empty doc crashed the
+    # whole job (review finding, live-reproduced). Guard the < k case
+    # to the UDF twin's [] instead.
+    idx = F.sequence(F.lit(1), n - (k - 1))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(sh)
+    return F.when(n >= F.lit(k), F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_shingles_udf(k: int = 3):
@@ -81,6 +87,9 @@ def word_shingles_udf(k: int = 3):
     def _sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # null text → no shingles, not a job kill
+                out.append([])
+                continue
             toks = tok_re.findall(t.lower())
             out.append(
                 list(dict.fromkeys(
@@ -742,6 +751,12 @@ def _jaccard_for_pairs(
     to the pairs."""
     arr = _arr if _arr is not None else shingle_arrays(df, text_col, id_col, k)
     ex = _index_from_arrays(arr, max_doc_freq)
+    if max_doc_freq is not None:
+        # with a doc-frequency cutoff, ex carries a full-corpus
+        # aggregation + join and feeds THREE consumers (a_sh, b_sh,
+        # sizes) — persist it or the cutoff chain runs 3x (the same
+        # reason ngram_jaccard_pairs register_cache's its exd chain)
+        ex = register_cache(ex)
     sizes = _sizes_from_arrays(arr, ex, max_doc_freq)
     a_sh = ex.select(F.col("_id").alias("id_a"), "_sh")
     b_sh = ex.select(F.col("_id").alias("id_b"), "_sh")
@@ -791,11 +806,15 @@ def simhash(
     (explode of an empty array emits nothing)."""
     if use_udf:
         sh = simhash_udf(bits)
-        out = df.select(
+        # token-less docs are filtered on the UDF's INPUT — filtering
+        # on its output made Catalyst evaluate the UDF twice (Filter
+        # and Project each extract an ArrowEvalPython node; CLAUDE.md
+        # rule, same shape as minhash_signature's input-side filter)
+        src = df.filter(F.size(tokens(F.col(text_col))) > 0)
+        return src.select(
             F.col(id_col),
             sh(F.col(text_col)).alias("simhash"),
         )
-        return out.filter(F.col("simhash").isNotNull())
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("_tok"),
@@ -851,7 +870,7 @@ def simhash_udf(bits: int = 60):
 
         out = []
         for t in texts:
-            toks = tok_re.findall(t.lower())
+            toks = tok_re.findall(t.lower()) if t is not None else []
             if not toks:
                 out.append(None)
                 continue
@@ -889,7 +908,11 @@ def simhash_pairs(
     width = bits // bands
     sh = simhash(df, text_col, id_col, bits)
     mask = (1 << width) - 1
-    blocks = sh.select(
+    # the block list feeds BOTH sides of the candidate self-join —
+    # persist it (register_cache lifecycle) or the SimHash UDF re-runs
+    # over the corpus once per side (CLAUDE.md self-join rule; seen as
+    # doubled ArrowEvalPython nodes in the former PLANS.md plan)
+    blocks = register_cache(sh.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
         F.explode(
@@ -901,7 +924,7 @@ def simhash_pairs(
                 for b in range(bands)
             ])
         ).alias("bv"),
-    ).select("_id", "simhash", "bv.blk", "bv.val")
+    ).select("_id", "simhash", "bv.blk", "bv.val"))
     cands = (
         blocks.alias("a")
         .join(
@@ -1043,7 +1066,12 @@ def contamination_check(
     counted with one map-side-combinable aggregation. No self-join, no
     pair space. Documents with fewer than ``k`` tokens have no
     shingles and are absent from the output (mirrored by the oracle)."""
-    c = shingle_arrays(corpus, text_col, id_col, k, persist=False)
+    # the corpus shingle frame feeds BOTH the explode branch and the
+    # sizes branch (whose emptiness filter would otherwise double the
+    # UDF again) — persist it, or the corpus shingle UDF runs 4x
+    # (review finding, visible as four ArrowEvalPython nodes in the
+    # former PLANS.md plan); the eval side is referenced once
+    c = shingle_arrays(corpus, text_col, id_col, k, persist=True)
     e = shingle_arrays(eval_set, text_col, id_col, k, persist=False)
     eval_sh = e.select(F.explode("_shs").alias("_sh")).distinct()
     ex = c.select("_id", F.explode("_shs").alias("_sh"))
@@ -1096,14 +1124,21 @@ def embedding_lsh_pairs(
         hyperplane_band_signatures_udf,
     )
 
-    base = _prep(df, id_col, vec_col, "_id")
+    # base feeds the signature branch AND both verify sides (va/vb);
+    # sigs self-joins — persist both (register_cache lifecycle) or the
+    # signature Arrow UDF runs once per join side and the scale+norm
+    # fold four times (CLAUDE.md self-join rule; hyperplane_lsh_topk
+    # already caches its _prep sides for exactly this reason)
+    base = register_cache(_prep(df, id_col, vec_col, "_id"))
     # all bands in ONE Arrow UDF (single list→matrix conversion +
     # matmul per batch — see hyperplane_band_signatures_udf)
     sigs_udf = hyperplane_band_signatures_udf(
         n_planes, bands, dim, salt=salt, scaled=True
     )
-    sigs = base.select(
-        "_id", F.posexplode(sigs_udf(F.col("_sv"))).alias("band", "sig")
+    sigs = register_cache(
+        base.select(
+            "_id", F.posexplode(sigs_udf(F.col("_sv"))).alias("band", "sig")
+        )
     )
     cands = (
         sigs.alias("a")
@@ -1194,7 +1229,7 @@ def minhash_band_keys_udf(
     def _bk(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = tok_re.findall(t.lower())
+            toks = tok_re.findall(t.lower()) if t is not None else []
             shingles = dict.fromkeys(
                 " ".join(toks[i : i + k])
                 for i in range(max(len(toks) - (k - 1), 0))
@@ -1233,7 +1268,7 @@ def positional_shingles_udf(k: int = 10):
     def _sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = tok_re.findall(t.lower())
+            toks = tok_re.findall(t.lower()) if t is not None else []
             out.append(
                 [
                     " ".join(toks[i : i + k])

@@ -102,18 +102,32 @@ def _prep(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
 def derive_n_blocks(
     n_rows: int, dim: int, target_block_bytes: int
 ) -> int:
-    """Tile count so ONE block's scaled matrix (≈ n_rows / n_blocks
-    rows × dim float64) fits ``target_block_bytes``:
-    ceil(n_rows · dim · 8 / target). The auto-derivation companion to
-    ``target_cell_size`` (r10 verdict #4) — a fixed tile count on a
-    growing relation silently overshoots executor memory, exactly as a
-    fixed k re-inflates the pair space. At the SemDeDup paper's shape
-    (cells of ~10⁴ rows × 768 dims ≈ 61 MB) a 16 MB target derives 4
-    tiles — today's default — while a 10⁶-row relation derives 384
-    instead of silently building four 2 GB tiles."""
+    """Tile count so ONE tile-pair task fits ``target_block_bytes``,
+    bounding BOTH allocations the kernel makes:
+
+    - the input tile matrix, ≈ (n_rows / n_blocks) · dim float64 —
+      ceil(n_rows · dim · 8 / target);
+    - the pairwise cosine matrix C, ≈ (n_rows / n_blocks)² float64
+      (review finding: the original derivation budgeted only the
+      input tiles, so low-dim relations derived huge row blocks whose
+      C alone was hundreds of times the target) —
+      ceil(n_rows / isqrt(target / 8)).
+
+    The auto-derivation companion to ``target_cell_size`` (r10 verdict
+    #4) — a fixed tile count on a growing relation silently overshoots
+    executor memory, exactly as a fixed k re-inflates the pair space.
+    At the SemDeDup paper's shape (cells of ~10⁴ rows × 768 dims ≈
+    61 MB) a 16 MB target derives 7 tiles (the C bound caps blocks at
+    ~1448 rows); a 10⁶-row relation derives 691 instead of silently
+    building 2 GB tiles with 8.6 GB cosine matrices."""
     import math
 
-    return max(1, math.ceil(n_rows * dim * 8 / target_block_bytes))
+    rows_cap = max(1, math.isqrt(target_block_bytes // 8))
+    return max(
+        1,
+        math.ceil(n_rows * dim * 8 / target_block_bytes),
+        math.ceil(n_rows / rows_cap),
+    )
 
 
 def _peek_dim(df: DataFrame, vec_col: str) -> int:
@@ -255,6 +269,12 @@ def brute_force_topk(
         raise ValueError(
             f"brute_force_topk query set exceeds max_query_rows="
             f"{max_query_rows}; use the LSH/IVF paths for large query sets"
+        )
+    if not q_rows:
+        # empty query set → empty result (np.stack on [] would raise
+        # an opaque ValueError); schema matches the populated path
+        return queries.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
@@ -810,11 +830,19 @@ def semantic_dedup_delta(
     ranked = register_cache(
         d.withColumn("rnk", F.row_number().over(w).cast("bigint"))
     )
-    cell = ivf_cell_udf(centroids, centroids_scaled=True)
+    # reuse the SAME assigner (and its single centroid broadcast) for
+    # the kept side — a second ivf_cell_udf would pin a duplicate k×dim
+    # broadcast per executor (~300 MB at paper scale; review finding).
+    # ivf_cell_ccos_udf's cid is documented bit-identical to
+    # ivf_cell_udf's; the winning cosine is simply unused here.
     kept = corpus_kept.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         scaled_vec(F.col(vec_col)).alias("_sv"),
-        cell(F.col(vec_col)).alias("cell_id"),
+        cc(F.col(vec_col)).alias("_a"),
+    ).select(
+        "vec_id",
+        "_sv",
+        F.col("_a.cid").alias("cell_id"),
         F.lit(0).cast("bigint").alias("rnk"),  # all corpus ranks earlier
     )
     allrows = ranked.select("vec_id", "_sv", "cell_id", "rnk").unionAll(kept)
@@ -914,7 +942,11 @@ def kmeans_fit_scaled(
     stand-in). Every step is exact integer arithmetic, so an unrolled
     SQL oracle reproduces the fit bit-for-bit:
 
-    - init: the ``k`` lowest-id vectors (deterministic seed set);
+    - init: the vectors with ``id < k`` (deterministic seed set; with
+      the catalog's dense 0-based ids these ARE the k lowest-id
+      vectors — the rule is id-based, not rank-based, because the SQL
+      oracle twins mirror it literally as ``vec_id < k``; an id space
+      without such ids raises rather than silently under-seeding);
     - assign: argmax cosine via one Arrow GEMM per batch (float64 on
       integers < 2^53 — exact; ties → lowest centroid id);
     - update: per-dimension mean as HALF_UP(Σcomponent / members),
@@ -930,6 +962,15 @@ def kmeans_fit_scaled(
         F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_sv")
     )
     init = sv.filter(F.col("_id") < k).collect()
+    if not init:
+        raise ValueError(
+            f"kmeans_fit_scaled: no seed vectors — the deterministic "
+            f"seed rule is ids < k (k={k}, the cross-engine-expressible "
+            f"form the SQL oracles mirror as 'vec_id < {k}'), and this "
+            f"corpus has no such ids. Densify ids from 0 (or remap) "
+            f"before fitting; a sparse id space would otherwise fit "
+            f"fewer than k cells silently."
+        )
     cents = sorted((r["_id"], [int(x) for x in r["_sv"]]) for r in init)
     for _ in range(iters):
         cell = ivf_cell_udf(cents, centroids_scaled=True, vecs_scaled=True)

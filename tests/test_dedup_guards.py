@@ -100,3 +100,83 @@ def test_line_dedup_stats_threshold_boundary(spark):
     }
     # 'shared in three' df=3 -> boilerplate; 'shared in two' df=2 -> kept
     assert got == {1: (3, 1), 2: (3, 1), 3: (2, 1)}
+
+
+def test_shingles_short_and_null_docs_are_safe(spark):
+    """Review findings (r11 continuation), both live-reproduced before
+    the fix: (a) the Catalyst word_shingles form crashed on any doc
+    with fewer than k tokens (sequence(1, 0) counts DOWN to [1, 0] and
+    slice with start 0 throws); (b) the Arrow text UDFs crashed the
+    whole job on a NULL text (None.lower()). Short/empty/null docs now
+    yield empty shingle sets in both forms, which stay identical."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.dedup import (
+        minhash_band_keys_udf,
+        positional_shingles_udf,
+        simhash_udf,
+        word_shingles,
+        word_shingles_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, None), (3, ""), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    expr = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    udf = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", word_shingles_udf(3)(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert expr[1] == [] and expr[2] == [] and expr[3] == []
+    assert expr[4] == ["a b c", "b c d"]
+    assert udf == expr
+
+    sh = {
+        r.doc_id: r.v
+        for r in df.select(
+            "doc_id", simhash_udf(60)(F.col("text")).alias("v")
+        ).collect()
+    }
+    assert sh[2] is None and sh[3] is None and sh[4] is not None
+
+    pos = {
+        r.doc_id: r.v
+        for r in df.select(
+            "doc_id", positional_shingles_udf(3)(F.col("text")).alias("v")
+        ).collect()
+    }
+    assert pos[2] == [] and pos[3] == [] and pos[4] == ["a b c", "b c d"]
+
+    bk = {
+        r.doc_id: r.v
+        for r in df.select(
+            "doc_id", minhash_band_keys_udf()(F.col("text")).alias("v")
+        ).collect()
+    }
+    assert bk[2] == [] and bk[3] == [] and len(bk[4]) == 8
+
+
+def test_brute_force_topk_empty_query_set(spark):
+    """An empty query relation returns an empty result with the normal
+    schema instead of an opaque np.stack ValueError."""
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(corpus.filter(F.col("vec_id") < 0), corpus, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cosine", "rank",
+    ]

@@ -680,18 +680,28 @@ def test_semantic_dedup_target_cell_size_derives_k(spark):
 
 
 def test_derive_n_blocks_from_target_bytes():
-    """r10 verdict #4: the tile knob derives from a byte target like k
-    derives from target_cell_size. Paper-shape cells (10^4 x 768 dims
-    = 61 MB) at a 16 MB target give today's default 4 tiles; a 100x
-    cell derives ~367 instead of silently building 1.5 GB tiles; tiny
-    fixtures floor at 1."""
+    """r10 verdict #4 + r11-continuation review: the tile knob derives
+    from a byte target like k derives from target_cell_size, bounding
+    BOTH the input tile and the per-task pairwise cosine matrix. At a
+    16 MB target the C bound caps blocks at isqrt(16 MiB / 8) = 1448
+    rows: paper-shape cells (10^4 x 768) derive 7 tiles, a 100x cell
+    691; a low-dim relation where the input-only budget would allow
+    32768-row blocks (whose C alone is 8.6 GB) now derives by the C
+    bound; tiny fixtures floor at 1."""
+    import math
+
     from lightsaber_spark.functions.similarity import derive_n_blocks
 
     mb = 1 << 20
-    assert derive_n_blocks(10_000, 768, 16 * mb) == 4
-    assert derive_n_blocks(1_000_000, 768, 16 * mb) == 367
+    assert derive_n_blocks(10_000, 768, 16 * mb) == 7
+    assert derive_n_blocks(1_000_000, 768, 16 * mb) == 691
     assert derive_n_blocks(20, 64, 16 * mb) == 1
     assert derive_n_blocks(0, 768, 16 * mb) == 1
+    # the C bound dominates at low dim: rows per block <= 1448, so the
+    # worst-case per-task cosine matrix stays <= the byte target
+    n = derive_n_blocks(100_000, 64, 16 * mb)
+    assert math.ceil(100_000 / n) ** 2 * 8 <= 16 * mb
+    assert n == math.ceil(100_000 / 1448)
 
 
 def test_semantic_dedup_target_block_bytes_is_semantics_free(spark):
