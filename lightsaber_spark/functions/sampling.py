@@ -33,9 +33,18 @@ TWO60 = 1 << 60
 
 def _key_hash(key_cols: Sequence[str], salt: str) -> Column:
     """60-bit md5 hash of the salted, ','-joined key columns.
-    DuckDB twin: ``('0x'||substr(md5(<salt>||','||cols...),1,15))::BIGINT``."""
-    parts = [F.lit(salt)] + [F.col(c).cast("string") for c in key_cols]
-    return shingle_hash(F.concat_ws(",", *parts))
+    DuckDB twin: ``('0x'||substr(md5(<salt>||','||cols...),1,15))::BIGINT``.
+
+    NULL-propagating ``concat`` on purpose, matching the twin's ``||``:
+    a NULL key column yields a NULL hash, so every numeric predicate on
+    it is NULL and the row is excluded in BOTH engines (review finding
+    — ``concat_ws`` silently SKIPPED null columns, diverging from the
+    oracle on nullable keys and aliasing ('a', NULL, 'b') with
+    ('a', 'b'))."""
+    parts: list[Column] = [F.lit(salt)]
+    for c in key_cols:
+        parts.extend((F.lit(","), F.col(c).cast("string")))
+    return shingle_hash(F.concat(*parts))
 
 
 def hash_sample(
@@ -222,6 +231,13 @@ def stratified_sample_exact(
 
     One shuffle (rank within stratum); ties impossible modulo md5
     collisions on the full key, which both engines would share.
+
+    CONTRACT: ``key_cols`` must be row-unique within each stratum (the
+    catalog keys on doc_id). Duplicate keys share a hash, and
+    ``row_number`` then breaks the tie by physical partition order —
+    selection at the boundary rank would differ between retries and
+    from the oracle (whose ORDER BY has the same tie). The determinism
+    claim above is conditional on that uniqueness.
     """
     from pyspark.sql import Window
 

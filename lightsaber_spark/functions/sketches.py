@@ -235,7 +235,14 @@ def count_min_lookup(
         qb.join(F.broadcast(sketch), ["d", "b"], "left")
         .groupBy(value_col)
         .agg(
-            F.coalesce(F.min("cell"), F.lit(0)).cast("bigint").alias(out_col)
+            # min over coalesced cells, NOT coalesce over min: an
+            # ABSENT cell is a true count of zero and must win the min
+            # (review finding — min() skipped the NULLs from the left
+            # join, so a never-seen value whose other buckets held
+            # collision counts overestimated instead of returning 0)
+            F.min(F.coalesce(F.col("cell"), F.lit(0)))
+            .cast("bigint")
+            .alias(out_col)
         )
     )
 
@@ -264,7 +271,7 @@ def count_min_oracle_sql(
     q AS (SELECT _x FROM vc WHERE {query_pred}),
     qb AS (SELECT _x, d, {h.format(v='_x')} AS b FROM q, range({depth}) t(d))
     SELECT qb._x AS {value_name},
-           CAST(coalesce(min(cell), 0) AS BIGINT) AS {out_col}
+           CAST(min(coalesce(cell, 0)) AS BIGINT) AS {out_col}
     FROM qb LEFT JOIN cells ON qb.d = cells.d AND qb.b = cells.b
     GROUP BY 1
     """
@@ -300,7 +307,7 @@ def bottomk_quantiles_oracle_sql(
           WHERE _rn <= {k}),
     r AS (SELECT {groups}{"," if groups else ""} _v,
                  row_number() OVER ({part} ORDER BY _v, _h) AS _vr,
-                 count(*) OVER ({part.replace("PARTITION BY", "PARTITION BY") if part else "PARTITION BY 1"}) AS _n
+                 count(*) OVER ({part if part else "PARTITION BY 1"}) AS _n
           FROM s)
     SELECT {groups}{"," if groups else ""}
            {sel}
@@ -370,7 +377,9 @@ def bloom_build(
         bloom_positions(F.col(key_col), k, m_bits)
     ).alias("pos")
     p = df.select(pos)
-    word = (F.col("pos") / BLOOM_WORD_BITS).cast("bigint")
+    # SQL DIV — same form as bloom_probe and the oracle's '//'
+    # (CLAUDE.md: integer quotients never via /+cast)
+    word = F.expr(f"pos DIV {BLOOM_WORD_BITS}")
     bit = (F.col("pos") % BLOOM_WORD_BITS).cast("int")
     return (
         p.select(word.alias("word"), bit.alias("bit"))

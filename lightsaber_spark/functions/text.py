@@ -63,6 +63,8 @@ def winnow_fingerprints_udf(k: int = 3, window: int = 4):
     def _fp(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # null text → empty doc, not a job kill
+                t = ""
             toks = tok_re.findall(t.lower())
             n = max(len(toks) - (k - 1), 0)
             hs = np.fromiter(
@@ -121,16 +123,27 @@ def chunk_documents(
     if not 0 < stride <= ctx_len:
         raise ValueError("stride must be in (0, ctx_len]")
     n = token_count(F.col(text_col), pattern)
-    over = F.greatest(n - F.lit(ctx_len), F.lit(0))
-    # ceil(over / stride) on non-negative ints
-    n_chunks = (over + F.lit(stride - 1)) / F.lit(stride)
-    n_chunks = F.floor(n_chunks).cast("bigint") + F.lit(1)
-    out = df.select(
-        F.col(id_col),
-        n.alias("_n"),
-        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
-            "chunk_idx"
-        ),
+    out = (
+        # NULL text emits NO rows, matching the oracle's
+        # generate_series(0, NULL) (review finding: size(NULL) = -1
+        # used to fabricate a chunk with n_tokens_chunk = -1)
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), n.alias("_n"))
+        # ceil(over / stride) via SQL DIV — exact integer math at any
+        # magnitude (CLAUDE.md: integer quotients never via float '/')
+        .withColumn(
+            "_oc",
+            F.greatest(F.col("_n") - F.lit(ctx_len), F.lit(0))
+            + F.lit(stride - 1),
+        )
+        .withColumn("_nc", F.expr(f"_oc DIV {stride}") + F.lit(1))
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("_nc") - 1)
+            ).alias("chunk_idx"),
+        )
     )
     tok_start = F.col("chunk_idx") * F.lit(stride)
     return out.select(
@@ -172,6 +185,8 @@ def text_stats_counts_udf():
     def _st(texts: pd.Series) -> pd.DataFrame:
         rows = []
         for t in texts:
+            if t is None:  # null text → empty doc, not a job kill
+                t = ""
             toks = tok_re.findall(t.lower())
             rows.append((
                 len(t),
@@ -223,7 +238,9 @@ def text_stats(df: DataFrame, text_col: str = "text", arrow: bool = False) -> Da
         "*",
         n_chars.alias("n_chars_computed"),
         n_tokens.alias("n_tokens"),
-        (n_punct / n_chars).alias("punct_ratio"),
+        # guarded like its siblings: 0/0 on an empty text would give
+        # NULL here vs IEEE division in DuckDB (review finding)
+        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)).alias("punct_ratio"),
         F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)).alias("stopword_ratio"),
         F.when(n_tokens > 0, n_token_chars / n_tokens).otherwise(F.lit(0.0)).alias("mean_token_len"),
     )
@@ -496,6 +513,8 @@ def feature_hash_vector_udf(k: int = 16):
 
         out = []
         for t in texts:
+            if t is None:  # null text → empty doc, not a job kill
+                t = ""
             vec = np.zeros(k, dtype=np.int64)
             ids = np.fromiter(
                 (bucket(tok) for tok in tok_re.findall(t.lower())),
@@ -522,6 +541,8 @@ def ngrams_udf(n: int, pattern: str = WORD_RE):
     def _ng(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
+            if t is None:  # null text → empty doc, not a job kill
+                t = ""
             toks = tok_re.findall(t.lower())
             out.append(
                 [" ".join(toks[i : i + n]) for i in range(max(len(toks) - (n - 1), 0))]
@@ -736,6 +757,8 @@ def bpe_tokenize_udf(merges: list[tuple[str, str]]):
         memo: dict[str, list[str]] = {}
         out = []
         for t in texts:
+            if t is None:  # null text → empty doc, not a job kill
+                t = ""
             toks: list[str] = []
             for w in tok_re.findall(t.lower()):
                 enc = memo.get(w)
@@ -765,6 +788,8 @@ def collapse_repeats_udf(pattern: str = WORD_RE):
     def _cr(texts: pd.Series) -> pd.DataFrame:
         rows = []
         for t in texts:
+            if t is None:  # null text → empty doc, not a job kill
+                t = ""
             toks = tok_re.findall(t.lower())
             out = [w for j, w in enumerate(toks) if j == 0 or toks[j - 1] != w]
             rows.append((" ".join(out), len(toks), len(out)))

@@ -125,8 +125,9 @@ _JACCARD_CUT_CTE = f"""
     WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents)
     SELECT doc_id,
            len(toks)::BIGINT AS n_tokens,
-           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text)
-             AS punct_ratio,
+           CASE WHEN length(text) > 0 THEN
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+               * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
            CASE WHEN len(toks) > 0 THEN
              len(list_filter(toks, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)})))
                * 1.0 / len(toks) ELSE 0.0 END AS stopword_ratio,
