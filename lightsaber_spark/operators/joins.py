@@ -73,18 +73,25 @@ def theta_join(
 
     us = 1_000_000
     d_us = int(round(max_delta_sec * us))
-    lt_us = F.round(F.col(left_ts).cast("double") * us).cast("bigint")
-    rt_us = F.round(F.col(right_ts).cast("double") * us).cast("bigint")
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    # exact integer µs via epoch_us + SQL DIV (CLAUDE.md exactness
+    # invariant — the former cast('double')·1e6 was float epoch math
+    # and threw on TIMESTAMP_NTZ columns; the streaming twin was
+    # converted in the same round)
+    lt_us = epoch_us(left, left_ts)
+    rt_us = epoch_us(right, right_ts)
     band = (rt_us >= lt_us - d_us) & (rt_us <= lt_us + d_us)
     cond = band if cond is None else (band & cond)
 
-    def bucket(ts_us):
-        return ((ts_us - (ts_us % d_us)) / d_us).cast("bigint")
-
-    l2 = left.withColumn("_tj_bkt", bucket(lt_us))
-    rb = bucket(rt_us)
-    r2 = right.withColumn(
-        "_tj_bkt", F.explode(F.array(rb - 1, rb, rb + 1))
+    l2 = left.withColumn("_tj_us", lt_us).withColumn(
+        "_tj_bkt", F.expr(f"_tj_us DIV {d_us}")
+    ).drop("_tj_us")
+    rb = F.expr(f"_tj_us DIV {d_us}")
+    r2 = (
+        right.withColumn("_tj_us", rt_us)
+        .withColumn("_tj_bkt", F.explode(F.array(rb - 1, rb, rb + 1)))
+        .drop("_tj_us")
     )
     return l2.join(r2, "_tj_bkt").filter(cond).drop("_tj_bkt")
 
@@ -171,13 +178,23 @@ def asof_join(
     partitioned ordering.
 
     Right columns (except ``by``/ts) are returned with their names;
-    collisions with left columns must be resolved by the caller.
+    a right column whose name collides with a left column raises
+    (alias before joining) — the scan cannot carry both.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be backward|forward")
     by = list(by)
     lcols = left.columns
     rcols = [c for c in right.columns if c not in by]
+    dup = sorted(set(rcols) & set(lcols))
+    if dup:
+        # the union-scan would null the carried right values for these
+        # and emit duplicate output names — silent data loss (review
+        # finding); force the caller to alias instead
+        raise ValueError(
+            f"asof_join: right columns {dup} collide with left columns "
+            "— alias one side before joining"
+        )
 
     from lightsaber_spark.operators.window_agg import epoch_us
 

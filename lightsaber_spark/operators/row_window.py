@@ -47,6 +47,13 @@ def with_global_row_index(
     )
     b = b.withColumn("_rank_in", rank_in)
 
+    # DELIBERATE double reference without persist (reviewed): the
+    # counts branch prunes to the single order/bucket column, so the
+    # second pass is a column-pruned scan with pushdown — at corpus
+    # scale that is cheaper and safer than persisting the full-width
+    # input (the corpus-sized-cache anti-pattern the passage index
+    # replaced). The CLAUDE.md self-join persist rule targets
+    # non-trivial DERIVED subplans; this re-reads the source.
     counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.withColumn(
         "_offset",

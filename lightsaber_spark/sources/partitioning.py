@@ -47,16 +47,20 @@ def zorder_key(x, y, bits: int = 10):
     trick (Delta/Iceberg ``ZORDER BY``), expressed as a plain integer
     Catalyst expression.
 
-    Built from ``DIV``/``%``/``·2^k`` only (no shift builtins), so the
-    exact same arithmetic runs on DuckDB for the oracle twin — see
-    ``zorder_oracle_expr``.
+    Spark side uses ``shiftright`` (arithmetic shift = floor division
+    by 2^i — exact integer arithmetic, identical to the DuckDB twin's
+    ``// 2^i`` for every input; the former ``/`` + cast float quotient
+    violated the repo's integer-division rule and was exact only under
+    the unstated inputs-below-2^53 precondition).
     """
     from pyspark.sql import functions as F
 
     acc = F.lit(0).cast("bigint")
+    xb_src = x.cast("bigint")
+    yb_src = y.cast("bigint")
     for i in range(bits):
-        xb = (x / (1 << i)).cast("bigint") % 2
-        yb = (y / (1 << i)).cast("bigint") % 2
+        xb = F.shiftright(xb_src, i) % 2
+        yb = F.shiftright(yb_src, i) % 2
         acc = acc + xb * F.lit(1 << (2 * i)) + yb * F.lit(1 << (2 * i + 1))
     return acc
 

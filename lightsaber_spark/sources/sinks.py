@@ -222,6 +222,11 @@ def write_training_shards(
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
         .cast("bigint") % n_shards
     )
+    # md5(NULL) is NULL → a NULL key would land in Hive's default
+    # partition OUTSIDE the promised shard=0..n-1 layout, silently
+    # invisible to a loader enumerating shards (review finding). NULL
+    # keys are deterministically routed to shard 0 instead.
+    shard = F.coalesce(shard, F.lit(0).cast("bigint"))
     out = (
         df.withColumn("shard", shard)
         .repartitionByRange(n_shards, "shard")

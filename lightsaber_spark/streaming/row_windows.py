@@ -43,6 +43,24 @@ from pyspark.sql.types import (
 
 from lightsaber_spark.operators.window_agg import AggSpec, _check_aggs
 
+
+def _valid_chunk(chunk):
+    """Null-skipping view of an agg-column chunk. Arrow hands a
+    nullable long/double column to pandas as float64 + NaN; folding
+    NaN into the running sum poisons the state forever, and counting
+    the raw length counts nulls the batch twin's ``F.count(col)``
+    skips (review finding). Integer dtypes carry no NaN and pass
+    through untouched.
+
+    Precision note (documented limit): min/max/sum state is float64,
+    so integer inputs above 2^53 round — the batch twin is exact. The
+    catalog's streamed values are far below that bound."""
+    import numpy as np
+
+    if chunk.dtype.kind == "f":
+        return chunk[~np.isnan(chunk)]
+    return chunk
+
 _GLOBAL_KEY = "_global"
 
 
@@ -159,13 +177,14 @@ def streaming_row_window_agg(
             while i < n:
                 take = min(window_rows - st[0], n - i)
                 for ci, c in enumerate(agg_cols):
-                    chunk = vals[c][i : i + take]
+                    chunk = _valid_chunk(vals[c][i : i + take])
                     s = col_slot(ci)
                     st[s] += float(chunk.sum())
                     st[s + 1] += int(len(chunk))
-                    mn, mx = float(chunk.min()), float(chunk.max())
-                    st[s + 2] = mn if st[s + 2] is None else min(st[s + 2], mn)
-                    st[s + 3] = mx if st[s + 3] is None else max(st[s + 3], mx)
+                    if len(chunk):
+                        mn, mx = float(chunk.min()), float(chunk.max())
+                        st[s + 2] = mn if st[s + 2] is None else min(st[s + 2], mn)
+                        st[s + 3] = mx if st[s + 3] is None else max(st[s + 3], mx)
                 st[0] += take
                 i += take
                 if st[0] == window_rows:
@@ -288,13 +307,14 @@ def _streaming_sliding_row_windows(
             while i < n:
                 take = min(slide - st["cur"]["_n"], n - i)
                 for c in agg_cols:
-                    chunk = vals[c][i : i + take]
+                    chunk = _valid_chunk(vals[c][i : i + take])
                     p = st["cur"][c]
                     p[0] += float(chunk.sum())
                     p[1] += int(len(chunk))
-                    mn, mx = float(chunk.min()), float(chunk.max())
-                    p[2] = mn if p[2] is None else min(p[2], mn)
-                    p[3] = mx if p[3] is None else max(p[3], mx)
+                    if len(chunk):
+                        mn, mx = float(chunk.min()), float(chunk.max())
+                        p[2] = mn if p[2] is None else min(p[2], mn)
+                        p[3] = mx if p[3] is None else max(p[3], mx)
                 st["cur"]["_n"] += take
                 i += take
                 if st["cur"]["_n"] == slide:

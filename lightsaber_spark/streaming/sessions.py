@@ -30,9 +30,12 @@ def session_window_agg(
 ) -> DataFrame:
     """Aggregate per session (gap-separated bursts of events).
 
-    Spark merge rule: an event extends the current session while
-    ``ts < prev_session_end`` where ``end = last_ts + gap`` — i.e. a
-    gap of exactly ``gap_sec`` starts a new session. Output:
+    Spark merge rule (pinned empirically by
+    ``test_streaming_sessions_exact_gap_boundary_matches_batch``): an
+    event extends the current session while ``ts <= prev_session_end``
+    where ``end = last_ts + gap`` — a gap of EXACTLY ``gap_sec`` still
+    merges; only a strictly larger gap starts a new session. (This
+    docstring previously claimed the strict rule — wrong.) Output:
     ``session_start_us``, ``session_end_us`` (bigint µs), keys, aggs.
     """
     _check_aggs(aggs)
@@ -79,7 +82,10 @@ def streaming_sessions_timeout(
 
     out_schema = StructType(
         [
-            StructField(key_col, LongType()),
+            # key keeps its SOURCE type (review finding — hardcoded
+            # LongType + int(key[0]) crashed string keys and silently
+            # truncated non-integer numeric ones)
+            StructField(key_col, stream.schema[key_col].dataType),
             StructField("session_start_us", LongType()),
             StructField("session_end_us", LongType()),
             StructField("n", LongType()),
@@ -99,7 +105,7 @@ def streaming_sessions_timeout(
         if state.hasTimedOut:
             s, l, n = state.get
             state.remove()
-            yield pd.DataFrame([[int(key[0]), s, l + gap_us, n]], columns=cols)
+            yield pd.DataFrame([[key[0], s, l + gap_us, n]], columns=cols)
             return
         s, l, n = state.get if state.exists else (None, None, 0)
         rows = []
@@ -110,9 +116,14 @@ def streaming_sessions_timeout(
                 if s is None:
                     s, l, n = t, t, 1
                 elif t - l <= gap_us:
+                    # INCLUSIVE on purpose: Spark's session_window
+                    # MERGES an event at exactly last + gap (verified
+                    # empirically — the boundary test pins both
+                    # engines; the batch docstring used to claim the
+                    # strict rule, which was wrong)
                     l, n = max(l, t), n + 1
                 else:
-                    rows.append([int(key[0]), s, l + gap_us, n])
+                    rows.append([key[0], s, l + gap_us, n])
                     s, l, n = t, t, 1
         state.update((s, l, n))
         # close when the watermark passes last + gap (epoch ms)

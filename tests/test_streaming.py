@@ -1791,3 +1791,56 @@ def test_streaming_semantic_dedup_custom_id_col(spark, tmp_path):
         output_mode="update",
     )
     assert {r.vec_id: (r.cell_id, r.keep) for r in got.collect()} == want
+
+
+def test_streaming_sessions_exact_gap_boundary_matches_batch(spark, tmp_path):
+    """Pin the exact-gap merge boundary in BOTH engines (r11
+    continuation): a review claimed the streaming `t - l <= gap` merge
+    diverged from a strict batch rule, but empirically Spark's
+    session_window also MERGES an event at exactly last + gap — the
+    batch docstring was what was wrong. Both paths must merge the
+    boundary event; also exercises a STRING key (the key now keeps its
+    source type instead of a hardcoded LongType)."""
+    from datetime import datetime, timezone
+
+    from lightsaber_spark.streaming.sessions import (
+        session_window_agg,
+        streaming_sessions_timeout,
+    )
+
+    def _ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    gap = 30
+    # u: exact-gap spacing (130 = 100 + gap) → TWO sessions;
+    # v: one second inside the gap → ONE session
+    rows = [("u", _ts(100)), ("u", _ts(130)), ("v", _ts(100)), ("v", _ts(129))]
+    batch = spark.createDataFrame(rows, "k string, ts timestamp")
+    want = {
+        (r.k, r.session_start_us, r.session_end_us, r["n"])
+        for r in session_window_agg(
+            batch, "ts", gap, [("count", None, "n")], keys=["k"]
+        ).collect()
+    }
+    # batch: the exact-gap event MERGES (end extends to 130 + gap)
+    assert want == {
+        ("u", 100_000_000, 160_000_000, 2),
+        ("v", 100_000_000, 159_000_000, 2),
+    }
+
+    src = str(tmp_path / "src")
+    batch.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = read_stream(spark, src, schema, max_files_per_trigger=1)
+    out = run_available_now(
+        streaming_sessions_timeout(stream, "ts", "k", gap),
+        str(tmp_path / "ck_gapb"),
+        table_name="t_sess_gapb",
+        output_mode="update",
+    ).collect()
+    got = {(r.k, r.session_start_us, r.session_end_us, r.n) for r in out}
+    # streaming merges the boundary event too, so NO session is closed
+    # by a later same-key event — everything stays in state (watermark
+    # 0s never passes it) and nothing is emitted; a strict rule would
+    # have emitted u's split first session here
+    assert got == set()
