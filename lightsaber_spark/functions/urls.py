@@ -224,7 +224,9 @@ def _kept_params(qs: Column) -> Column:
     )
 
 
-def canonical_url(url: Column, pre_normalized: bool = False) -> Column:
+def canonical_url(
+    url: Column, pre_normalized: bool = False, host_col: Column | None = None
+) -> Column:
     """Canonical identity string for a raw URL (rules in the module
     docstring). Pure expression — no UDF, no shuffle.
     ``pre_normalized=True`` means ``url`` is already the output of
@@ -236,7 +238,7 @@ def canonical_url(url: Column, pre_normalized: bool = False) -> Column:
     path, qs = _path_and_query(u)
     params = _kept_params(qs)
     return F.concat(
-        _host(u),
+        host_col if host_col is not None else _host(u),
         path,
         F.when(
             F.size(params) > 0,
@@ -245,7 +247,9 @@ def canonical_url(url: Column, pre_normalized: bool = False) -> Column:
     )
 
 
-def registrable_domain(url: Column, pre_normalized: bool = False) -> Column:
+def registrable_domain(
+    url: Column, pre_normalized: bool = False, host_col: Column | None = None
+) -> Column:
     """Registrable domain per the PSL algorithm (longest matching rule
     wins; exceptions override wildcards), over the static rule slices
     above:
@@ -267,8 +271,14 @@ def registrable_domain(url: Column, pre_normalized: bool = False) -> Column:
     A bare suffix host (``co.uk``, ``foo.ck``, ``k12.ca.us``, a lone
     TLD, any single-label host) falls back to itself — there is no
     registrable domain below it. ``pre_normalized`` as in
-    :func:`canonical_url`."""
-    host = _host(url if pre_normalized else pct_normalize(url))
+    :func:`canonical_url`; ``host_col`` supplies a pre-computed
+    :func:`_host` column so callers needing BOTH the canonical string
+    and the domain derive the (regex-heavy) host once."""
+    host = (
+        host_col
+        if host_col is not None
+        else _host(url if pre_normalized else pct_normalize(url))
+    )
     # optional :port — _host keeps non-default ports by design
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}(:\d+)?$") | host.startswith("[")
     last1 = F.regexp_extract(host, r"([^.]+)$", 1)
@@ -426,13 +436,24 @@ def canonical_url_dedup(
     map-only path; the project boundary survives CollapseProject
     because the alias is referenced twice and the expression is
     non-cheap, verified by the plan test in ``tests/test_urls.py``)."""
-    c = df.select(
-        F.col(id_col).cast("bigint").alias("_id"),
-        pct_normalize(F.col(url_col)).alias("_u"),
-    ).select(
-        "_id",
-        canonical_url(F.col("_u"), pre_normalized=True).alias("canonical_url"),
-        registrable_domain(F.col("_u"), pre_normalized=True).alias("domain"),
+    c = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("_id"),
+            pct_normalize(F.col(url_col)).alias("_u"),
+        )
+        # host derived ONCE too (r11 continuation: the www-guard made
+        # _host regex-heavier, and the domain ladder references the
+        # host many times — same shared-intermediate shape as _u)
+        .select("_id", "_u", _host(F.col("_u")).alias("_h"))
+        .select(
+            "_id",
+            canonical_url(
+                F.col("_u"), pre_normalized=True, host_col=F.col("_h")
+            ).alias("canonical_url"),
+            registrable_domain(
+                F.col("_u"), pre_normalized=True, host_col=F.col("_h")
+            ).alias("domain"),
+        )
     )
     return c.groupBy("canonical_url", "domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -274,6 +274,16 @@ def test_canonical_url_dedup_normalizes_once(spark):
     out = canonical_url_dedup(df)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(url") == 1, plan
+    # the host is passed as a shared column to both consumers
+    # (host_col=). Catalyst's CollapseProject still INLINES it into the
+    # domain ladder's conditional branches (conditionals defeat the
+    # non-cheap-alias boundary that protects _u above), so the plan
+    # text shows one host chain per WHEN branch — but never more: a
+    # regression that re-derives the host per consumer would roughly
+    # double this count (measured: the shared column cut the isolated
+    # warm time from 1.5-2.1 s to ~1.1 s at sf0.1; whole-stage codegen
+    # subexpression elimination dedupes the unconditioned copies).
+    assert plan.count("[^@]*@") <= 9, plan
     # the results are unchanged by the shared-normalization rewrite
     rows = out.collect()
     assert rows[0].canonical_url == "example.com/a~b?id=2"
