@@ -1255,16 +1255,22 @@ def lag_value_delta(spark, sf_dir):
     "json_props_stats_by_type",
     """
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS sum_k,
-           count(json_extract_string(props, '$.k')) AS n_with_k
+           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
     FROM events
     GROUP BY 1
     """,
 )
 def json_props_stats(spark, sf_dir):
     """JSON column ops: get_json_object extraction + per-type
-    aggregate over the parsed field."""
+    aggregate over the parsed field. Both engines count rows where
+    ``$.k`` exists AND parses as an integer (Spark's cast nulls
+    non-numeric values; the oracle mirrors with TRY_CAST — a bare
+    count(json_extract_string(...)) would count non-numeric strings
+    Spark excludes, and a hard CAST would ABORT the oracle on them;
+    review finding, previously green only because the fixture's k is
+    always numeric)."""
     ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return ev.groupBy("event_type").agg(
@@ -2745,13 +2751,15 @@ def zorder_extents_q(spark, sf_dir):
     from lightsaber_spark.sources.partitioning import zorder_key
 
     ev = _events(spark, sf_dir)
-    day = (epoch_us(ev, "ts") / 86_400_000_000).cast("bigint")
-    e = ev.select(
-        (F.col("user_id") % 256).alias("x"), (day % 256).alias("y")
+    # integer DIV on the epoch and on the key (never float '/'+cast —
+    # CLAUDE.md exactness invariant; review finding)
+    e = ev.select(F.col("user_id"), epoch_us(ev, "ts").alias("_us")).select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.expr("_us DIV 86400000000") % 256).alias("y"),
     )
     z = e.select(
-        "x", "y", (zorder_key(F.col("x"), F.col("y"), 8) / 16).cast("bigint").alias("bucket")
-    )
+        "x", "y", zorder_key(F.col("x"), F.col("y"), 8).alias("_zk")
+    ).select("x", "y", F.expr("_zk DIV 16").alias("bucket"))
     return z.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.min("x").alias("min_x"),
@@ -2880,7 +2888,13 @@ def cohort_retention_q(spark, sf_dir):
     e = ev.select("user_id", epoch_us(ev, "ts").alias("_us")).select(
         "user_id", F.expr("CAST(_us DIV 86400000000 AS BIGINT)").alias("day")
     )
-    act = e.distinct()
+    # distinct is a full shuffle feeding BOTH the probe side and the
+    # cohort derivation — persist (register_cache lifecycle; AQE
+    # exchange reuse is not reliable, CLAUDE.md rule the sibling
+    # window_corr query already follows)
+    from lightsaber_spark.functions.dedup import register_cache
+
+    act = register_cache(e.distinct())
     first = act.groupBy("user_id").agg(F.min("day").alias("cohort"))
     sizes = first.groupBy("cohort").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_size")

@@ -111,7 +111,14 @@ def streaming_zscore_outliers(
         )
 
     return (
-        stream.select(
+        # null value/ts rows are dropped BEFORE the stateful op: Arrow
+        # would hand the long _x over as float64 + NaN and int(NaN)
+        # kills the query (review finding); a null can't contribute to
+        # window stats in any case
+        stream.filter(
+            F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(
             "event_id",
             ts_col,
             key_col,

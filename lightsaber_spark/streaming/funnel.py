@@ -107,7 +107,9 @@ def streaming_funnel(
     # exists only for users who actually entered the funnel
     return (
         stream.select(user_col, ts_col, type_col)
-        .filter(F.col(type_col).isin(stages))
+        # isin also drops null types; a null ts would reach pandas as
+        # NaT and astype('int64') poisons the fold (review finding)
+        .filter(F.col(type_col).isin(stages) & F.col(ts_col).isNotNull())
         .groupBy(user_col)
         .applyInPandasWithState(fn, out_schema, state_schema, "update", "NoTimeout")
     )

@@ -28,15 +28,19 @@ def streaming_ohlc(
     size_sec: int,
     keys: tuple[str, ...] = (),
     watermark: str = "0 seconds",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """(window_start, keys..., n, open_value, close_value, high_value,
-    low_value) per tumbling event-time window over a stream."""
+    low_value) per tumbling event-time window over a stream.
+    ``tiebreak_col`` orders equal-timestamp events deterministically
+    (review finding: it was a hardcoded ``event_id`` schema
+    requirement the signature never declared)."""
     s = stream.withWatermark(ts_col, watermark)
     first = F.min(
-        F.struct(F.col(ts_col), F.col("event_id"), F.col(value_col))
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
     )
     last = F.max(
-        F.struct(F.col(ts_col), F.col("event_id"), F.col(value_col))
+        F.struct(F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
     )
     return (
         s.groupBy(
