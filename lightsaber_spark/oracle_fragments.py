@@ -20,3 +20,36 @@ SHINGLES = (
 )
 H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def minhash_sig_parts(n_hashes: int = 32, bands: int = 8, seed: int = 42):
+    """``(consts, r, mins, band_cols, stacked)`` — the shared SQL
+    fragments of the MinHash signature recipe (LCG permutations over
+    the 60-bit shingle hash folded to X_BITS, per-band md5 keys, the
+    band/bucket unpivot). SINGLE-SOURCED here because five oracles
+    (minhash LSH, minhash+Levenshtein, delta-vs-corpus, data card,
+    calibration) used to regenerate these ~15 lines verbatim — any
+    tweak to the recipe (seed, band separator, fold) had to be
+    replicated five times or one oracle silently drifted from
+    ``minhash_band_keys_udf`` (review finding; the ``_LINE_AUG_SQL``
+    comment states the same single-sourcing rule). Imported lazily to
+    keep this module import-cycle-free."""
+    from lightsaber_spark.functions.dedup import MERSENNE_61, _lcg_constants
+
+    consts = _lcg_constants(n_hashes, seed)
+    r = n_hashes // bands
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{b * r + j}" for j in range(r))
+        + f")) AS band{b}"
+        for b in range(bands)
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
+        for b in range(bands)
+    )
+    return consts, r, mins, band_cols, stacked

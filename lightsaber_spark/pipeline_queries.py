@@ -76,7 +76,13 @@ def _embs(spark, sf_dir):
 # shared oracle fragments live in the leaf module oracle_fragments (so
 # staged_queries can use them without an import back-edge); re-exported
 # here for existing call sites.
-from lightsaber_spark.oracle_fragments import H60, NORM, SHINGLES, TOKS  # noqa: E402
+from lightsaber_spark.oracle_fragments import (  # noqa: E402
+    H60,
+    NORM,
+    SHINGLES,
+    TOKS,
+    minhash_sig_parts,
+)
 
 _JACCARD_CTE = f"""
   toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
@@ -575,17 +581,8 @@ def q_dedup_ngram(spark, sf_dir):
 
 
 def _minhash_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
-    consts = _lcg_constants(n_hashes, seed)
-    r = n_hashes // bands
-    mins = ",\n           ".join(
-        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}" for j, (a, b) in enumerate(consts)
-    )
-    band_cols = ",\n           ".join(
-        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
-        for b in range(bands)
-    )
-    stacked = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded" for b in range(bands)
+    consts, r, mins, band_cols, stacked = minhash_sig_parts(
+        n_hashes, bands, seed
     )
     return f"""
     WITH {_JACCARD_CTE},
@@ -720,8 +717,14 @@ _COS = (
     """,
 )
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding near-dup pairs above a cosine threshold: LSH-banded
-    candidates + exact integer verify."""
+    """Embedding near-dup pairs above a cosine threshold via the EXACT
+    blocked-GEMM all-pairs path (`blocked_allpairs_cosine`) — the
+    semantics anchor the oracle's literal a×b join mirrors. This is
+    O(n²) by design and test-scale-only at full-corpus inputs; the
+    production route is `dedup_embedding_lsh` (banded candidates +
+    exact verify of candidates only), for which THIS query is the
+    exact reference. (The docstring used to claim the LSH route here —
+    wrong; review finding.)"""
     return embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.35)
 
 
@@ -1048,7 +1051,13 @@ def _semdedup_corpus_state(spark, sf_dir, corpus, materialize_dir=None):
 
     from lightsaber_spark.session import materialize_parquet_once
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # the cache key must encode EVERY parameter the frozen state
+    # depends on, not just the corpus location (review finding: an
+    # sf_dir-only key silently reused the old tau/k's kept set after a
+    # parameter change — the same reason the passage index bakes k
+    # into its path)
+    ident = f"{sf_dir}|tau={_SEMDEDUP_TAU}|k=4|iters=2|split=mod10"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:12]
     root = materialize_dir.rstrip("/")
     cents_pq = materialize_parquet_once(
         spark,
@@ -1237,19 +1246,31 @@ def q_multimodal_frames(spark, sf_dir):
 # Session windows (executable SESSION type — dead enum in the reference,
 # WindowDefinition.h:14,55-58) and as-of join
 # ---------------------------------------------------------------------------
-@query(
-    "session_windows_per_user",
-    """
-    WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+# Gaps-and-islands sessionization over events — shared by the
+# session_windows_per_user oracle AND _SESS_DUR_SRC (single-sourced so
+# the gap rule can't drift between the two; review finding). Ends with
+# CTE ``s`` carrying (user_id, us, sid). BOUNDARY: an event at exactly
+# last + gap MERGES (`> gap` starts a new session) — Spark's
+# session_window rule, pinned empirically by
+# test_streaming_sessions_exact_gap_boundary_matches_batch; the old
+# `>=` here split the exact-gap pair no fixture happens to contain.
+_SESSIONIZE_CTES = """
+    o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
     d AS (SELECT user_id, us,
                  CASE WHEN lag(us) OVER w IS NULL
-                        OR us - lag(us) OVER w >= 1800000000
+                        OR us - lag(us) OVER w > 1800000000
                       THEN 1 ELSE 0 END AS brk
           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
     s AS (SELECT user_id, us,
                  sum(brk) OVER (PARTITION BY user_id ORDER BY us
                                 ROWS UNBOUNDED PRECEDING) AS sid
-          FROM d)
+          FROM d)"""
+
+
+@query(
+    "session_windows_per_user",
+    f"""
+    WITH {_SESSIONIZE_CTES}
     SELECT user_id, min(us) AS session_start_us,
            max(us) + 1800000000 AS session_end_us, count(*) AS n
     FROM s GROUP BY user_id, sid
@@ -2123,17 +2144,8 @@ _LEV_MAX_BUCKET = 256
 
 
 def _minhash_lev_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
-    consts = _lcg_constants(n_hashes, seed)
-    r = n_hashes // bands
-    mins = ",\n           ".join(
-        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}" for j, (a, b) in enumerate(consts)
-    )
-    band_cols = ",\n           ".join(
-        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
-        for b in range(bands)
-    )
-    stacked = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded" for b in range(bands)
+    consts, r, mins, band_cols, stacked = minhash_sig_parts(
+        n_hashes, bands, seed
     )
     return f"""
     WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
@@ -2537,9 +2549,17 @@ def q_rare_token_counts(spark, sf_dir):
     is tail-sized (most of the vocabulary), so doc→token stays a
     shuffle join, not a broadcast."""
     docs = _docs(spark, sf_dir)
-    dt = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    from lightsaber_spark.functions.dedup import register_cache
+
+    # dt feeds BOTH the df aggregate and the join probe — persist it
+    # (register_cache lifecycle) or the corpus tokenize+explode runs
+    # twice (CLAUDE.md multiply-referenced-subplan rule; review
+    # finding — the sibling collocations/data-card queries already do)
+    dt = register_cache(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     rare = (
@@ -2815,8 +2835,12 @@ def q_surprisal_topk(spark, sf_dir):
     TakeOrderedAndProject for the k-boundary (ties broken by
     doc_id)."""
     docs = _docs(spark, sf_dir)
-    occ = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    from lightsaber_spark.functions.dedup import register_cache
+
+    # occ feeds BOTH the df aggregate and the join probe — persist it
+    # (same rule as q_rare_token_counts above)
+    occ = register_cache(
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     )
     dfreq = occ.groupBy("tok").agg(
         F.count_distinct("doc_id").cast("bigint").alias("df")
@@ -2846,19 +2870,8 @@ def q_surprisal_topk(spark, sf_dir):
 # already kept, never corpus×corpus again). Delta = doc_id % 10 == 0.
 # ---------------------------------------------------------------------------
 def _delta_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
-    consts = _lcg_constants(n_hashes, seed)
-    r = n_hashes // bands
-    mins = ",\n           ".join(
-        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}"
-        for j, (a, b) in enumerate(consts)
-    )
-    band_cols = ",\n           ".join(
-        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
-        for b in range(bands)
-    )
-    stacked = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
-        for b in range(bands)
+    consts, r, mins, band_cols, stacked = minhash_sig_parts(
+        n_hashes, bands, seed
     )
     return f"""
     WITH {_JACCARD_CTE},
@@ -3143,17 +3156,8 @@ from lightsaber_spark.functions.sketches import (
     bottomk_sample_quantiles as _bq,
 )
 
-_SESS_DUR_SRC = """(
-    WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-    d AS (SELECT user_id, us,
-                 CASE WHEN lag(us) OVER w IS NULL
-                        OR us - lag(us) OVER w >= 1800000000
-                      THEN 1 ELSE 0 END AS brk
-          FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-    s AS (SELECT user_id, us,
-                 sum(brk) OVER (PARTITION BY user_id ORDER BY us
-                                ROWS UNBOUNDED PRECEDING) AS sid
-          FROM d)
+_SESS_DUR_SRC = f"""(
+    WITH {_SESSIONIZE_CTES}
     SELECT 'all' AS grp,
            CAST(max(us) - min(us) AS BIGINT) AS duration_us,
            CAST(min(us) * 1000 + user_id % 1000 AS BIGINT) AS tb_id
@@ -3229,19 +3233,8 @@ def q_asof_broadcast(spark, sf_dir):
 # composed from the existing operators in ONE lazy plan.
 # ---------------------------------------------------------------------------
 def _data_card_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str:
-    consts = _lcg_constants(n_hashes, seed)
-    r = n_hashes // bands
-    mins = ",\n           ".join(
-        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}"
-        for j, (a, b) in enumerate(consts)
-    )
-    band_cols = ",\n           ".join(
-        "md5(concat_ws(',', " + ", ".join(f"h{b*r+j}" for j in range(r)) + f")) AS band{b}"
-        for b in range(bands)
-    )
-    stacked = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
-        for b in range(bands)
+    consts, r, mins, band_cols, stacked = minhash_sig_parts(
+        n_hashes, bands, seed
     )
     return f"""
     WITH {_JACCARD_CTE},

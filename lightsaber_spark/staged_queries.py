@@ -1,16 +1,14 @@
-"""Queries STAGED for registration after the round-4 driver sweep.
+"""Queries originally STAGED during round 4 — REGISTERED since round 5.
 
-Round-3 verdict item #1 froze the `__spark_entry__` registry for round
-4: the fronted block (13 canonical + 24 never-swept + 13 hash-staled)
-is exactly the driver's ~50-query sweep cap, so registering anything
-new this round would push a pending query out of its verification slot.
-
-These queries are therefore built, oracle-twinned, and pytest-verified
-now (tests/test_staged_queries.py runs the driver-mirror compare at
-sf0.001) but kept OUT of ``lightsaber_spark.queries`` /
-``__spark_entry__`` until round 5.  To register: import this module
-from ``pipeline_queries.py`` and merge the two dicts (one line each) —
-their staleness hashes are recorded at that point like any new query.
+Historical note: round-3 verdict item #1 froze the `__spark_entry__`
+registry for round 4 (the fronted block filled the driver's ~50-query
+sweep cap), so these were built, oracle-twinned, and pytest-verified
+here first (tests/test_staged_queries.py runs the driver-mirror
+compare at sf0.001) and merged at round-5 start. They ARE in the live
+registry today: ``pipeline_queries.py`` imports
+``STAGED_SPARK_QUERIES`` / ``STAGED_ORACLE_SQL`` and merges them into
+``SPARK_QUERIES`` / ``ORACLE_SQL``, so they sweep, hash-stale, and
+audit like any other query — only the module name is historical.
 
 Contents (15 queries, each filling a genuine gap in the 146-query
 catalog), by family:
@@ -287,6 +285,7 @@ def weighted_poisson_sample_by_source(
 WITH _c AS (
   SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v
   FROM events
+  WHERE value IS NOT NULL
 ),
 _o AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id)
@@ -336,7 +335,11 @@ def mad_outlier_bounds_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_median_value_by_type; windows are partitioned by event_type
     so the sort is partition-parallel."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    c = ev.select(
+    # NULL values are excluded in BOTH engines: the sort key `v` would
+    # otherwise rank NULLS FIRST in Spark but NULLS LAST in DuckDB,
+    # shifting every median/MAD rank differently per engine (review
+    # finding — latent; shipped fixtures carry no null values)
+    c = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("v"),
@@ -656,24 +659,16 @@ def mixture_apply_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_calibration_oracle(
     n_hashes: int = 32, bands: int = 8, seed: int = 42
 ) -> str:
-    from lightsaber_spark.functions.dedup import MERSENNE_61, X_BITS, _lcg_constants
-    from lightsaber_spark.oracle_fragments import H60, SHINGLES, TOKS
+    from lightsaber_spark.functions.dedup import X_BITS
+    from lightsaber_spark.oracle_fragments import (
+        H60,
+        SHINGLES,
+        TOKS,
+        minhash_sig_parts,
+    )
 
-    consts = _lcg_constants(n_hashes, seed)
-    r = n_hashes // bands
-    mins = ",\n           ".join(
-        f"min(({a} * x + {b}) % {MERSENNE_61}) AS h{j}"
-        for j, (a, b) in enumerate(consts)
-    )
-    band_cols = ",\n           ".join(
-        "md5(concat_ws(',', "
-        + ", ".join(f"h{b * r + j}" for j in range(r))
-        + f")) AS band{b}"
-        for b in range(bands)
-    )
-    stacked = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, band{b} AS bucket FROM banded"
-        for b in range(bands)
+    consts, r, mins, band_cols, stacked = minhash_sig_parts(
+        n_hashes, bands, seed
     )
     matches = " + ".join(
         f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END"
@@ -902,6 +897,7 @@ WITH _o AS (
          LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT prev_type, event_type AS next_type,
        CAST(COUNT(*) AS BIGINT) AS n
@@ -914,7 +910,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (deterministic (ts, event_id) order): the user-journey mining
     companion to the funnel query."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    o = ev.withColumn(
+    # NULL ts excluded in BOTH engines — the lag ordering would rank
+    # NULLS FIRST in Spark vs NULLS LAST in DuckDB, changing which
+    # bigram each event forms (review finding — latent; fixtures carry
+    # no null ts)
+    o = ev.filter(F.col("ts").isNotNull()).withColumn(
         "prev_type",
         F.lag("event_type").over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")

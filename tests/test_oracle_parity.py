@@ -104,3 +104,51 @@ def test_query_and_oracle_column_names_align(spark, duck):
         if duck_cols != spark_cols:
             bad.append(f"{name}: spark={spark_cols} duck={duck_cols}")
     assert not bad, "column-name mismatches:\n" + "\n".join(bad)
+
+
+def test_sessionize_oracle_merges_exact_gap_like_spark(spark):
+    """The shared sessionization CTE (_SESSIONIZE_CTES) must merge an
+    event at exactly last + gap, because Spark's session_window does
+    (pinned empirically in test_streaming). The old `>=` break rule
+    split that pair — a latent cross-engine divergence no fixture
+    happened to contain (review finding, r11 continuation)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.pipeline_queries import _SESSIONIZE_CTES
+    from lightsaber_spark.streaming.sessions import session_window_agg
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # exactly gap (1800 s) later
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:30:00.000001"),  # 1 µs past the gap: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r.user_id, r.session_start_us, r["n"])
+        for r in session_window_agg(
+            df, "ts", 1800, [("count", None, "n")], keys=["user_id"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, TIMESTAMP '{t}')" for u, t in rows
+        )
+        + ") t(user_id, ts)"
+    )
+    sql = (
+        "WITH " + _SESSIONIZE_CTES.replace("epoch_us(ts)", "epoch_us(ts)::BIGINT")
+        + " SELECT user_id, min(us) AS session_start_us, "
+        "CAST(count(*) AS BIGINT) AS n FROM s GROUP BY user_id, sid"
+    )
+    want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == want
+    # user 1 merged into ONE session of 2; user 2 split into two
+    assert (1, 1704067200000000, 2) in got
+    assert sum(1 for u, *_ in got if u == 2) == 2
