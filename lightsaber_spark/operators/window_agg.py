@@ -14,8 +14,12 @@ Spark-first design
   ``epoch_us``-based oracle, (c) avoids carrying a struct column
   through the shuffle. Semantics match ``F.window``: starts are
   epoch-aligned multiples of ``slide`` and row t ∈ window s iff
-  ``s <= t < s+size``. (Event times must be >= epoch; truncating and
-  floor division agree there.)
+  ``s <= t < s+size``. Event times must be >= epoch, but the shifted
+  operand ``t − size`` can still be negative for t < size, where
+  truncating division ≠ floor — every bucket/start site therefore uses
+  exact floor division (``pmod`` for the µs sites, ``-floor(-x)`` for
+  the pane path), so all strategies and the DuckDB oracle's ``//``
+  agree on the earliest windows too.
 * Tumbling: one hash aggregation, map-side combinable.
 * Short sliding windows: per-row expansion to the size/slide containing
   window starts (``explode(sequence(...))``) then one aggregation —
@@ -217,10 +221,16 @@ def _window_starts(us: Column, size_sec: int, slide_sec: int) -> Column:
     """Array of window starts (bigint seconds) containing time ``us``:
     multiples s of slide with s <= t < s+size."""
     s_max = _exact_bucket(us, slide_sec)
-    # smallest multiple of slide strictly greater than t - size
+    # smallest multiple of slide strictly greater than t - size:
+    # floor(shifted/step) + 1. The shifted operand is negative for
+    # t < size, so exact floor needs pmod (Spark's % truncates toward
+    # zero); subtracting pmod yields an exact multiple, so the double
+    # division is exact (quotient < 2^53).
     shifted = us - F.lit(size_sec * US).cast("bigint")
     step_us = F.lit(slide_sec * US).cast("bigint")
-    s_min = (((shifted - (shifted % step_us)) / step_us).cast("bigint") + 1) * F.lit(slide_sec)
+    s_min = (
+        ((shifted - F.pmod(shifted, step_us)) / step_us).cast("bigint") + 1
+    ) * F.lit(slide_sec)
     return F.sequence(s_min, s_max, F.lit(slide_sec).cast("bigint"))
 
 
@@ -549,8 +559,12 @@ def window_spine(
     )
     lo, hi = F.col("_lo"), F.col("_hi")
     step_us = F.lit(slide_sec * US).cast("bigint")
+    # exact floor on the (possibly negative, lo < size) shifted operand —
+    # pmod, not %, mirrors _window_starts' s_min
     shifted = lo - F.lit(size_sec * US).cast("bigint")
-    first = (((shifted - (shifted % step_us)) / step_us).cast("bigint") + 1) * F.lit(slide_sec)
+    first = (
+        ((shifted - F.pmod(shifted, step_us)) / step_us).cast("bigint") + 1
+    ) * F.lit(slide_sec)
     last = (((hi - (hi % step_us)) / step_us)).cast("bigint") * F.lit(slide_sec)
     # index space i = window_start / slide; chunk c owns i ∈ [c·spc, (c+1)·spc)
     i_lo = (first / F.lit(slide_sec)).cast("bigint")

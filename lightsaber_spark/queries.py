@@ -78,11 +78,23 @@ def _with_cents(df: DataFrame, col: str = "value") -> DataFrame:
 CENTS = "CAST(round(value * 100) AS BIGINT)"
 
 
+def _floor_min_start(x_us: str, size: int, slide: int) -> str:
+    """Smallest slide-multiple (in SECONDS) strictly greater than
+    ``x_us − size``: exact integer floor((x−size)/step) + 1. The shifted
+    operand is negative whenever x < size (near-epoch data) and DuckDB's
+    integer ``//`` truncates toward zero there — subtracting the
+    positive mod first makes the numerator an exact multiple, so
+    truncation and floor agree (mirrors window_agg.py's F.pmod form)."""
+    step = slide * 1_000_000
+    sh = f"({x_us} - {size * 1_000_000})"
+    return f"((({sh} - (({sh} % {step}) + {step}) % {step}) // {step} + 1) * {slide})"
+
+
 def _slide_expand(size: int, slide: int, src: str = "events", pred: str = "TRUE") -> str:
     """Per-row expansion of sliding-window starts, exact integer µs."""
     return f"""
       SELECT *, unnest(generate_series(
-          ((epoch_us(ts) - {size * 1_000_000}) // {slide * 1_000_000} + 1) * {slide},
+          {_floor_min_start("epoch_us(ts)", size, slide)},
           (epoch_us(ts) // {slide * 1_000_000}) * {slide},
           {slide})) AS window_start
       FROM {src} WHERE {pred}
@@ -521,7 +533,7 @@ def lrb2(spark, sf_dir):
     b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM e),
     spine AS (
       SELECT unnest(generate_series(
-        ((lo - 21600000000) // 21600000000 + 1) * 21600,
+        {_floor_min_start("lo", 21600, 21600)},
         (hi // 21600000000) * 21600, 21600)) AS window_start
       FROM b
     ),
@@ -814,7 +826,7 @@ def wavg_sliding(spark, sf_dir):
     b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM e),
     spine AS (
       SELECT unnest(generate_series(
-        ((lo - 7200000000) // 1800000000 + 1) * 1800,
+        {_floor_min_start("lo", 7200, 1800)},
         (hi // 1800000000) * 1800, 1800)) AS window_start
       FROM b
     ),
@@ -1254,25 +1266,39 @@ def lag_value_delta(spark, sf_dir):
 @query(
     "json_props_stats_by_type",
     """
+    WITH e AS (
+      SELECT event_type,
+             CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                      '^-?[0-9]+$')
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events)
     SELECT event_type,
-           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-             AS sum_k,
-           count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
-    FROM events
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(k) AS n_with_k
+    FROM e
     GROUP BY 1
     """,
 )
 def json_props_stats(spark, sf_dir):
     """JSON column ops: get_json_object extraction + per-type
     aggregate over the parsed field. Both engines count rows where
-    ``$.k`` exists AND parses as an integer (Spark's cast nulls
-    non-numeric values; the oracle mirrors with TRY_CAST — a bare
-    count(json_extract_string(...)) would count non-numeric strings
-    Spark excludes, and a hard CAST would ABORT the oracle on them;
-    review finding, previously green only because the fixture's k is
-    always numeric)."""
-    ev = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    ``$.k`` exists AND matches an INTEGER regex before casting —
+    the regex gate is the cross-engine contract, because the bare
+    casts genuinely disagree on non-integral strings: DuckDB
+    ``TRY_CAST('12.5' AS BIGINT)`` ROUNDS to 13, while this
+    deployment's Spark (4.1.2, default ANSI on) would THROW on a
+    plain cast and null on try_cast (r11 ADVICE — the earlier
+    'Spark's cast nulls non-numeric' rationale only holds with ANSI
+    off). try_cast behind the gate keeps the plan throw-free even
+    for strings the regex admits."""
+    ev = _events(spark, sf_dir).withColumn(
+        "_ks", F.get_json_object(F.col("props"), "$.k")
+    )
+    k = F.when(
+        F.col("_ks").rlike("^-?[0-9]+$"),
+        F.expr("try_cast(_ks AS bigint)"),
+    )
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
     )

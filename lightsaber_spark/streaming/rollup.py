@@ -102,9 +102,13 @@ def rollup_view(
     measures: Sequence[tuple[str, str | None, str]],
     keys: Sequence[str],
 ) -> DataFrame:
-    """Finish the merge: partial rows → one row per (pane, keys)."""
+    """Finish the merge: partial rows → one row per (pane, keys).
+
+    ``_batch_id=-2`` is :func:`compact`'s staging partition — never
+    part of the readable state (partition pruning skips its files)."""
     return (
         spark.read.parquet(out_path)
+        .filter(F.col("_batch_id") != -2)
         .groupBy("pane_start", *list(keys))
         .agg(*_merge_aggs(measures))
     )
@@ -176,13 +180,54 @@ def compact(
     double-count it; review finding). It folds on the next compact,
     once a later batch exists above it.
 
-    Crash caveat (documented, not transactional): compact publishes
-    the merged ``-1`` partition first (dynamic partition overwrite),
-    then prunes the folded partitions. A crash between the two leaves
-    the folded batches counted twice; the repair is to finish the
-    prune — delete every ``_batch_id=<n>`` directory except the
-    highest. Cleanup uses the Hadoop FS API, so remote stores
-    (hdfs://, s3a://) are pruned too, not just local paths."""
+    Consistency (r11 ADVICE — staged swap, self-healing): the merge is
+    STAGED under the ``_batch_id=-2`` sentinel partition, which every
+    reader (:func:`rollup_view`) filters out, then committed by
+    writing one hidden ``_fold_<i>`` marker per folded id, and only
+    then swapped in: folded directories (including the old ``-1``) are
+    deleted and the stage is RENAMED to ``-1``. A concurrent reader
+    therefore never double-counts — the old state stays fully readable
+    until the swap begins. A crash anywhere is repaired AUTOMATICALLY
+    by the next compact: an uncommitted stage (no markers) is
+    discarded; a committed stage is rolled forward (markers name
+    exactly the directories still to prune — later appended batches
+    are untouched and ids never recur, the checkpoint survives the
+    crash). The only residual window is the swap itself, where a
+    concurrent reader can transiently UNDERCOUNT the folded ids;
+    quiesce readers across compact when strict monotonic reads are
+    required. All FS ops use the Hadoop API, so remote stores
+    (hdfs://, s3a://) work too."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(out_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    base = out_path.rstrip("/")
+    stage = f"{base}/_batch_id=-2"
+
+    def _markers(path: str) -> list[int]:
+        if not fs.exists(hpath(path)):
+            return []
+        return sorted(
+            int(st.getPath().getName()[len("_fold_"):])
+            for st in fs.listStatus(hpath(path))
+            if st.getPath().getName().startswith("_fold_")
+        )
+
+    def _swap(fold_ids: list[int]) -> None:
+        # prune the folded dirs (incl. old -1), then publish the stage
+        for i in fold_ids:
+            fs.delete(hpath(f"{base}/_batch_id={i}"), True)
+        fs.rename(hpath(stage), hpath(f"{base}/_batch_id=-1"))
+        for i in fold_ids:  # tidy the (hidden) markers off the new -1
+            fs.delete(hpath(f"{base}/_batch_id=-1/_fold_{i}"), False)
+
+    # recovery: a leftover stage is rolled forward iff committed
+    if fs.exists(hpath(stage)):
+        prior = _markers(stage)
+        if prior:
+            _swap(prior)
+        else:
+            fs.delete(hpath(stage), True)
+
     raw = spark.read.parquet(out_path)
     # bounded collect: one id per micro-batch partition
     ids = sorted(r[0] for r in raw.select("_batch_id").distinct().collect())
@@ -197,22 +242,10 @@ def compact(
         raw.filter(F.col("_batch_id").isin(fold))
         .groupBy("pane_start", *list(keys))
         .agg(*_merge_aggs(measures))
-        .withColumn("_batch_id", F.lit(-1))
     )
-    tmp = out_path.rstrip("/") + ".compact.tmp"
-    merged.write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
-    fresh = spark.read.parquet(tmp)
-    (
-        fresh.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_batch_id")
-        .parquet(out_path)
-    )
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(out_path).getFileSystem(spark._jsc.hadoopConfiguration())
-    base = out_path.rstrip("/")
-    for i in fold:
-        if i != -1:
-            fs.delete(hpath(f"{base}/_batch_id={i}"), True)
-    fs.delete(hpath(tmp), True)
+    # stage: plain parquet dir whose NAME carries the partition value —
+    # identical layout to a partitionBy write (no _batch_id in files)
+    merged.write.mode("overwrite").parquet(stage)
+    for i in fold:  # commit point: markers present = stage is complete
+        fs.create(hpath(f"{stage}/_fold_{i}"), True).close()
+    _swap(fold)

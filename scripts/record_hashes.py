@@ -128,7 +128,19 @@ def _check_tree_clean(rnd: int) -> None:
     sweep = f"CORRECTNESS_r{rnd:02d}.json"
     if not os.path.exists(os.path.join(ROOT, sweep)):
         sweep = f"CORRECTNESS_r{rnd}.json"
-    sweep_commit = _git("log", "-1", "--format=%H", "--", sweep)
+    # Anchor on the FIRST commit that ADDED the sweep file (the driver's
+    # write), not the newest commit touching it — a later reformat/doc
+    # commit touching the file must not let query edits made in between
+    # escape the refusal (r11 ADVICE).
+    # (no --follow: rename detection would chase the path into an OLDER
+    # round's sweep file and anchor on its add instead)
+    sweep_commit = _git(
+        "log", "--diff-filter=A", "--format=%H", "--", sweep
+    )
+    sweep_commit = sweep_commit.splitlines()[0] if sweep_commit else ""
+    if not sweep_commit:
+        # never ADDED in history (e.g. untracked) — fall back to newest touch
+        sweep_commit = _git("log", "-1", "--format=%H", "--", sweep)
     if not sweep_commit:
         return  # sweep file uncommitted/untracked — history can't date it
     later = _git("log", "--oneline", f"{sweep_commit}..HEAD", "--",

@@ -152,3 +152,51 @@ def test_sessionize_oracle_merges_exact_gap_like_spark(spark):
     # user 1 merged into ONE session of 2; user 2 split into two
     assert (1, 1704067200000000, 2) in got
     assert sum(1 for u, *_ in got if u == 2) == 2
+
+
+def test_json_props_cast_gate_pins_cross_engine_divergence(spark):
+    """The json_props_stats regex gate is the cross-engine contract
+    (r11 ADVICE): on non-integral strings the bare casts genuinely
+    disagree — DuckDB TRY_CAST('12.5' AS BIGINT) ROUNDS to 13, Spark
+    try_cast nulls, and Spark's plain cast under this deployment's
+    default-ANSI config would THROW. Gated identically, both engines
+    must agree on a fixture exercising every class: integer, negative
+    integer, decimal string, non-numeric, missing key, null props."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    props = [
+        ('{"k": "7"}',),
+        ('{"k": "-3"}',),
+        ('{"k": "12.5"}',),   # the divergent class the gate excludes
+        ('{"k": "x"}',),
+        ('{"j": "9"}',),      # no $.k
+        (None,),
+    ]
+    df = spark.createDataFrame(props, "props string").withColumn(
+        "_ks", F.get_json_object(F.col("props"), "$.k")
+    )
+    k = F.when(F.col("_ks").rlike("^-?[0-9]+$"), F.expr("try_cast(_ks AS bigint)"))
+    got = df.agg(
+        F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
+    ).collect()[0]
+    con = duckdb.connect()
+    vals = ", ".join("(NULL)" if p[0] is None else f"('{p[0]}')" for p in props)
+    want = con.execute(
+        f"""
+        WITH e AS (
+          SELECT CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                          '^-?[0-9]+$')
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 END AS k
+          FROM (VALUES {vals}) t(props))
+        SELECT CAST(sum(k) AS BIGINT), count(k) FROM e
+        """
+    ).fetchone()
+    assert (got.sum_k, got.n_with_k) == (want[0], want[1]) == (4, 2)
+    # and the divergence the gate protects against is real:
+    assert con.execute(
+        "SELECT TRY_CAST('12.5' AS BIGINT)"
+    ).fetchone()[0] == 13
+    assert spark.sql("SELECT try_cast('12.5' AS BIGINT)").collect()[0][0] is None

@@ -1844,3 +1844,72 @@ def test_streaming_sessions_exact_gap_boundary_matches_batch(spark, tmp_path):
     # 0s never passes it) and nothing is emitted; a strict rule would
     # have emitted u's split first session here
     assert got == set()
+
+
+def test_compact_staged_swap_and_recovery(spark, tmp_path):
+    """compact()'s r12 staged swap (r11 ADVICE): the merge is staged
+    under _batch_id=-2 (invisible to rollup_view — concurrent readers
+    never double-count), committed via _fold_<i> markers, then swapped
+    in. Crash repair is automatic: an uncommitted stage (no markers) is
+    discarded; a committed one is rolled forward before the next fold."""
+    import os
+    import shutil
+
+    from lightsaber_spark.streaming.rollup import _merge_aggs, compact, rollup_view
+
+    measures = [("sum", "value", "sum_v"), ("count", None, "n")]
+    keys = ["event_type"]
+    out = str(tmp_path / "roll")
+    cols = ["pane_start", "event_type", "sum_v", "n"]
+
+    def write_batch(bid):
+        df = spark.createDataFrame(
+            [(0, "a", 1.0 * (bid + 1)), (0, "b", 2.0), (3600, "a", 3.0)],
+            "pane_start long, event_type string, value double",
+        )
+        (
+            df.groupBy("pane_start", "event_type")
+            .agg(F.sum("value").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+            .withColumn("_batch_id", F.lit(bid))
+            .write.mode("append").partitionBy("_batch_id").parquet(out)
+        )
+
+    def view_rows():
+        return sorted(
+            map(tuple, rollup_view(spark, out, measures, keys).select(*cols).collect())
+        )
+
+    def dirs():
+        return sorted(d for d in os.listdir(out) if d.startswith("_batch_id="))
+
+    for bid in (0, 1, 2):
+        write_batch(bid)
+    want0 = view_rows()
+
+    # an UNCOMMITTED stage (crash mid-write: data, no markers) is
+    # invisible to readers and discarded by the next compact
+    stage = out + "/_batch_id=-2"
+    shutil.copytree(out + "/_batch_id=0", stage)
+    assert view_rows() == want0
+    compact(spark, out, measures, keys)
+    assert dirs() == ["_batch_id=-1", "_batch_id=2"]  # 0,1 folded, stage gone
+    assert view_rows() == want0
+
+    # a COMMITTED stage (markers present = crash after commit, before
+    # swap) is still invisible, then rolled forward verbatim
+    write_batch(3)
+    want1 = view_rows()
+    fold = [-1, 2]
+    (
+        spark.read.parquet(out)
+        .filter(F.col("_batch_id").isin(fold))
+        .groupBy("pane_start", *keys)
+        .agg(*_merge_aggs(measures))
+        .write.mode("overwrite").parquet(stage)
+    )
+    for i in fold:
+        open(f"{stage}/_fold_{i}", "w").close()
+    assert view_rows() == want1
+    compact(spark, out, measures, keys)
+    assert dirs() == ["_batch_id=-1", "_batch_id=3"]
+    assert view_rows() == want1

@@ -100,6 +100,54 @@ def test_float32_output_parity_mode(events):
         )
 
 
+def test_near_epoch_strategy_equivalence_and_oracle(spark, duck):
+    """Regression (r11 review, fixed r12): for events with t < size_sec
+    the shifted operand t − size is NEGATIVE, where truncating division
+    ≠ floor — both Spark's native-sliding s_min and the DuckDB oracle's
+    bare `//` (DuckDB truncates toward zero: -7 // 2 = -3) used to land
+    on ceil+1 and drop the earliest windows. Worked example: t=50 s,
+    window(7200, 1800) — the earliest containing window starts at
+    −5400 (covers [−5400, 1800)), not −3600. All three strategies and
+    the pmod-fixed oracle must agree, including that window."""
+    rows = [(50, 1.0), (100, 2.0), (3000, 4.0), (7300, 8.0)]
+    df = spark.createDataFrame(rows, "t long, value double")
+    aggs = [("sum", "value", "s"), ("count", None, "n")]
+    got = {}
+    for name, kw in (
+        ("native", {"use_panes": False}),
+        ("panes", {"use_panes": True}),
+        ("prefix", {"use_prefix": True}),
+    ):
+        r = windowed_agg(df, "t", 7200, 1800, aggs, **kw)
+        got[name] = sorted(map(tuple, r.collect()))
+    assert got["native"] == got["panes"] == got["prefix"]
+    starts = {r[0] for r in got["native"]}
+    assert min(starts) == -5400  # the window the truncating form dropped
+    d = duck.execute("""
+        WITH e0(t0, value) AS (VALUES (50, 1.0), (100, 2.0), (3000, 4.0), (7300, 8.0)),
+        e AS (SELECT CAST(t0 AS BIGINT) AS t, value FROM e0),
+        x AS (
+          SELECT *, unnest(generate_series(
+            (((t*1000000 - 7200000000)
+               - (((t*1000000 - 7200000000) % 1800000000) + 1800000000) % 1800000000)
+              // 1800000000 + 1) * 1800,
+            (t*1000000 // 1800000000) * 1800, 1800)) AS ws
+          FROM e)
+        SELECT ws, sum(value), count(*) FROM x GROUP BY 1
+    """).fetchall()
+    ok, msg = rows_match(got["native"], d, float_tol=1e-9)
+    assert ok, msg
+
+
+def test_near_epoch_window_spine(spark):
+    """window_spine's first start uses the same exact-floor form: data
+    spanning [50 s, 7300 s] with window(7200, 1800) spans starts
+    −5400 … 7200 inclusive."""
+    df = spark.createDataFrame([(50,), (7300,)], "t long")
+    starts = sorted(r[0] for r in window_spine(df, "t", 7200, 1800).collect())
+    assert starts == list(range(-5400, 7201, 1800))
+
+
 def test_interpolated_fill_exact_fraction(spark):
     """Linear interpolation over a gapped per-key series: present
     buckets pass through as (v, 1); missing buckets emit the exact
