@@ -2583,7 +2583,7 @@ def q_rare_token_counts(spark, sf_dir):
 # the passages; this measures the cut.
 # ---------------------------------------------------------------------------
 _PASSAGE_INDEX_CACHE: dict[
-    tuple[int, str, str, int, "str | None"], "DataFrame"
+    tuple[int, str, str, int, "str | None", "str | None"], "DataFrame"
 ] = {}
 
 #: max DISTINCT sibling sessions (other live sessions of the same
@@ -2611,10 +2611,14 @@ def release_passage_index() -> int:
     return n
 
 
-def _passage_index(spark, sf_dir, k, materialize_dir=None):
+def _passage_index(spark, sf_dir, k, materialize_dir=None, doc_filter=None):
     """Shared persisted positional-shingle index ``(doc_id, pos, h)``
-    over documents — built ONCE per (session, sf_dir, k) and reused by
+    over documents — built ONCE per (session, sf_dir, k[, doc_filter])
+    and reused by
     both ``dedup_passage_coverage_k10`` and ``dedup_passage_scrub_k10``
+    (``passage_delta_vs_corpus`` passes ``doc_filter`` — a SQL
+    predicate string restricting the indexed docs to the frozen
+    CORPUS subset; part of the cache key and the materialize path)
     (previously each built the identical index: the repo's own
     multiply-referenced-subplan rule, applied across the query
     boundary). Deliberately OUTSIDE the per-query ``register_cache``
@@ -2662,7 +2666,7 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
     if materialize_dir is None:
         materialize_dir = os.environ.get("LIGHTSABER_PASSAGE_INDEX_DIR")
     app = spark.sparkContext.applicationId
-    key = (id(spark), app, sf_dir, k, materialize_dir)
+    key = (id(spark), app, sf_dir, k, materialize_dir, doc_filter)
     got = _PASSAGE_INDEX_CACHE.get(key)
     if got is not None:
         return got
@@ -2701,8 +2705,11 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
         except Exception:
             pass
         del _PASSAGE_INDEX_CACHE[old]
+    src = _docs(spark, sf_dir)
+    if doc_filter:
+        src = src.filter(F.expr(doc_filter))
     idx = (
-        _docs(spark, sf_dir)
+        src
         .select(
             "doc_id",
             F.posexplode(
@@ -2722,9 +2729,10 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None):
         # data under the same path requires deleting the dir first).
         from lightsaber_spark.session import materialize_parquet_once
 
-        path = materialize_dir.rstrip("/") + (
-            f"/passage_index_k{k}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-        )
+        tag = hashlib.md5(
+            (sf_dir + ("|" + doc_filter if doc_filter else "")).encode()
+        ).hexdigest()[:12]
+        path = materialize_dir.rstrip("/") + f"/passage_index_k{k}_{tag}"
         plan = idx
         idx = materialize_parquet_once(spark, lambda: plan, path)
     else:
@@ -2983,6 +2991,147 @@ def q_delta_vs_corpus(spark, sf_dir):
             "doc_id",
             "exact_dup",
             F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("near_candidate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental EXACT-SUBSTRING ingest — the delta rung of the Lee-et-al
+# passage family (the one dedup family that still re-indexed the whole
+# corpus per run, r11 verdict #5): per delta document, duplicated-
+# passage coverage vs the FROZEN corpus index only. Same delta
+# convention as dedup_delta_vs_corpus (doc_id % 10 == 0, plus re-keyed
+# exact copies of corpus docs so full-coverage hits are non-vacuous).
+# ---------------------------------------------------------------------------
+def _passage_delta_oracle(k: int = 10) -> str:
+    kg = f"greatest(len(toks) - {k - 1}, 0)"
+    pos_sh = (
+        f"CAST(unnest(range({kg})) AS BIGINT) AS pos, "
+        f"unnest(list_transform(range({kg}), i -> "
+        + H60.format(x=f"array_to_string(toks[i + 1:i + {k}], ' ')")
+        + ")) AS h"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+    csh AS (SELECT doc_id, {pos_sh} FROM t WHERE doc_id % 10 <> 0),
+    delta AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, toks FROM t WHERE doc_id % 50 = 1),
+    dsh AS (SELECT doc_id, {pos_sh} FROM delta),
+    hit AS (SELECT d.doc_id, d.pos, c.doc_id AS c_doc
+            FROM dsh d JOIN csh c USING (h)),
+    dpos AS (SELECT DISTINCT doc_id, pos FROM hit),
+    ndup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
+             FROM dpos GROUP BY 1),
+    cov AS (SELECT DISTINCT doc_id, pos + j AS cp
+            FROM dpos, range({k}) u(j)),
+    ncov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+             FROM cov GROUP BY 1),
+    ncd AS (SELECT doc_id, CAST(count(DISTINCT c_doc) AS BIGINT) AS n_corpus_docs
+            FROM hit GROUP BY 1)
+    SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(ndup.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(coalesce(ncov.n_covered, 0) AS BIGINT) AS n_covered,
+           CAST(coalesce(ncd.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
+    FROM delta d
+    LEFT JOIN ndup USING (doc_id)
+    LEFT JOIN ncov USING (doc_id)
+    LEFT JOIN ncd USING (doc_id)
+    """
+
+
+@query("passage_delta_vs_corpus", _passage_delta_oracle(_PASSAGE_K))
+def q_passage_delta_vs_corpus(spark, sf_dir):
+    """Per-DELTA-document duplicated-passage coverage vs the frozen
+    corpus: for each delta doc, how many of its k-gram start positions
+    (``n_dup_positions``), covered token positions (``n_covered``) and
+    distinct corpus documents (``n_corpus_docs``) collide with the
+    corpus-side positional-shingle index. Docs with zero hits are
+    emitted with zeros — the per-batch ingest report.
+
+    Scale shape (the whole point, vs ``duplicated_passages_k10``
+    re-indexing corpus∪delta per run): the corpus index is built once
+    (``_passage_index`` with ``doc_filter`` — persisted in-session, or
+    frozen to parquet via ``$LIGHTSABER_PASSAGE_INDEX_DIR``) and the
+    per-batch cost is ONE corpus-index scan joined hash-broadcast
+    against the delta's shingles — an ingest batch is small by
+    definition, so the corpus side never shuffles (at 100 TB, bucket
+    the materialized index by ``h`` and the scan prunes too). The hit
+    set (delta×corpus collisions only) is persisted and every output
+    aggregate derives from it.
+
+    Reference scope: exact-substring dedup per Lee et al. 2021
+    (arXiv:2107.06499), delta-ingest form; no reference-engine analog
+    (the reference has no text operators at all — SURVEY §2.8)."""
+    from lightsaber_spark.functions.dedup import (
+        positional_shingles_udf,
+        register_cache,
+        shingle_hash,
+    )
+    from lightsaber_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    cidx = _passage_index(
+        spark, sf_dir, _PASSAGE_K, doc_filter="doc_id % 10 <> 0"
+    )
+    is_delta = F.col("doc_id") % 10 == 0
+    delta = docs.filter(is_delta).select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 1).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    dsh = delta.select(
+        F.col("doc_id").alias("d_doc"),
+        F.posexplode(
+            positional_shingles_udf(_PASSAGE_K)(F.col("text"))
+        ).alias("pos", "_sh"),
+    ).select(
+        "d_doc",
+        F.col("pos").cast("bigint").alias("d_pos"),
+        shingle_hash(F.col("_sh")).alias("h"),
+    )
+    hit = register_cache(
+        cidx.join(F.broadcast(dsh), "h").select(
+            "d_doc",
+            F.col("d_pos").alias("pos"),
+            F.col("doc_id").alias("c_doc"),
+        )
+    )
+    dpos = hit.select("d_doc", "pos").distinct()
+    ndup = dpos.groupBy(F.col("d_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_positions")
+    )
+    ncov = (
+        dpos.select(
+            "d_doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (_PASSAGE_K - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy(F.col("d_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
+    )
+    ncd = (
+        hit.select("d_doc", "c_doc")
+        .distinct()
+        .groupBy(F.col("d_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs"))
+    )
+    base = delta.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return (
+        base.join(ndup, "doc_id", "left")
+        .join(ncov, "doc_id", "left")
+        .join(ncd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_positions"), F.lit(0))
+            .cast("bigint").alias("n_dup_positions"),
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("bigint").alias("n_covered"),
+            F.coalesce(F.col("n_corpus_docs"), F.lit(0))
+            .cast("bigint").alias("n_corpus_docs"),
         )
     )
 

@@ -1,0 +1,78 @@
+"""passage_delta_vs_corpus — the delta-ingest rung of exact-substring
+dedup (Lee et al. 2021): pinned against an independently written
+brute-force Python model on a hand-crafted corpus∪delta, plus the
+exact-copy full-coverage invariant."""
+
+from __future__ import annotations
+
+import re
+
+from lightsaber_spark.pipeline_queries import (
+    _PASSAGE_K,
+    q_passage_delta_vs_corpus,
+    release_passage_index,
+)
+
+K = _PASSAGE_K  # 10
+
+A = " ".join(f"t{i}" for i in range(1, 16))               # 15 tokens
+RUN = " ".join(f"t{i}" for i in range(3, 13))             # A's tokens 3..12
+DOCS = {
+    1: A,                                                 # corpus
+    2: "u1 u2 u3 " + RUN + " u4",                         # corpus, shares RUN
+    3: "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11",              # corpus, unique
+    10: "x1 x2 x3 x4 x5 " + RUN,                          # delta: 1 shared k-gram
+    20: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",         # delta: no hits
+    30: "s1 s2 s3 s4 s5",                                 # delta: < k tokens
+}
+# delta convention of the query: doc_id % 10 == 0, plus re-keyed exact
+# copies of corpus docs with doc_id % 50 == 1 (here: doc 1 -> 1000001)
+
+
+def _model():
+    tok = lambda s: re.findall(r"[a-z0-9]+", s.lower()) if s else []  # noqa: E731
+    grams = lambda ts: [  # noqa: E731
+        tuple(ts[p : p + K]) for p in range(max(len(ts) - K + 1, 0))
+    ]
+    corpus_grams: dict[tuple, set[int]] = {}
+    for i, t in DOCS.items():
+        if i % 10 != 0:
+            for g in grams(tok(t)):
+                corpus_grams.setdefault(g, set()).add(i)
+    delta = {i: tok(t) for i, t in DOCS.items() if i % 10 == 0}
+    delta.update({i + 1000000: tok(t) for i, t in DOCS.items() if i % 50 == 1})
+    out = {}
+    for i, ts in delta.items():
+        hits = [p for p, g in enumerate(grams(ts)) if g in corpus_grams]
+        cov = {p + j for p in hits for j in range(K)}
+        cds: set[int] = set()
+        for p in hits:
+            cds |= corpus_grams[tuple(ts[p : p + K])]
+        out[i] = (len(ts), len(hits), len(cov), len(cds))
+    return out
+
+
+def test_passage_delta_matches_brute_force_model(spark, tmp_path):
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        sorted(DOCS.items()), "doc_id long, text string"
+    ).write.parquet(sf_dir + "/documents.parquet")
+    try:
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_positions, r.n_covered, r.n_corpus_docs)
+            for r in q_passage_delta_vs_corpus(spark, sf_dir).collect()
+        }
+    finally:
+        release_passage_index()
+    want = _model()
+    assert got == want
+    # the law the delta rung must satisfy: an exact re-keyed COPY of a
+    # corpus doc collides on EVERY k-gram — full coverage
+    n_tok = len(DOCS[1].split())
+    assert got[1000001] == (n_tok, n_tok - K + 1, n_tok, 2)
+    # partial overlap: exactly the one shared k-gram, covering k tokens
+    # of the delta doc, shared with both corpus holders of RUN
+    assert got[10] == (15, 1, K, 2)
+    # no-hit and shorter-than-k docs are still emitted, with zeros
+    assert got[20] == (12, 0, 0, 0)
+    assert got[30] == (5, 0, 0, 0)
