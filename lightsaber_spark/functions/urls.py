@@ -177,11 +177,32 @@ def _host(url: Column) -> Column:
     but the site, and stripping would collapse it into its public
     suffix (r11-continuation review finding — previously only the
     literal exception names were guarded)."""
+    return _strip_www(_raw_host(url))
+
+
+def _raw_host(url: Column) -> Column:
+    """The regex-heavy half of :func:`_host`: lowercased authority with
+    userinfo and default ports dropped, ``www.`` NOT yet stripped.
+    Split out so hot map-only paths (``canonical_url_dedup``) can
+    project it ONCE and feed :func:`_strip_www` from the column — the
+    www-guard is a CASE ladder whose branch-local copies of the host
+    are NOT deduplicated by codegen subexpression elimination, so
+    inlining this chain into the guard evaluates it once per branch
+    reference (measured ~25 % of the whole query, r12)."""
     body = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     auth = F.regexp_extract(body, r"^([^/?#]+)", 1)
     auth = F.regexp_replace(auth, r"^[^@]*@", "")  # userinfo
-    host = F.lower(F.regexp_replace(auth, r":(80|443)$", ""))
-    bare = F.regexp_replace(host, r"^www\.", "")
+    return F.lower(F.regexp_replace(auth, r":(80|443)$", ""))
+
+
+def _strip_www(host: Column) -> Column:
+    """The www-guard half of :func:`_host`, over an already-derived
+    host column. Regex-free: substring for the strip, substring_index
+    for the label tests; the non-www short-circuit returns most rows
+    before any suffix probe (CaseWhen branches evaluate lazily)."""
+    bare = F.substring(host, 5, 2147483647)  # len('www.') + 1
+    last1 = F.substring_index(bare, ".", -1)
+    two_label = bare.contains(".") & (F.substring_index(bare, ".", 2) == bare)
     # is the post-strip remainder itself a public suffix? (an exception
     # name is NOT a suffix — it's registrable, so www. above it is
     # ordinary noise)
@@ -190,14 +211,16 @@ def _host(url: Column) -> Column:
         | bare.isin(*MULTI_LABEL_PUBLIC_SUFFIXES)
         | bare.isin(*THREE_LABEL_PUBLIC_SUFFIXES)
         | (
-            bare.rlike(r"^[^.]+\.[^.]+$")
-            & F.regexp_extract(bare, r"([^.]+)$", 1).isin(*PSL_WILDCARD_TLDS)
+            two_label
+            & last1.isin(*PSL_WILDCARD_TLDS)
             & ~bare.isin(*PSL_WILDCARD_EXCEPTIONS)
         )
     )
-    return F.when(
-        host.isin(*PSL_WILDCARD_EXCEPTIONS) | bare_is_suffix, host
-    ).otherwise(bare)
+    return (
+        F.when(~host.startswith("www."), host)
+        .when(host.isin(*PSL_WILDCARD_EXCEPTIONS) | bare_is_suffix, host)
+        .otherwise(bare)
+    )
 
 
 def _path_and_query(url: Column) -> tuple[Column, Column]:
@@ -441,10 +464,15 @@ def canonical_url_dedup(
             F.col(id_col).cast("bigint").alias("_id"),
             pct_normalize(F.col(url_col)).alias("_u"),
         )
-        # host derived ONCE too (r11 continuation: the www-guard made
-        # _host regex-heavier, and the domain ladder references the
-        # host many times — same shared-intermediate shape as _u)
-        .select("_id", "_u", _host(F.col("_u")).alias("_h"))
+        # host derived ONCE too, in TWO stages (r11 continuation +
+        # r12): the raw regex-chain host is its own projected column
+        # (the www-guard's CASE branches each hold their own copy of
+        # whatever feeds them — codegen CSE does not dedupe
+        # branch-local copies, measured 13 inlined chains without this
+        # boundary), then the guard and the domain ladder both read
+        # the column
+        .select("_id", "_u", _raw_host(F.col("_u")).alias("_hr"))
+        .select("_id", "_u", _strip_www(F.col("_hr")).alias("_h"))
         .select(
             "_id",
             canonical_url(
