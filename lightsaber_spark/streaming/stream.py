@@ -703,6 +703,99 @@ def streaming_line_scrub(
     )
 
 
+def streaming_passage_coverage(
+    stream: DataFrame,
+    corpus_index: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming per-document duplicated-passage coverage vs a STATIC
+    frozen corpus index — the ingest-time twin of the batch
+    ``passage_delta_vs_corpus`` (r12), completing the streaming rung
+    across all four dedup families (exact digest, MinHash-banded,
+    semantic, and now exact-substring). A crawl pipeline freezes the
+    corpus index (``pipeline_queries._passage_index``, optionally
+    parquet-materialized via ``$LIGHTSABER_PASSAGE_INDEX_DIR``) and
+    every incoming document is scored against it as it arrives.
+
+    Stateless end-to-end: positional k-shingles are per-row
+    (``posexplode_outer`` keeps zero-shingle docs so they emit zeros,
+    same as the batch contract), the index lookup is a stream-static
+    LEFT join, and the per-doc aggregation groups rows that all live
+    in the SAME micro-batch (one document arrives as one row, so its
+    exploded shingles never span batches) — the grouped stateful
+    operator never calls ``state.update`` and the state store stays
+    empty regardless of stream length.
+
+    ``corpus_index`` columns: ``(doc_id, pos, h)`` as built by
+    ``_passage_index``. Output matches the batch query:
+    ``(doc_id, n_tokens, n_dup_positions, n_covered, n_corpus_docs)``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lightsaber_spark.functions.dedup import (
+        positional_shingles_udf,
+        shingle_hash,
+    )
+    from lightsaber_spark.functions.text import token_count
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("n_dup_positions", LongType()),
+            StructField("n_covered", LongType()),
+            StructField("n_corpus_docs", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("unused", LongType())])
+
+    def fn(key, pdf_iter, state):
+        rows = []
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            n_tok = (
+                int(pdf["n_tokens"].iloc[0])
+                if pdf["n_tokens"].notna().any()
+                else None
+            )
+            hits = pdf[pdf["c_doc"].notna()]
+            pos = {int(p) for p in hits["d_pos"]}
+            cov: set[int] = set()
+            for p in pos:
+                cov.update(range(p, p + k))
+            rows.append(
+                [int(key[0]), n_tok, len(pos), len(cov), int(hits["c_doc"].nunique())]
+            )
+        cols = [f.name for f in out_schema.fields]
+        yield (
+            pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+        )
+
+    sh = stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.posexplode_outer(
+            positional_shingles_udf(k)(F.col(text_col))
+        ).alias("d_pos", "_sh"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("d_pos").cast("bigint").alias("d_pos"),
+        shingle_hash(F.col("_sh")).alias("h"),
+    )
+    idx = corpus_index.select("h", F.col("doc_id").alias("c_doc"))
+    joined = sh.join(idx, "h", "left").select(
+        "doc_id", "n_tokens", "d_pos", "c_doc"
+    )
+    return joined.groupBy("doc_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def streaming_order_violations(
     stream: DataFrame,
     ts_col: str,

@@ -76,3 +76,54 @@ def test_passage_delta_matches_brute_force_model(spark, tmp_path):
     # no-hit and shorter-than-k docs are still emitted, with zeros
     assert got[20] == (12, 0, 0, 0)
     assert got[30] == (5, 0, 0, 0)
+
+
+def test_streaming_passage_coverage_matches_batch(spark, tmp_path):
+    """The streaming twin must emit exactly the batch
+    passage_delta_vs_corpus rows when fed the same delta docs against
+    the same frozen corpus index — split across two micro-batches to
+    prove per-doc independence (stateless contract)."""
+    import time as _t
+
+    from lightsaber_spark.pipeline_queries import _passage_index
+    from lightsaber_spark.streaming.stream import (
+        read_stream,
+        run_available_now,
+        streaming_passage_coverage,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        sorted(DOCS.items()), "doc_id long, text string"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    delta = [(i, t) for i, t in DOCS.items() if i % 10 == 0] + [
+        (i + 1000000, t) for i, t in DOCS.items() if i % 50 == 1
+    ]
+    src = str(tmp_path / "delta_src")
+    half = len(delta) // 2
+    for part in (delta[:half], delta[half:]):
+        spark.createDataFrame(
+            part, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    try:
+        cidx = _passage_index(spark, sf_dir, K, doc_filter="doc_id % 10 <> 0")
+        stream = read_stream(
+            spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+        )
+        got = {
+            tuple(r)
+            for r in run_available_now(
+                streaming_passage_coverage(stream, cidx, k=K),
+                str(tmp_path / "ck_pc"),
+                output_mode="update",
+                table_name="t_spc",
+            ).collect()
+        }
+        want = {tuple(r) for r in q_passage_delta_vs_corpus(spark, sf_dir).collect()}
+    finally:
+        release_passage_index()
+    assert got == want
+    assert len(got) == len(delta)  # zero-hit and short docs emitted too
