@@ -244,14 +244,16 @@ def _sliding_native(df, ts_col, size_sec, slide_sec, aggs, keys):
     )
 
 
-def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
-    """Pane-decomposed sliding aggregation (reference
-    ``WindowDefinition.h:80-90``; SIGMOD'20 slicing). Pane size
-    g = gcd(size, slide): every window is a union of whole panes, so
-    per-pane partials compose exactly."""
-    g = math.gcd(size_sec, slide_sec)
-
+def _pane_partials(
+    aggs: Sequence[AggSpec],
+) -> tuple[dict[str, Column], dict[str, str]]:
+    """Stage-1 partial-aggregate specs shared by the pane and prefix
+    paths (previously duplicated loops — r11 review note): name →
+    aggregate Column, plus the min/max subset by name (the
+    non-invertible partials the prefix path scans via van Herk blocks
+    instead of cumulative sums)."""
     partials: dict[str, Column] = {}
+    mm: dict[str, str] = {}
     for func, col, _alias in aggs:
         if func in ("sum", "avg"):
             partials[f"_sum_{col}"] = F.sum(F.col(col))
@@ -260,14 +262,25 @@ def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
         if func == "count":
             key = f"_cnt_{col}" if col else "_cnt_all"
             partials[key] = F.count(F.col(col)) if col else F.count(F.lit(1))
-        if func == "min":
-            partials[f"_min_{col}"] = F.min(F.col(col))
-        if func == "max":
-            partials[f"_max_{col}"] = F.max(F.col(col))
+        if func in ("min", "max"):
+            name = f"_{func}_{col}"
+            partials[name] = getattr(F, func)(F.col(col))
+            mm[name] = func
         if func == "w_avg":
             v, w = col
             partials[f"_wv_{v}_{w}"] = F.sum(F.col(w) * F.col(v))
             partials[f"_ww_{w}"] = F.sum(F.col(w))
+    return partials, mm
+
+
+def _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys):
+    """Pane-decomposed sliding aggregation (reference
+    ``WindowDefinition.h:80-90``; SIGMOD'20 slicing). Pane size
+    g = gcd(size, slide): every window is a union of whole panes, so
+    per-pane partials compose exactly."""
+    g = math.gcd(size_sec, slide_sec)
+
+    partials, _mm = _pane_partials(aggs)
 
     us = epoch_us(df, ts_col)
     stage1 = df.groupBy(_exact_bucket(us, g).alias("_pane"), *keys).agg(
@@ -390,24 +403,7 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
 
     has_minmax = any(f in ("min", "max") for f, _c, _a in aggs)
 
-    partials: dict[str, Column] = {}
-    mm_partials: dict[str, str] = {}  # partial name -> min|max
-    for func, col, _alias in aggs:
-        if func in ("sum", "avg"):
-            partials[f"_sum_{col}"] = F.sum(F.col(col))
-        if func == "avg":
-            partials[f"_cnt_{col}"] = F.count(F.col(col))
-        if func == "count":
-            key = f"_cnt_{col}" if col else "_cnt_all"
-            partials[key] = F.count(F.col(col)) if col else F.count(F.lit(1))
-        if func == "w_avg":
-            v, w = col
-            partials[f"_wv_{v}_{w}"] = F.sum(F.col(w) * F.col(v))
-            partials[f"_ww_{w}"] = F.sum(F.col(w))
-        if func in ("min", "max"):
-            name = f"_{func}_{col}"
-            partials[name] = getattr(F, func)(F.col(col))
-            mm_partials[name] = func
+    partials, mm_partials = _pane_partials(aggs)
     inv_partials = [n for n in partials if n not in mm_partials]
     # emission filter: reuse an existing count(*) partial if present
     rows_key = "_cnt_all" if "_cnt_all" in partials else "_cnt__rows"
