@@ -277,6 +277,68 @@ def main() -> None:
         cents = [(c, _sem_pat(c)) for c in range(8)]
         return streaming_semantic_dedup(embedding_stream(), cents, 0.999999)
 
+    # streaming passage coverage (round 12): per-doc exact-substring
+    # coverage vs a STATIC frozen corpus index (2000 docs × 40 tokens →
+    # ~62K index rows). Each arriving doc shares its first 20 tokens
+    # with one corpus pattern (11 hit k-grams) and ends in a unique
+    # tail — the crawl-like partial-overlap regime. Stateless: cost is
+    # the shingle Arrow UDF + the stream-static hash join; the state
+    # store stays empty. rows/s counts DOCUMENTS (~26 tokens each).
+    _PC_ROWS_PER_BATCH = 200_000
+    _PC_POOL, _PC_CTOK, _PC_PREFIX = 2_000, 40, 20
+
+    def passage_corpus_index():
+        from lightsaber_spark.functions.dedup import (
+            positional_shingles_udf,
+            shingle_hash,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (p, " ".join(f"tok{p}x{i}" for i in range(_PC_CTOK)))
+                for p in range(_PC_POOL)
+            ],
+            "doc_id long, text string",
+        )
+        return (
+            corpus.select(
+                "doc_id",
+                F.posexplode(
+                    positional_shingles_udf(10)(F.col("text"))
+                ).alias("pos", "_sh"),
+            )
+            .select(
+                "doc_id",
+                F.col("pos").cast("bigint").alias("pos"),
+                shingle_hash(F.col("_sh")).alias("h"),
+            )
+            .persist()
+        )
+
+    def passage_docs():
+        s = rate_micro_batch_source(
+            spark,
+            rows_per_batch=_PC_ROWS_PER_BATCH,
+            num_partitions=32,
+            start_timestamp_ms=100_000,
+            advance_ms_per_batch=1000,
+        )
+        p = (F.col("value") % _PC_POOL).cast("int")
+        prefix = F.concat_ws(
+            " ", *[F.format_string(f"tok%dx{i}", p) for i in range(_PC_PREFIX)]
+        )
+        return s.select(
+            F.col("value").alias("doc_id"),
+            F.concat_ws(
+                " ", prefix, F.format_string("uniq%d a b c d e", F.col("value"))
+            ).alias("text"),
+        )
+
+    def passage_shape():
+        from lightsaber_spark.streaming.stream import streaming_passage_coverage
+
+        return streaming_passage_coverage(passage_docs(), passage_corpus_index(), k=10)
+
     # theta shape feeds --rows-per-batch rows per SIDE — its real
     # per-batch ingest (both sides) differs from the global figure and
     # must be reported per shape, not globally
@@ -342,6 +404,9 @@ def main() -> None:
         # + per-cell kept-member state; pool-bounded state (see the
         # shape comment). rows/s counts VECTORS (64 floats each).
         "semantic_dedup": (semantic_shape, _SEM_ROWS_PER_BATCH, {}, "update"),
+        # streaming exact-substring coverage: stateless stream-static
+        # join + per-doc in-batch fold; rows/s counts DOCUMENTS
+        "passage_coverage": (passage_shape, _PC_ROWS_PER_BATCH, {}, "update"),
     }
     if args.shapes:
         wanted = args.shapes.split(",")
