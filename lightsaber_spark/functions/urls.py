@@ -289,7 +289,15 @@ def _strip_www(host: Column) -> Column:
     before any suffix probe (CaseWhen branches evaluate lazily)."""
     bare = F.substring(host, 5, 2147483647)  # len('www.') + 1
     last1 = F.substring_index(bare, ".", -1)
-    two_label = bare.contains(".") & (F.substring_index(bare, ".", 2) == bare)
+    # exactly one dot AND both labels non-empty — must match the
+    # oracle's '^[^.]+\.[^.]+$' on degenerate hosts like 'www..ck'
+    # (review finding: dot-count alone admits empty labels there)
+    two_label = (
+        bare.contains(".")
+        & (F.substring_index(bare, ".", 2) == bare)
+        & ~bare.startswith(".")
+        & ~bare.endswith(".")
+    )
     # is the post-strip remainder itself a public suffix? (an exception
     # name is NOT a suffix — it's registrable, so www. above it is
     # ordinary noise)

@@ -2583,7 +2583,7 @@ def q_rare_token_counts(spark, sf_dir):
 # the passages; this measures the cut.
 # ---------------------------------------------------------------------------
 _PASSAGE_INDEX_CACHE: dict[
-    tuple[int, str, str, int, "str | None", "str | None"], "DataFrame"
+    tuple[int, str, str, int, "str | None"], "DataFrame"
 ] = {}
 
 #: max DISTINCT sibling sessions (other live sessions of the same
@@ -2611,14 +2611,15 @@ def release_passage_index() -> int:
     return n
 
 
-def _passage_index(spark, sf_dir, k, materialize_dir=None, doc_filter=None):
+def _passage_index(spark, sf_dir, k, materialize_dir=None):
     """Shared persisted positional-shingle index ``(doc_id, pos, h)``
-    over documents — built ONCE per (session, sf_dir, k[, doc_filter])
-    and reused by
-    both ``dedup_passage_coverage_k10`` and ``dedup_passage_scrub_k10``
-    (``passage_delta_vs_corpus`` passes ``doc_filter`` — a SQL
-    predicate string restricting the indexed docs to the frozen
-    CORPUS subset; part of the cache key and the materialize path)
+    over documents — built ONCE per (session, sf_dir, k) and reused by
+    ALL passage queries: ``dedup_passage_coverage_k10``,
+    ``dedup_passage_scrub_k10``, and ``passage_delta_vs_corpus`` (the
+    delta query FILTERS the shared index down to its corpus subset —
+    a second doc-filtered index would double the passage family's
+    corpus-sized persisted footprint and re-run the shingle UDF over
+    90 % of the corpus; r12 review finding)
     (previously each built the identical index: the repo's own
     multiply-referenced-subplan rule, applied across the query
     boundary). Deliberately OUTSIDE the per-query ``register_cache``
@@ -2666,7 +2667,7 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None, doc_filter=None):
     if materialize_dir is None:
         materialize_dir = os.environ.get("LIGHTSABER_PASSAGE_INDEX_DIR")
     app = spark.sparkContext.applicationId
-    key = (id(spark), app, sf_dir, k, materialize_dir, doc_filter)
+    key = (id(spark), app, sf_dir, k, materialize_dir)
     got = _PASSAGE_INDEX_CACHE.get(key)
     if got is not None:
         return got
@@ -2705,11 +2706,8 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None, doc_filter=None):
         except Exception:
             pass
         del _PASSAGE_INDEX_CACHE[old]
-    src = _docs(spark, sf_dir)
-    if doc_filter:
-        src = src.filter(F.expr(doc_filter))
     idx = (
-        src
+        _docs(spark, sf_dir)
         .select(
             "doc_id",
             F.posexplode(
@@ -2729,10 +2727,9 @@ def _passage_index(spark, sf_dir, k, materialize_dir=None, doc_filter=None):
         # data under the same path requires deleting the dir first).
         from lightsaber_spark.session import materialize_parquet_once
 
-        tag = hashlib.md5(
-            (sf_dir + ("|" + doc_filter if doc_filter else "")).encode()
-        ).hexdigest()[:12]
-        path = materialize_dir.rstrip("/") + f"/passage_index_k{k}_{tag}"
+        path = materialize_dir.rstrip("/") + (
+            f"/passage_index_k{k}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        )
         plan = idx
         idx = materialize_parquet_once(spark, lambda: plan, path)
     else:
@@ -3050,15 +3047,19 @@ def q_passage_delta_vs_corpus(spark, sf_dir):
     emitted with zeros — the per-batch ingest report.
 
     Scale shape (the whole point, vs ``duplicated_passages_k10``
-    re-indexing corpus∪delta per run): the corpus index is built once
-    (``_passage_index`` with ``doc_filter`` — persisted in-session, or
-    frozen to parquet via ``$LIGHTSABER_PASSAGE_INDEX_DIR``) and the
-    per-batch cost is ONE corpus-index scan joined hash-broadcast
-    against the delta's shingles — an ingest batch is small by
-    definition, so the corpus side never shuffles (at 100 TB, bucket
-    the materialized index by ``h`` and the scan prunes too). The hit
-    set (delta×corpus collisions only) is persisted and every output
-    aggregate derives from it.
+    re-indexing corpus∪delta per run): the SHARED full passage index
+    (``_passage_index`` — one persist serves the whole passage family;
+    freezable to parquet via ``$LIGHTSABER_PASSAGE_INDEX_DIR``) is
+    FILTERED to the corpus subset, and the per-batch cost is that scan
+    joined against the delta's shingles. The join strategy is left to
+    AQE: a true ingest batch is broadcast-sized and AQE picks the
+    broadcast at runtime, but THIS query's benchmark delta is
+    corpus-proportional (12 % of docs), so a forced broadcast hint
+    would collect corpus-scale shingles to the driver at the 100×
+    rungs — the exact failure the hint-free plan avoids (r12 review
+    finding). At 100 TB, bucket the materialized index by ``h`` so
+    only the delta side shuffles. The hit set (delta×corpus collisions
+    only) is persisted and every output aggregate derives from it.
 
     Reference scope: exact-substring dedup per Lee et al. 2021
     (arXiv:2107.06499), delta-ingest form; no reference-engine analog
@@ -3071,8 +3072,8 @@ def q_passage_delta_vs_corpus(spark, sf_dir):
     from lightsaber_spark.functions.text import token_count
 
     docs = _docs(spark, sf_dir)
-    cidx = _passage_index(
-        spark, sf_dir, _PASSAGE_K, doc_filter="doc_id % 10 <> 0"
+    cidx = _passage_index(spark, sf_dir, _PASSAGE_K).filter(
+        F.col("doc_id") % 10 != 0
     )
     is_delta = F.col("doc_id") % 10 == 0
     delta = docs.filter(is_delta).select("doc_id", "text").unionAll(
@@ -3091,7 +3092,7 @@ def q_passage_delta_vs_corpus(spark, sf_dir):
         shingle_hash(F.col("_sh")).alias("h"),
     )
     hit = register_cache(
-        cidx.join(F.broadcast(dsh), "h").select(
+        cidx.join(dsh, "h").select(
             "d_doc",
             F.col("d_pos").alias("pos"),
             F.col("doc_id").alias("c_doc"),

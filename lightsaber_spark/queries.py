@@ -1269,7 +1269,7 @@ def lag_value_delta(spark, sf_dir):
     WITH e AS (
       SELECT event_type,
              CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-                                      '^-?[0-9]+$')
+                                      '\\A-?[0-9]+\\z')
                   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
              END AS k
       FROM events)
@@ -1295,8 +1295,12 @@ def json_props_stats(spark, sf_dir):
     ev = _events(spark, sf_dir).withColumn(
         "_ks", F.get_json_object(F.col("props"), "$.k")
     )
+    # \A..\z, not ^..$: Java's $ matches BEFORE a trailing newline
+    # (so '123\n' would pass the gate and try_cast trims it to 123)
+    # while DuckDB's RE2 $ is end-of-text only — \A/\z mean
+    # end-of-text in both engines (review finding)
     k = F.when(
-        F.col("_ks").rlike("^-?[0-9]+$"),
+        F.col("_ks").rlike(r"\A-?[0-9]+\z"),
         F.expr("try_cast(_ks AS bigint)"),
     )
     return ev.groupBy("event_type").agg(

@@ -182,14 +182,15 @@ def compact(
 
     Consistency (r11 ADVICE — staged swap, self-healing): the merge is
     STAGED under the ``_batch_id=-2`` sentinel partition, which every
-    reader (:func:`rollup_view`) filters out, then committed by
-    writing one hidden ``_fold_<i>`` marker per folded id, and only
+    reader (:func:`rollup_view`) filters out, then committed by ONE
+    atomic create of a hidden ``_folds.<i>.<j>…`` marker naming the
+    entire fold set, and only
     then swapped in: folded directories (including the old ``-1``) are
     deleted and the stage is RENAMED to ``-1``. A concurrent reader
     therefore never double-counts — the old state stays fully readable
     until the swap begins. A crash anywhere is repaired AUTOMATICALLY
-    by the next compact: an uncommitted stage (no markers) is
-    discarded; a committed stage is rolled forward (markers name
+    by the next compact: an uncommitted stage (no marker) is
+    discarded; a committed stage is rolled forward (the marker names
     exactly the directories still to prune — later appended batches
     are untouched and ids never recur, the checkpoint survives the
     crash). The only residual window is the swap itself, where a
@@ -203,22 +204,31 @@ def compact(
     base = out_path.rstrip("/")
     stage = f"{base}/_batch_id=-2"
 
+    def _marker_name(fold_ids: list[int]) -> str:
+        return "_folds." + ".".join(str(i) for i in sorted(fold_ids))
+
     def _markers(path: str) -> list[int]:
+        # ONE marker file names the ENTIRE fold set — its single
+        # atomic create is the commit point (per-id marker files would
+        # make a crash mid-loop look like a committed smaller fold and
+        # permanently double-count the unlisted ids; review finding)
         if not fs.exists(hpath(path)):
             return []
-        return sorted(
-            int(st.getPath().getName()[len("_fold_"):])
-            for st in fs.listStatus(hpath(path))
-            if st.getPath().getName().startswith("_fold_")
-        )
+        for st in fs.listStatus(hpath(path)):
+            name = st.getPath().getName()
+            if name.startswith("_folds."):
+                return [int(x) for x in name[len("_folds."):].split(".")]
+        return []
 
     def _swap(fold_ids: list[int]) -> None:
         # prune the folded dirs (incl. old -1), then publish the stage
         for i in fold_ids:
             fs.delete(hpath(f"{base}/_batch_id={i}"), True)
         fs.rename(hpath(stage), hpath(f"{base}/_batch_id=-1"))
-        for i in fold_ids:  # tidy the (hidden) markers off the new -1
-            fs.delete(hpath(f"{base}/_batch_id=-1/_fold_{i}"), False)
+        # tidy the (hidden) marker off the new -1
+        fs.delete(
+            hpath(f"{base}/_batch_id=-1/{_marker_name(fold_ids)}"), False
+        )
 
     # recovery: a leftover stage is rolled forward iff committed
     if fs.exists(hpath(stage)):
@@ -246,6 +256,6 @@ def compact(
     # stage: plain parquet dir whose NAME carries the partition value —
     # identical layout to a partitionBy write (no _batch_id in files)
     merged.write.mode("overwrite").parquet(stage)
-    for i in fold:  # commit point: markers present = stage is complete
-        fs.create(hpath(f"{stage}/_fold_{i}"), True).close()
+    # commit point: ONE atomic marker create naming the whole fold set
+    fs.create(hpath(f"{stage}/{_marker_name(fold)}"), True).close()
     _swap(fold)

@@ -767,8 +767,13 @@ def streaming_passage_coverage(
             cov: set[int] = set()
             for p in pos:
                 cov.update(range(p, p + k))
+            # NULL doc ids form one null-key group — emit it as one
+            # null-id row instead of crashing on int(None) (the batch
+            # twin emits each null-id doc separately through its left
+            # joins; documented divergence for identity-less rows)
+            kid = int(key[0]) if key[0] is not None else None
             rows.append(
-                [int(key[0]), n_tok, len(pos), len(cov), int(hits["c_doc"].nunique())]
+                [kid, n_tok, len(pos), len(cov), int(hits["c_doc"].nunique())]
             )
         cols = [f.name for f in out_schema.fields]
         yield (

@@ -128,21 +128,37 @@ def _check_tree_clean(rnd: int) -> None:
     sweep = f"CORRECTNESS_r{rnd:02d}.json"
     if not os.path.exists(os.path.join(ROOT, sweep)):
         sweep = f"CORRECTNESS_r{rnd}.json"
-    # Anchor on the FIRST commit that ADDED the sweep file (the driver's
-    # write), not the newest commit touching it — a later reformat/doc
-    # commit touching the file must not let query edits made in between
-    # escape the refusal (r11 ADVICE).
+    # Anchor on the newest commit where the sweep's CONTENT semantically
+    # changed (r11 ADVICE + r12 review): the newest touch alone lets a
+    # pure reformat/merge-fixup commit mask query edits made after the
+    # real sweep, while the ADD commit alone falsely refuses after a
+    # driver RE-SWEEP that overwrites the same round's file (the r11
+    # continuation pattern) — so walk touches newest-first and stop at
+    # the first whose parsed JSON differs from its parent's.
     # (no --follow: rename detection would chase the path into an OLDER
-    # round's sweep file and anchor on its add instead)
-    sweep_commit = _git(
-        "log", "--diff-filter=A", "--format=%H", "--", sweep
-    )
-    sweep_commit = sweep_commit.splitlines()[0] if sweep_commit else ""
-    if not sweep_commit:
-        # never ADDED in history (e.g. untracked) — fall back to newest touch
-        sweep_commit = _git("log", "-1", "--format=%H", "--", sweep)
-    if not sweep_commit:
+    # round's sweep file)
+    touches = (_git("log", "--format=%H", "--", sweep) or "").splitlines()
+    if not touches:
         return  # sweep file uncommitted/untracked — history can't date it
+
+    def _json_at(rev: str):
+        out = _git("show", f"{rev}:{sweep}")
+        if out is None:
+            return None
+        try:
+            return json.loads(out)
+        except Exception:
+            return out  # unparseable — compare raw text
+
+    sweep_commit = touches[-1]  # oldest touch = the add, as a fallback
+    for c in touches:
+        try:
+            parent = _json_at(f"{c}^")
+        except SystemExit:
+            parent = None  # root commit / parent lacks the file
+        if _json_at(c) != parent:
+            sweep_commit = c
+            break
     later = _git("log", "--oneline", f"{sweep_commit}..HEAD", "--",
                  "lightsaber_spark", "__spark_entry__.py")
     if later:

@@ -171,13 +171,16 @@ def test_json_props_cast_gate_pins_cross_engine_divergence(spark):
         ('{"k": "-3"}',),
         ('{"k": "12.5"}',),   # the divergent class the gate excludes
         ('{"k": "x"}',),
+        ('{"k": "12\\n"}',),  # trailing newline: Java $ would admit it
         ('{"j": "9"}',),      # no $.k
         (None,),
     ]
     df = spark.createDataFrame(props, "props string").withColumn(
         "_ks", F.get_json_object(F.col("props"), "$.k")
     )
-    k = F.when(F.col("_ks").rlike("^-?[0-9]+$"), F.expr("try_cast(_ks AS bigint)"))
+    k = F.when(
+        F.col("_ks").rlike(r"\A-?[0-9]+\z"), F.expr("try_cast(_ks AS bigint)")
+    )
     got = df.agg(
         F.sum(k).alias("sum_k"), F.count(k).alias("n_with_k")
     ).collect()[0]
@@ -187,7 +190,7 @@ def test_json_props_cast_gate_pins_cross_engine_divergence(spark):
         f"""
         WITH e AS (
           SELECT CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-                                          '^-?[0-9]+$')
+                                          '\\A-?[0-9]+\\z')
                       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                  END AS k
           FROM (VALUES {vals}) t(props))
@@ -195,8 +198,12 @@ def test_json_props_cast_gate_pins_cross_engine_divergence(spark):
         """
     ).fetchone()
     assert (got.sum_k, got.n_with_k) == (want[0], want[1]) == (4, 2)
-    # and the divergence the gate protects against is real:
+    # and the divergences the gate protects against are real:
     assert con.execute(
         "SELECT TRY_CAST('12.5' AS BIGINT)"
     ).fetchone()[0] == 13
     assert spark.sql("SELECT try_cast('12.5' AS BIGINT)").collect()[0][0] is None
+    # Java's $ matches before a trailing newline (RE2's does not) —
+    # the reason the gate anchors with \A..\z instead of ^..$
+    assert spark.sql(r"SELECT '12\n' rlike '^-?[0-9]+$'").collect()[0][0] is True
+    assert spark.sql(r"SELECT '12\n' rlike '\\A-?[0-9]+\\z'").collect()[0][0] is False

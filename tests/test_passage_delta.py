@@ -109,7 +109,11 @@ def test_streaming_passage_coverage_matches_batch(spark, tmp_path):
         _t.sleep(1.1)
 
     try:
-        cidx = _passage_index(spark, sf_dir, K, doc_filter="doc_id % 10 <> 0")
+        from pyspark.sql import functions as F
+
+        cidx = _passage_index(spark, sf_dir, K).filter(
+            F.col("doc_id") % 10 != 0
+        )
         stream = read_stream(
             spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
         )

@@ -1849,8 +1849,10 @@ def test_streaming_sessions_exact_gap_boundary_matches_batch(spark, tmp_path):
 def test_compact_staged_swap_and_recovery(spark, tmp_path):
     """compact()'s r12 staged swap (r11 ADVICE): the merge is staged
     under _batch_id=-2 (invisible to rollup_view — concurrent readers
-    never double-count), committed via _fold_<i> markers, then swapped
-    in. Crash repair is automatic: an uncommitted stage (no markers) is
+    never double-count), committed via ONE atomic _folds.<ids> marker
+    naming the whole fold set (per-id markers would make a crash
+    mid-loop look like a committed smaller fold), then swapped in.
+    Crash repair is automatic: an uncommitted stage (no marker) is
     discarded; a committed one is rolled forward before the next fold."""
     import os
     import shutil
@@ -1907,8 +1909,7 @@ def test_compact_staged_swap_and_recovery(spark, tmp_path):
         .agg(*_merge_aggs(measures))
         .write.mode("overwrite").parquet(stage)
     )
-    for i in fold:
-        open(f"{stage}/_fold_{i}", "w").close()
+    open(f"{stage}/_folds." + ".".join(str(i) for i in fold), "w").close()
     assert view_rows() == want1
     compact(spark, out, measures, keys)
     assert dirs() == ["_batch_id=-1", "_batch_id=3"]

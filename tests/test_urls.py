@@ -168,6 +168,12 @@ def test_pct_normalize_cross_engine_all_bytes(spark):
         "http://www.branch.lib.ny.us/",   # 3-label suffix + www noise
         "http://shop.foo.ck:8080/a",      # wildcard + kept port tail
         "http://sub.foo.co.uk:443/b",     # 2-label suffix + dropped port
+        # degenerate empty-label hosts (r12 review): the www-guard's
+        # two-label test must reject empty labels on BOTH engines
+        "http://www..ck/x",               # bare '.ck' — leading empty label
+        "http://www.ck./x",               # bare 'ck.' — trailing empty label
+        "http://www./x",                  # bare '' after the strip
+        "http://www.../x",                # dots only
     ]
     rows = list(enumerate(urls))
     df = spark.createDataFrame(rows, "doc_id long, url string")
