@@ -485,8 +485,13 @@ def _distinct_trimmed_lines(
     shared by :func:`streaming_line_boilerplate` and its JVM
     df-counter twin :func:`streaming_line_df_counts`: STREAM_BENCH
     compares their outputs, so the line normalization must never
-    drift between them (it was previously copy-pasted in both)."""
-    return stream.select(
+    drift between them (it was previously copy-pasted in both).
+
+    Rows without a document identity are dropped: a NULL ``doc_id``
+    arrives in the python fold as a NaN key and ``int()`` kills the
+    query (r12 review class), and the batch twin's
+    ``count_distinct(doc_id)`` skips nulls anyway — same contract."""
+    return stream.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(
             F.array_distinct(
@@ -680,7 +685,10 @@ def streaming_line_scrub(
         )
 
     lines = (
-        stream.select(
+        # identity-less rows dropped — same NaN-key contract as
+        # _distinct_trimmed_lines (a NULL doc_id would kill the fold)
+        stream.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_l"),
         )
@@ -758,7 +766,7 @@ def streaming_passage_coverage(
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             n_tok = (
-                int(pdf["n_tokens"].iloc[0])
+                int(pdf["n_tokens"].dropna().iloc[0])
                 if pdf["n_tokens"].notna().any()
                 else None
             )
@@ -768,10 +776,12 @@ def streaming_passage_coverage(
             for p in pos:
                 cov.update(range(p, p + k))
             # NULL doc ids form one null-key group — emit it as one
-            # null-id row instead of crashing on int(None) (the batch
-            # twin emits each null-id doc separately through its left
-            # joins; documented divergence for identity-less rows)
-            kid = int(key[0]) if key[0] is not None else None
+            # null-id row instead of crashing (the batch twin emits
+            # each null-id doc separately through its left joins;
+            # documented divergence for identity-less rows). The null
+            # key arrives as NaN, not None, through the Arrow/pandas
+            # boundary — pd.isna, not `is None` (r12 regression test).
+            kid = None if pd.isna(key[0]) else int(key[0])
             rows.append(
                 [kid, n_tok, len(pos), len(cov), int(hits["c_doc"].nunique())]
             )

@@ -131,3 +131,53 @@ def test_streaming_passage_coverage_matches_batch(spark, tmp_path):
         release_passage_index()
     assert got == want
     assert len(got) == len(delta)  # zero-hit and short docs emitted too
+
+
+def test_streaming_passage_coverage_null_doc_id_survives(spark, tmp_path):
+    """A NULL doc_id must not kill the streaming query (r12 review:
+    int(None) in the stateful fold raised and terminated the stream).
+    The null-key group emits one null-id row; other docs unaffected."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.dedup import (
+        positional_shingles_udf,
+        shingle_hash,
+    )
+    from lightsaber_spark.streaming.stream import (
+        read_stream,
+        run_available_now,
+        streaming_passage_coverage,
+    )
+
+    corpus = spark.createDataFrame([(1, A)], "doc_id long, text string")
+    cidx = corpus.select(
+        "doc_id",
+        F.posexplode(positional_shingles_udf(K)(F.col("text"))).alias(
+            "pos", "_sh"
+        ),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        shingle_hash(F.col("_sh")).alias("h"),
+    )
+    src = str(tmp_path / "null_src")
+    spark.createDataFrame(
+        [(None, A), (5, A), (None, "short text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    _t.sleep(0.2)
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    out = run_available_now(
+        streaming_passage_coverage(stream, cidx, k=K),
+        str(tmp_path / "ck_null"),
+        output_mode="update",
+        table_name="t_spc_null",
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    n_tok = len(A.split())
+    assert by_id[5].n_covered == n_tok  # the real doc still scores fully
+    assert None in by_id and len(out) == 2  # one combined null-id row
