@@ -1204,6 +1204,87 @@ def duplicated_passages(
     )
 
 
+def passage_coverage_vs_index(
+    docs: DataFrame,
+    corpus_index: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache=None,
+) -> DataFrame:
+    """Per-document duplicated-passage coverage vs a FROZEN positional
+    k-gram index ``(doc_id, pos, h)`` — the relational core shared by
+    the batch ``passage_delta_vs_corpus`` query and the streaming
+    ``foreachBatch`` scale path (r12). Output one row per input doc:
+    ``(doc_id, n_tokens, n_dup_positions, n_covered, n_corpus_docs)``,
+    zero-hit docs included with zeros.
+
+    ``cache`` wraps the hit relation (delta×index collisions), which
+    three aggregates consume — pass ``register_cache`` from a
+    registered query, a plain ``lambda df: df.persist()`` from a
+    caller that manages unpersist itself, or None to leave the plan
+    uncached (three index scans)."""
+    dsh = docs.select(
+        F.col(id_col).cast("long").alias("d_doc"),
+        F.posexplode(positional_shingles_udf(k)(F.col(text_col))).alias(
+            "pos", "_sh"
+        ),
+    ).select(
+        "d_doc",
+        F.col("pos").cast("bigint").alias("d_pos"),
+        shingle_hash(F.col("_sh")).alias("h"),
+    )
+    hit = corpus_index.join(dsh, "h").select(
+        "d_doc",
+        F.col("d_pos").alias("pos"),
+        F.col("doc_id").alias("c_doc"),
+    )
+    if cache is not None:
+        hit = cache(hit)
+    dpos = hit.select("d_doc", "pos").distinct()
+    ndup = dpos.groupBy(F.col("d_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_positions")
+    )
+    ncov = (
+        dpos.select(
+            "d_doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy(F.col("d_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
+    )
+    ncd = (
+        hit.select("d_doc", "c_doc")
+        .distinct()
+        .groupBy(F.col("d_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs"))
+    )
+    from lightsaber_spark.functions.text import token_count
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return (
+        base.join(ndup, "doc_id", "left")
+        .join(ncov, "doc_id", "left")
+        .join(ncd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_positions"), F.lit(0))
+            .cast("bigint").alias("n_dup_positions"),
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("bigint").alias("n_covered"),
+            F.coalesce(F.col("n_corpus_docs"), F.lit(0))
+            .cast("bigint").alias("n_corpus_docs"),
+        )
+    )
+
+
 def minhash_band_keys_udf(
     n_hashes: int = 32, bands: int = 8, k: int = 3, seed: int = 42
 ):

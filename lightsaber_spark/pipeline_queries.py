@@ -3065,11 +3065,9 @@ def q_passage_delta_vs_corpus(spark, sf_dir):
     (arXiv:2107.06499), delta-ingest form; no reference-engine analog
     (the reference has no text operators at all — SURVEY §2.8)."""
     from lightsaber_spark.functions.dedup import (
-        positional_shingles_udf,
+        passage_coverage_vs_index,
         register_cache,
-        shingle_hash,
     )
-    from lightsaber_spark.functions.text import token_count
 
     docs = _docs(spark, sf_dir)
     cidx = _passage_index(spark, sf_dir, _PASSAGE_K).filter(
@@ -3081,59 +3079,8 @@ def q_passage_delta_vs_corpus(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    dsh = delta.select(
-        F.col("doc_id").alias("d_doc"),
-        F.posexplode(
-            positional_shingles_udf(_PASSAGE_K)(F.col("text"))
-        ).alias("pos", "_sh"),
-    ).select(
-        "d_doc",
-        F.col("pos").cast("bigint").alias("d_pos"),
-        shingle_hash(F.col("_sh")).alias("h"),
-    )
-    hit = register_cache(
-        cidx.join(dsh, "h").select(
-            "d_doc",
-            F.col("d_pos").alias("pos"),
-            F.col("doc_id").alias("c_doc"),
-        )
-    )
-    dpos = hit.select("d_doc", "pos").distinct()
-    ndup = dpos.groupBy(F.col("d_doc").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_positions")
-    )
-    ncov = (
-        dpos.select(
-            "d_doc",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (_PASSAGE_K - 1))
-            ).alias("cp"),
-        )
-        .distinct()
-        .groupBy(F.col("d_doc").alias("doc_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_covered"))
-    )
-    ncd = (
-        hit.select("d_doc", "c_doc")
-        .distinct()
-        .groupBy(F.col("d_doc").alias("doc_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus_docs"))
-    )
-    base = delta.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
-    return (
-        base.join(ndup, "doc_id", "left")
-        .join(ncov, "doc_id", "left")
-        .join(ncd, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_dup_positions"), F.lit(0))
-            .cast("bigint").alias("n_dup_positions"),
-            F.coalesce(F.col("n_covered"), F.lit(0))
-            .cast("bigint").alias("n_covered"),
-            F.coalesce(F.col("n_corpus_docs"), F.lit(0))
-            .cast("bigint").alias("n_corpus_docs"),
-        )
+    return passage_coverage_vs_index(
+        delta, cidx, k=_PASSAGE_K, cache=register_cache
     )
 
 

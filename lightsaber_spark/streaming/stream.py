@@ -811,6 +811,65 @@ def streaming_passage_coverage(
     )
 
 
+def streaming_passage_coverage_foreach_batch(
+    stream: DataFrame,
+    corpus_index: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The pure-JVM scale path of :func:`streaming_passage_coverage`
+    (same split as ``streaming_line_df_counts`` vs
+    ``streaming_line_boilerplate``): the composable applyInPandas form
+    above pays one python fn dispatch per ARRIVING DOC (~10.5K docs/s
+    measured, STREAM_BENCH round-12 section), because every doc is its
+    own group. Coverage is per-doc with no cross-batch state at all,
+    so each micro-batch can instead run the IDENTICAL relational
+    aggregation batch-side (``functions/dedup.py
+    passage_coverage_vs_index`` — the single source shared with the
+    batch ``passage_delta_vs_corpus`` query) with zero python groups
+    and zero streaming state.
+
+    Results land in ``out_path`` parquet partitioned by ``_batch_id``
+    with dynamic partition overwrite, so a replayed micro-batch
+    (checkpoint recovery) overwrites its own partition instead of
+    duplicating rows — the same exactly-once recipe as
+    ``streaming/rollup.py``. Returns the StreamingQuery (availableNow);
+    await it, then read ``out_path`` as a normal table."""
+    from lightsaber_spark.functions.dedup import passage_coverage_vs_index
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        handles: list[DataFrame] = []
+
+        def _cache(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            handles.append(df)
+            return df
+
+        res = passage_coverage_vs_index(
+            batch_df, corpus_index, k=k, text_col=text_col, id_col=id_col,
+            cache=_cache,
+        ).withColumn("_batch_id", F.lit(int(batch_id)))
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            res.write.mode("overwrite").partitionBy("_batch_id").parquet(out_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+            for h in handles:
+                h.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_order_violations(
     stream: DataFrame,
     ts_col: str,

@@ -181,3 +181,59 @@ def test_streaming_passage_coverage_null_doc_id_survives(spark, tmp_path):
     n_tok = len(A.split())
     assert by_id[5].n_covered == n_tok  # the real doc still scores fully
     assert None in by_id and len(out) == 2  # one combined null-id row
+
+
+def test_streaming_passage_coverage_foreach_batch_matches_batch(spark, tmp_path):
+    """The pure-JVM foreachBatch scale path: per-batch relational
+    aggregation (shared passage_coverage_vs_index core) must emit the
+    batch rows exactly, and a checkpointed re-run adds nothing
+    (idempotent replay via dynamic partition overwrite)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.pipeline_queries import _passage_index
+    from lightsaber_spark.streaming.stream import (
+        read_stream,
+        streaming_passage_coverage_foreach_batch,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        sorted(DOCS.items()), "doc_id long, text string"
+    ).write.parquet(sf_dir + "/documents.parquet")
+    delta = [(i, t) for i, t in DOCS.items() if i % 10 == 0] + [
+        (i + 1000000, t) for i, t in DOCS.items() if i % 50 == 1
+    ]
+    src = str(tmp_path / "delta_src_fb")
+    half = len(delta) // 2
+    for part in (delta[:half], delta[half:]):
+        spark.createDataFrame(
+            part, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    out = str(tmp_path / "cov_out")
+    ck = str(tmp_path / "ck_fb")
+
+    def run():
+        cidx = _passage_index(spark, sf_dir, K).filter(
+            F.col("doc_id") % 10 != 0
+        )
+        stream = read_stream(
+            spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+        )
+        q = streaming_passage_coverage_foreach_batch(stream, cidx, out, ck, k=K)
+        q.awaitTermination()
+
+    cols = ["doc_id", "n_tokens", "n_dup_positions", "n_covered", "n_corpus_docs"]
+    try:
+        run()
+        got = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+        want = {tuple(r) for r in q_passage_delta_vs_corpus(spark, sf_dir).collect()}
+        assert got == want and len(got) == len(delta)
+        run()  # checkpointed restart: input already committed, no dupes
+        again = {tuple(r) for r in spark.read.parquet(out).select(*cols).collect()}
+        assert again == want
+    finally:
+        release_passage_index()
