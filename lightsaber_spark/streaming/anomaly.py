@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def streaming_zscore_outliers(
@@ -50,7 +50,11 @@ def streaming_zscore_outliers(
         [
             StructField("event_id", LongType()),
             StructField("window_start", LongType()),
-            StructField(key_col, StringType()),
+            # key keeps its SOURCE type — hardcoded StringType is the
+            # mirror image of the fixed hardcoded-LongType key bugs
+            # (r12 review); only worked because the in-repo caller
+            # keys by event_type
+            StructField(key_col, stream.schema[key_col].dataType),
             StructField("n_ref", LongType()),
         ]
     )
@@ -80,7 +84,14 @@ def streaming_zscore_outliers(
             xs = pdf["_x"].to_numpy()
             ids = pdf["event_id"].to_numpy()
             for t, x, eid in zip(ts_us, xs, ids):
-                w = (int(t) // size_us) * size_sec
+                # truncate toward zero like the batch twin's
+                # _exact_bucket (Spark % keeps the dividend sign) —
+                # Python // floors, which diverges on pre-epoch
+                # timestamps (r12 review; out-of-domain but cheap to
+                # keep bit-aligned)
+                t = int(t)
+                q = t // size_us if t >= 0 else -((-t) // size_us)
+                w = q * size_sec
                 if cw is None:
                     cw = w
                 elif w > cw:

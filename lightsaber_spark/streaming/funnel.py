@@ -55,7 +55,11 @@ def streaming_funnel(
 
     out_schema = StructType(
         [
-            StructField(user_col, LongType()),
+            # key keeps its SOURCE type — a hardcoded LongType would
+            # crash string user ids at the Arrow boundary (the exact
+            # key-typing class fixed in sessions/order_violations,
+            # commits aa44a58/00efbc0; r12 review found it here too)
+            StructField(user_col, stream.schema[user_col].dataType),
             StructField("stage_reached", LongType()),
         ]
         + [StructField(f"t{j}", LongType()) for j in range(n)]

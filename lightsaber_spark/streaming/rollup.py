@@ -46,7 +46,12 @@ def _partial_aggs(measures: Sequence[tuple[str, str | None, str]]) -> list[Colum
     out = []
     for fn, col, alias in measures:
         if fn == "count":
-            out.append(F.count(F.lit(1)).alias(alias))
+            # honor the src col like window_agg._agg_exprs: a
+            # ('count', col, a) spec ported from the batch aggregates
+            # must skip nulls, not count rows (r12 review)
+            out.append(
+                (F.count(F.col(col)) if col else F.count(F.lit(1))).alias(alias)
+            )
         elif fn in ("sum", "min", "max"):
             out.append(getattr(F, fn)(col).alias(alias))
         else:  # pragma: no cover - guarded by callers
@@ -221,11 +226,22 @@ def compact(
         return []
 
     def _swap(fold_ids: list[int]) -> None:
-        # prune the folded dirs (incl. old -1), then publish the stage
+        # prune the folded dirs (incl. old -1), then publish the stage.
+        # Hadoop FS signals most failures by returning FALSE, not
+        # throwing (r12 review): an unchecked failed delete of old -1
+        # would make the rename land the stage INSIDE it (rename-into-
+        # existing-dir semantics) and double-count; a failed rename
+        # after the prune would lose the folded partials. Check every
+        # boolean and abort loudly — the committed stage + marker make
+        # the next compact's recovery roll the swap forward.
         for i in fold_ids:
-            fs.delete(hpath(f"{base}/_batch_id={i}"), True)
-        fs.rename(hpath(stage), hpath(f"{base}/_batch_id=-1"))
-        # tidy the (hidden) marker off the new -1
+            p = hpath(f"{base}/_batch_id={i}")
+            if not fs.delete(p, True) and fs.exists(p):
+                raise IOError(f"compact: failed to prune {p}")
+        tgt = hpath(f"{base}/_batch_id=-1")
+        if not fs.rename(hpath(stage), tgt):
+            raise IOError(f"compact: failed to publish stage as {tgt}")
+        # tidy the (hidden) marker off the new -1 (best-effort)
         fs.delete(
             hpath(f"{base}/_batch_id=-1/{_marker_name(fold_ids)}"), False
         )

@@ -64,6 +64,26 @@ def _valid_chunk(chunk):
 _GLOBAL_KEY = "_global"
 
 
+def _concat_sorted(pdf_iter, order_cols):
+    """The group's Arrow chunks concatenated THEN sorted once — or
+    None when the batch holds no rows for this key. Sorting each chunk
+    independently (the old loop) processes rows in shuffle ARRIVAL
+    order across chunk boundaries, so any key whose micro-batch
+    exceeds one Arrow chunk (~10k rows default) counted rows into
+    windows out of ``order_cols`` order — the funnel chunk-order bug
+    (commit e925e67) found again here by the r12 review. Stable
+    mergesort keeps arrival order among order_cols ties, matching the
+    batch twin's tie behavior. One group's micro-batch rows are
+    materialized — the same envelope the stateful fold already holds."""
+    import pandas as pd
+
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        return None
+    pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+    return pdf.sort_values(order_cols, kind="mergesort")
+
+
 def streaming_row_window_agg(
     stream: DataFrame,
     order_cols: Sequence[str],
@@ -169,8 +189,8 @@ def streaming_row_window_agg(
                 s = col_slot(ci)
                 st[s], st[s + 1], st[s + 2], st[s + 3] = 0.0, 0, None, None
 
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf = _concat_sorted(pdf_iter, order_cols)
+        if pdf is not None:
             vals = {c: pdf[c].to_numpy() for c in agg_cols}
             n = len(pdf)
             i = 0
@@ -225,7 +245,7 @@ def _streaming_sliding_row_windows(
     import json
 
     import pandas as pd
-    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+    from pyspark.sql.types import StringType
 
     _check_aggs(aggs)
     if size % slide != 0:
@@ -299,8 +319,8 @@ def _streaming_sliding_row_windows(
                 out_rows.append(row)
                 st["panes"].pop(0)
 
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(order_cols, kind="mergesort")
+        pdf = _concat_sorted(pdf_iter, order_cols)
+        if pdf is not None:
             vals = {c: pdf[c].to_numpy() for c in agg_cols}
             n = len(pdf)
             i = 0

@@ -134,6 +134,14 @@ def streaming_sessions_timeout(
 
     return (
         stream.withWatermark(ts_col, watermark)
+        # Spark's late-row filter KEEPS null event times (the predicate
+        # evaluates null → not late), so a NaT would reach the pandas
+        # fold as INT64_MIN — opening a phantom pre-epoch session, and
+        # a state whose l is INT64_MIN//1000 feeds
+        # setTimeoutTimestamp a timestamp below the watermark, which
+        # Spark rejects and the query dies (r12 review). A row with no
+        # event time belongs to no session: drop it input-side.
+        .filter(F.col(ts_col).isNotNull())
         .select(key_col, ts_col)
         .groupBy(key_col)
         .applyInPandasWithState(

@@ -1914,3 +1914,166 @@ def test_compact_staged_swap_and_recovery(spark, tmp_path):
     compact(spark, out, measures, keys)
     assert dirs() == ["_batch_id=-1", "_batch_id=3"]
     assert view_rows() == want1
+
+
+def test_streaming_row_window_multi_chunk_matches_batch(spark, events, tmp_path):
+    """r12 review regression: a group arrives as MULTIPLE Arrow chunks
+    in shuffle ARRIVAL order, and the old per-chunk sort counted rows
+    into windows in arrival order across chunk boundaries. Two
+    triggers are both required to reproduce it: maxRecordsPerBatch=7
+    (many chunks per group) AND a SHUFFLED source file (the real
+    events parquet is already ts-ordered, so arrival order ==
+    order_cols order and per-chunk sorting is a no-op — the first
+    version of this test passed on the buggy code). Verified to FAIL
+    on the pre-fix loop with this shape."""
+    from lightsaber_spark.operators.row_window import keyed_row_window_agg
+
+    src = str(tmp_path / "shuffled_src")
+    events.orderBy(F.rand(42)).coalesce(1).write.parquet(src)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        stream = read_stream(
+            spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+        )
+        s = streaming_row_window_agg(
+            stream, ["ts", "event_id"], 100,
+            [("count", None, "n"), ("sum", "value", "sum_value")],
+            keys=["event_type"],
+        )
+        got = run_available_now(s, str(tmp_path / "ck_mc"), table_name="t_rw_mc")
+        # the batch twin sorts the SAME shuffled relation by order_cols
+        want = keyed_row_window_agg(
+            spark.read.parquet(src), ["ts", "event_id"], 100,
+            [("count", None, "n"), ("sum", "value", "sum_value")],
+            ["event_type"],
+        ).filter(F.col("n") == 100)
+        ok, msg = rows_match(
+            got.select("event_type", "window_id", "n", "sum_value").collect(),
+            want.select("event_type", "window_id", "n", "sum_value").collect(),
+            float_tol=1e-6,
+        )
+        assert ok, msg
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_streaming_funnel_string_user_ids(spark, tmp_path):
+    """r12 review regression: the funnel's out_schema hardcoded a
+    LongType user field — string user ids crashed at the Arrow
+    boundary. The key must keep its source type."""
+    from datetime import datetime, timezone
+
+    from lightsaber_spark.streaming.funnel import streaming_funnel
+
+    def _ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame(
+        [("u-a", _ts(100), "view"), ("u-a", _ts(110), "cart"),
+         ("u-b", _ts(100), "view")],
+        "user string, ts timestamp, event_type string",
+    ).coalesce(1).write.parquet(src)
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    out = run_available_now(
+        streaming_funnel(stream, "ts", "user", "event_type",
+                         ["view", "cart"], 60),
+        str(tmp_path / "ck_fs"),
+        table_name="t_fun_str",
+        output_mode="update",
+    ).collect()
+    got = {r.user: r.stage_reached for r in out}
+    assert got == {"u-a": 2, "u-b": 1}
+
+
+def test_streaming_zscore_long_key(spark, tmp_path):
+    """r12 review regression: the z-score out_schema hardcoded a
+    StringType key — a numeric key column crashed/coerced at the Arrow
+    boundary. Keyed by a LONG column, the op must run and key values
+    must round-trip as longs."""
+    from datetime import datetime, timezone
+
+    from lightsaber_spark.streaming.anomaly import streaming_zscore_outliers
+
+    def _ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = []
+    eid = 0
+    # window 1 (t in [100, 200)): 12 calm events per key; window 2:
+    # one wild event per key -> flagged against window 1's stats
+    for k in (7, 9):
+        for i in range(12):
+            rows.append((eid, k, _ts(100 + i), 1.0 + (i % 3) * 0.01)); eid += 1
+        rows.append((eid, k, _ts(210), 500.0)); eid += 1
+    src = str(tmp_path / "zsrc")
+    spark.createDataFrame(
+        rows, "event_id long, grp long, ts timestamp, value double"
+    ).coalesce(1).write.parquet(src)
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    out = run_available_now(
+        streaming_zscore_outliers(stream, "ts", "grp", "value", 100, min_n=10),
+        str(tmp_path / "ck_zl"),
+        table_name="t_z_long",
+        output_mode="update",
+    ).collect()
+    assert {r.grp for r in out} == {7, 9}
+    assert all(isinstance(r.grp, int) for r in out)
+
+
+def test_streaming_sessions_timeout_null_ts_dropped(spark, tmp_path):
+    """r12 review regression: a NULL event time passes Spark's late-row
+    filter and used to reach the fold as INT64_MIN (phantom pre-epoch
+    session; a null-only key even killed the query via a rejected
+    timeout timestamp). Null-ts rows are dropped input-side."""
+    from datetime import datetime, timezone
+
+    from lightsaber_spark.streaming.sessions import streaming_sessions_timeout
+
+    def _ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    src = str(tmp_path / "nsrc")
+    gap = 30
+    b1 = spark.createDataFrame(
+        [(1, _ts(100)), (1, None), (3, None)], "user_id long, ts timestamp"
+    )
+    b2 = spark.createDataFrame([(2, _ts(1000))], "user_id long, ts timestamp")
+    for i, b in ((1, b1), (2, b2)):
+        b.coalesce(1).write.parquet(src + f"/b={i}")
+    schema = spark.read.parquet(src + "/b=1").schema
+    stream = read_stream(spark, src + "/b=*", schema, max_files_per_trigger=1)
+    out = run_available_now(
+        streaming_sessions_timeout(stream, "ts", "user_id", gap),
+        str(tmp_path / "ck_nto"),
+        table_name="t_sess_null",
+        output_mode="update",
+    ).collect()
+    got = {(r.user_id, r.session_start_us, r.session_end_us, r.n) for r in out}
+    # user 1's real session closes by timeout with n=1 (null row gone);
+    # user 3 (null-only) never opens a session; no pre-epoch phantoms
+    assert got == {(1, 100 * 1_000_000, (100 + gap) * 1_000_000, 1)}
+
+
+def test_rollup_partial_count_honors_src_col(spark):
+    """r12 review regression: ('count', col, a) in a rollup measure
+    spec must skip nulls like the batch F.count(col), not count rows."""
+    from lightsaber_spark.streaming.rollup import _merge_aggs, _partial_aggs
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, None), (0, 3.0), (3600, None)],
+        "pane_start long, value double",
+    )
+    measures = [("count", "value", "n_v"), ("count", None, "n_all")]
+    part = df.groupBy("pane_start").agg(*_partial_aggs(measures))
+    merged = {
+        r.pane_start: (r.n_v, r.n_all)
+        for r in part.groupBy("pane_start").agg(*_merge_aggs(measures)).collect()
+    }
+    assert merged == {0: (2, 3), 3600: (0, 1)}
