@@ -73,6 +73,15 @@ def theta_join(
 
     us = 1_000_000
     d_us = int(round(max_delta_sec * us))
+    if d_us < 1:
+        # DIV 0 yields NULL buckets on BOTH sides and NULL never
+        # equi-joins — a zero/sub-µs band would silently return an
+        # empty result (r12 review). Exact-timestamp pairing is an
+        # equi-join on the timestamp, not a band join.
+        raise ValueError(
+            "max_delta_sec must be >= 1 µs; for exact-timestamp pairing "
+            "equi-join on the timestamp column instead"
+        )
     from lightsaber_spark.operators.window_agg import epoch_us
 
     # exact integer µs via epoch_us + SQL DIV (CLAUDE.md exactness
@@ -195,6 +204,18 @@ def asof_join(
             f"asof_join: right columns {dup} collide with left columns "
             "— alias one side before joining"
         )
+    internal = {"_t", "_side", "_c_t"} | {f"_r_{c}" for c in rcols} | {
+        f"_c_{c}" for c in rcols
+    }
+    clash = sorted(internal & set(lcols))
+    if clash:
+        # withColumn would silently OVERWRITE a left column named like
+        # one of the scan's internals and emit epoch-µs garbage under
+        # the user's name (r12 review) — raise like the rcols∩lcols case
+        raise ValueError(
+            f"asof_join: left columns {clash} collide with the "
+            "union-scan's internal names — alias them before joining"
+        )
 
     from lightsaber_spark.operators.window_agg import epoch_us
 
@@ -280,7 +301,10 @@ def asof_broadcast_join(
     j = left.withColumn("_lt", epoch_us(left, on_ts_left)).join(
         F.broadcast(r), by, "left"
     )
-    tol_us = None if tolerance_sec is None else int(tolerance_sec) * 1_000_000
+    # scale THEN truncate — int(tolerance_sec)*1e6 floored a float
+    # tolerance to whole seconds (0.5 s silently became 0), diverging
+    # from asof_join's sub-second handling (r12 review)
+    tol_us = None if tolerance_sec is None else int(tolerance_sec * 1_000_000)
 
     @F.pandas_udf("bigint")
     def _lookup(ts: pd.Series, arrs: pd.Series) -> pd.Series:

@@ -40,7 +40,14 @@ def with_global_row_index(
     """
     order_cols = [F.col(c) for c in order_by]
     if bucket_expr is None:
-        bucket_expr = F.floor(F.col(order_by[0]).cast("double") / F.lit(86400)).cast("bigint")
+        # exact integer-µs day bucket via epoch_us/_exact_bucket — the
+        # old cast('double')/86400 form was the one remaining banned
+        # float-epoch site and THROWS on TIMESTAMP_NTZ/Date order
+        # columns (r12 review; same crash class theta_join fixed in
+        # r11). Same buckets for every epoch-nonneg timestamp.
+        from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
+
+        bucket_expr = _exact_bucket(epoch_us(df, order_by[0]), 86400)
     b = df.withColumn("_bucket", bucket_expr)
     rank_in = F.row_number().over(
         Window.partitionBy("_bucket").orderBy(*order_cols)
@@ -94,6 +101,12 @@ def row_window_agg(
     """
     _check_aggs(aggs)
     slide = slide or size
+    if slide > size:
+        # same rule as windowed_agg: hopping-with-gaps is not in the
+        # reference's semantics — and the sliding explode below would
+        # hit w_min > w_max for gap rows, a runtime
+        # 'Illegal sequence boundaries' crash (r12 review)
+        raise ValueError("slide > size (hopping-with-gaps) not in reference semantics")
     keys = list(keys)
     idx = with_global_row_index(df, order_by, bucket_expr)
 

@@ -40,7 +40,11 @@ def post_window_argmax(
     mx = windowed.groupBy(*wcols).agg(F.max(F.col(value_col)).alias("_mx"))
     return (
         windowed.join(mx, wcols)
-        .filter(F.col(value_col) == F.col("_mx"))
+        # null-safe: a window whose value_col is all NULL has _mx NULL,
+        # and a plain == filter dropped the whole window while the
+        # max_by path emitted it — the two modes must agree on group
+        # coverage, not just tie handling (r12 review)
+        .filter(F.col(value_col).eqNullSafe(F.col("_mx")))
         .select(*wcols, key_col, value_col)
     )
 

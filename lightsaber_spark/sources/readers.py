@@ -47,8 +47,19 @@ def read_table(
         reader = reader.option(k, v)
     df = reader.load(path)
     for c in ts_nanos_cols or []:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        df = normalize_nanos_col(df, c)
+    return df
+
+
+def normalize_nanos_col(df: DataFrame, c: str) -> DataFrame:
+    """bigint epoch-nanoseconds → TimestampType (exact integer µs,
+    `div` truncating — documented limit for pre-epoch nanos). Same
+    form as the inline loop in ``session.load_tables`` (deliberately
+    NOT imported there: every registered query transits load_tables,
+    so a shared import would stale the whole catalog's impl hashes
+    for a cosmetic dedup — if this form ever changes, change both)."""
+    if dict(df.dtypes).get(c) == "bigint":
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
 

@@ -71,7 +71,17 @@ def to_kafka_frame(
     ``readers.parse_kafka_value`` on the source side."""
     from pyspark.sql import functions as F
 
-    cols = list(value_cols or [c for c in df.columns if c != key_col])
+    # `is None`, not truthiness: an explicit empty selection must error
+    # rather than silently fall back to publishing EVERY column (r12
+    # review — a dynamically built list that filters to [] would leak
+    # unintended fields to the topic)
+    if value_cols is not None and not list(value_cols):
+        raise ValueError("value_cols is empty — nothing to serialize")
+    cols = (
+        list(value_cols)
+        if value_cols is not None
+        else [c for c in df.columns if c != key_col]
+    )
     out = df.select(
         *([F.col(key_col).cast("string").alias("key")] if key_col else []),
         F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
