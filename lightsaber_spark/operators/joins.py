@@ -267,7 +267,7 @@ def asof_broadcast_join(
     on_ts_right: str,
     by: Sequence[str],
     direction: str = "backward",
-    tolerance_sec: int | None = None,
+    tolerance_sec: float | None = None,
     out_col: str = "asof_ts_us",
 ) -> DataFrame:
     """As-of against a SMALL right side: the right rows fold to one
