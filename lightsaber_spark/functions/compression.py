@@ -59,8 +59,15 @@ def compression_plan(
     model above, ties broken in CODECS order (base_delta < dictionary
     < rle < plain)."""
     chunk = F.expr(f"CAST({order_col} DIV {chunk_rows} AS BIGINT)").alias("_chunk")
-    base = df.select(chunk, F.col(order_col), *[F.col(c) for c in cols])
-    w = Window.partitionBy("_chunk").orderBy(order_col)
+    # alias the order column: selecting it alongside a cols entry of
+    # the same name made every later reference ambiguous
+    # (compression_plan(df, ['event_id', ...], 'event_id') threw
+    # AnalysisException — r12 review; monotone ids are this module's
+    # own headline base-delta candidates)
+    base = df.select(
+        chunk, F.col(order_col).alias("_ord"), *[F.col(c) for c in cols]
+    )
+    w = Window.partitionBy("_chunk").orderBy("_ord")
     flags = [
         F.when(
             F.lag(col).over(w).isNull() | (F.lag(col).over(w) != F.col(col)), 1

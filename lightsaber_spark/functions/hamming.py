@@ -36,6 +36,12 @@ def banded_hamming_pairs(
     alongside (band, bucket) and are carried into the output."""
     if n_bits % n_bands:
         raise ValueError("n_bands must divide n_bits")
+    if not 0 < n_bits <= 64:
+        # signatures are ONE signed long: for n_bits > 64 the JVM masks
+        # shift amounts mod 64, silently duplicating low bands — bands
+        # over the (nonexistent) upper bits never form, retrieval goes
+        # LOSSY with no error (r12 review)
+        raise ValueError("signatures are single 64-bit longs: n_bits must be <= 64")
     if not 0 <= max_hamming < n_bands:
         raise ValueError(
             "banded retrieval is lossless only for max_hamming < n_bands"

@@ -79,11 +79,13 @@ def _estimate_const(m: int) -> float:
 
 
 def _h60(c: Column) -> Column:
-    """60-bit md5-prefix hash as bigint (repo-standard, matches
-    ``('0x'||substr(md5(CAST(x AS VARCHAR)),1,15))::BIGINT``)."""
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    """60-bit md5-prefix hash as bigint — delegates to the single
+    repo-standard definition (``dedup.shingle_hash``); a private
+    re-implementation of the cross-engine hash invariant would not
+    track a future change to it (r12 review)."""
+    from lightsaber_spark.functions.dedup import shingle_hash
+
+    return shingle_hash(c.cast("string"))
 
 
 def hll_bucket_rho(
@@ -95,7 +97,11 @@ def hll_bucket_rho(
     """Map-side (group..., bucket, rho) rows — the pre-aggregation
     shared by the batch register builder and the streaming windowed
     twin (streaming/sketches.py). Pure expression work, no shuffle."""
-    assert m & (m - 1) == 0, "m must be a power of two"
+    if m <= 0 or m & (m - 1):
+        # ValueError, not assert: asserts vanish under python -O and a
+        # non-power-of-two m silently biases the estimate (the p =
+        # bit_length-1 derivation assumes 2^p buckets; r12 review)
+        raise ValueError("m must be a power of two")
     h = _h60(F.col(value_col))
     # `div` (not `/` + cast: Spark's float cast would round) — h ≥ 0 so
     # truncation == floor, matching DuckDB `//`.

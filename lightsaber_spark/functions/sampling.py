@@ -31,6 +31,16 @@ from lightsaber_spark.functions.dedup import shingle_hash
 TWO60 = 1 << 60
 
 
+def _case_or_lit(when_arms: Sequence[str], else_val) -> str:
+    """`CASE <arms> ELSE v END`, or the bare `v` literal when there are
+    NO arms — `CASE ELSE v END` is a DuckDB parse error, so an empty
+    rates/weights dict or a 1-way split built a Spark plan that worked
+    against an oracle that could not parse (r12 review, confirmed)."""
+    if not when_arms:
+        return str(else_val)
+    return f"CASE {' '.join(when_arms)} ELSE {else_val} END"
+
+
 def _key_hash(key_cols: Sequence[str], salt: str) -> Column:
     """60-bit md5 hash of the salted, ','-joined key columns.
     DuckDB twin: ``('0x'||substr(md5(<salt>||','||cols...),1,15))::BIGINT``.
@@ -181,19 +191,29 @@ def upsample_oracle_parts(
         base = math.floor(w)
         return int(base), int(round((w - base) * TWO60))
 
-    nb_cases = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {_parts(w)[0]}"
-        for g, w in sorted(weights.items())
-    )
-    fr_cases = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {_parts(w)[1]}"
-        for g, w in sorted(weights.items())
-    )
     db, dfr = _parts(default_weight)
+    nb_cases = _case_or_lit(
+        [
+            f"WHEN {group_col} = '{g}' THEN {_parts(w)[0]}"
+            for g, w in sorted(weights.items())
+        ],
+        db,
+    )
+    fr_cases = _case_or_lit(
+        [
+            f"WHEN {group_col} = '{g}' THEN {_parts(w)[1]}"
+            for g, w in sorted(weights.items())
+        ],
+        dfr,
+    )
+    # NULL hash => ZERO copies, matching the engine (its empty-sequence
+    # branch), not the bare CASE's ELSE-0 which still emitted ⌊w⌋
+    # copies for a NULL-keyed row (r12 review, confirmed by execution —
+    # the _key_hash contract is 'excluded in BOTH engines')
     return (
-        f"(CASE {nb_cases} ELSE {db} END"
-        f" + CASE WHEN {h} < (CASE {fr_cases} ELSE {dfr} END)"
-        f" THEN 1 ELSE 0 END)"
+        f"(CASE WHEN {h} IS NULL THEN 0 ELSE {nb_cases}"
+        f" + CASE WHEN {h} < ({fr_cases})"
+        f" THEN 1 ELSE 0 END END)"
     )
 
 
@@ -207,11 +227,14 @@ def mixture_oracle_pred(
     """DuckDB WHERE-clause twin of :func:`mixture_sample`."""
     joined = " || ',' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
     h = f"('0x'||substr(md5('{salt}' || ',' || {joined}),1,15))::BIGINT"
-    cases = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {int(round(r * TWO60))}"
-        for g, r in sorted(rates.items())
+    cases = _case_or_lit(
+        [
+            f"WHEN {group_col} = '{g}' THEN {int(round(r * TWO60))}"
+            for g, r in sorted(rates.items())
+        ],
+        int(round(default_rate * TWO60)),
     )
-    return f"{h} < (CASE {cases} ELSE {int(round(default_rate * TWO60))} END)"
+    return f"{h} < ({cases})"
 
 
 def stratified_sample_exact(
@@ -242,7 +265,10 @@ def stratified_sample_exact(
     from pyspark.sql import Window
 
     strata = list(strata_cols)
-    w = Window.partitionBy(*strata).orderBy("_sh")
+    # nulls LAST, matching DuckDB's default — Spark's NULLS-FIRST
+    # default let a NULL key hash consume a sample slot on one engine
+    # only (r12 review, confirmed by execution)
+    w = Window.partitionBy(*strata).orderBy(F.col("_sh").asc_nulls_last())
     return (
         df.withColumn("_sh", _key_hash(key_cols, salt))
         .withColumn("_rn", F.row_number().over(w))
@@ -293,4 +319,4 @@ def split_oracle_expr(
     for i, w in enumerate(weights[:-1]):
         cum += w
         cases.append(f"WHEN {h} < {int(round(cum * (1 << 60)))} THEN {i}")
-    return f"CASE {' '.join(cases)} ELSE {len(weights) - 1} END"
+    return _case_or_lit(cases, len(weights) - 1)

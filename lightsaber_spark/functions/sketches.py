@@ -52,9 +52,15 @@ def kmv_distinct(
     matches bit-for-bit.
     """
     groups = list(group_cols)
-    d = df.select(
-        *groups, shingle_hash(F.col(value_col).cast("string")).alias("_h")
-    ).distinct()
+    # NULLs are not distinct values: unfiltered, the NULL hash ranks
+    # NULLS FIRST here but NULLS LAST in DuckDB — it would consume a
+    # bottom-k slot and shift _hk on one engine only (r12 review; the
+    # oracle builder filters identically)
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*groups, shingle_hash(F.col(value_col).cast("string")).alias("_h"))
+        .distinct()
+    )
     w = Window.partitionBy(*groups).orderBy("_h") if groups else Window.orderBy("_h")
     ranked = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     # A = (k-1)·2^60 exceeds bigint → decimal(38,0); floor division done
@@ -90,7 +96,7 @@ def kmv_oracle_sql(
     return f"""
     WITH _d AS (
       SELECT DISTINCT {sel_groups}('0x'||substr(md5(CAST({value_expr} AS VARCHAR)),1,15))::BIGINT AS _h
-      FROM {table_expr}
+      FROM {table_expr} WHERE {value_expr} IS NOT NULL
     ),
     _r AS (
       SELECT {sel_groups}_h,
@@ -135,7 +141,12 @@ def bottomk_sample_quantiles(
     (integer cents).
     """
     groups = list(group_cols)
-    h = df.select(
+    # NULL value/key rows out on BOTH engines: a NULL _v or _h ranks
+    # NULLS FIRST here vs NULLS LAST in DuckDB, shifting every order
+    # statistic (r12 review; the oracle builder filters identically)
+    h = df.filter(
+        F.col(value_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         *groups,
         F.col(value_col).alias("_v"),
         shingle_hash(F.col(key_col).cast("string")).alias("_h"),
@@ -301,6 +312,7 @@ def bottomk_quantiles_oracle_sql(
       SELECT {groups}{"," if groups else ""} {value_expr} AS _v,
              ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT AS _h
       FROM {table_expr}
+      WHERE {value_expr} IS NOT NULL AND {key_expr} IS NOT NULL
     ),
     s AS (SELECT * FROM (
             SELECT *, row_number() OVER ({part} ORDER BY _h) AS _rn FROM h)
@@ -376,7 +388,11 @@ def bloom_build(
     pos = F.explode(
         bloom_positions(F.col(key_col), k, m_bits)
     ).alias("pos")
-    p = df.select(pos)
+    # a NULL build key hashes to NULL positions → a (word=NULL) row
+    # that crashes bloom_probe's map_from_entries densify with
+    # NULL_MAP_KEY (r12 review, confirmed by execution) — and a NULL
+    # was never a member anyway
+    p = df.filter(F.col(key_col).isNotNull()).select(pos)
     # SQL DIV — same form as bloom_probe and the oracle's '//'
     # (CLAUDE.md: integer quotients never via /+cast)
     word = F.expr(f"pos DIV {BLOOM_WORD_BITS}")
@@ -434,7 +450,10 @@ def bloom_probe(
             f" & shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % {BLOOM_WORD_BITS} AS INT))"
         ) != 0
         conds = c if conds is None else (conds & c)
-    return out.select(*df.columns, conds.alias(flag_col))
+    # NULL probe key → NULL positions → NULL conds: coalesce to false
+    # ('definitely absent' — NULL keys are never inserted), matching
+    # the DuckDB twin's coalesce(...,0) <> 0 form (r12 review)
+    return out.select(*df.columns, F.coalesce(conds, F.lit(False)).alias(flag_col))
 
 
 def kmv_intersection(
@@ -469,10 +488,14 @@ def kmv_intersection(
         .select("set_a", F.explode("_ss").alias("set_b"))
         .filter(F.col("set_a") < F.col("set_b"))
     )
-    dh = df.select(
-        F.col(set_col).alias("_s"),
-        shingle_hash(F.col(value_col).cast("string")).alias("_h"),
-    ).distinct()
+    dh = (
+        df.filter(F.col(value_col).isNotNull())  # same rule as kmv_distinct
+        .select(
+            F.col(set_col).alias("_s"),
+            shingle_hash(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .distinct()
+    )
     # per (pair, hash): membership flags on each side. The pair list
     # is exploded to one row per (pair, member set) so the fan-out is a
     # broadcast HASH join on the set key — an OR-condition join would
@@ -530,7 +553,7 @@ def kmv_intersection_oracle_sql(
               FROM sets a JOIN sets b ON a.s < b.s),
     dh AS (SELECT DISTINCT s,
                   ('0x'||substr(md5(CAST(v AS VARCHAR)),1,15))::BIGINT AS h
-           FROM src),
+           FROM src WHERE v IS NOT NULL),
     ph AS (SELECT set_a, set_b, h,
                   max(CASE WHEN s = set_a THEN 1 ELSE 0 END) AS ina,
                   max(CASE WHEN s = set_b THEN 1 ELSE 0 END) AS inb
@@ -581,10 +604,14 @@ def sliding_kmv_distinct(
         raise ValueError("slide must divide size for the pane decomposition")
     from lightsaber_spark.operators.window_agg import _exact_bucket, epoch_us
 
-    ph = df.select(
-        _exact_bucket(epoch_us(df, ts_col), slide_sec).alias("_p"),
-        shingle_hash(F.col(value_col).cast("string")).alias("_h"),
-    ).distinct()
+    ph = (
+        df.filter(F.col(value_col).isNotNull())  # same rule as kmv_distinct
+        .select(
+            _exact_bucket(epoch_us(df, ts_col), slide_sec).alias("_p"),
+            shingle_hash(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .distinct()
+    )
     wp = Window.partitionBy("_p").orderBy("_h")
     pk = ph.withColumn("_rn", F.row_number().over(wp)).filter(F.col("_rn") <= k)
     wins = pk.select(

@@ -69,3 +69,129 @@ def test_post_window_argmax_all_null_window_coverage(spark):
     ties = post_window_argmax(df, ["w"], "k", "v", keep_ties=True)
     single = post_window_argmax(df, ["w"], "k", "v", keep_ties=False)
     assert {r.w for r in ties.collect()} == {r.w for r in single.collect()} == {0, 3600}
+
+
+def test_bloom_null_key_build_and_probe(spark):
+    """A NULL build key used to emit a (word=NULL) row that crashed
+    bloom_probe's map_from_entries densify with NULL_MAP_KEY; a NULL
+    probe key used to flag NULL instead of the contract's false."""
+    from lightsaber_spark.functions.sketches import bloom_build, bloom_probe
+
+    build = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    probe = spark.createDataFrame([("a",), (None,), ("z",)], "k string")
+    bloom = bloom_build(build, "k", k=4, m_bits=1 << 10)
+    got = {r.k: r.bloom_maybe for r in bloom_probe(
+        probe, bloom, "k", k=4, m_bits=1 << 10
+    ).collect()}
+    assert got["a"] is True
+    assert got[None] is False  # definitely absent, not NULL
+
+
+def test_kmv_distinct_skips_nulls(spark):
+    from lightsaber_spark.functions.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "b")], "grp string, v string"
+    )
+    out = kmv_distinct(df, ["grp"], "v", k=8, out_col="n").collect()
+    assert out[0].n == 2  # NULL is not a distinct value
+
+
+def test_degenerate_sampling_oracles_parse(spark):
+    """Empty rates / single-weight splits used to emit 'CASE ELSE x END'
+    — a DuckDB parse error — while the Spark twins worked."""
+    import duckdb
+
+    from lightsaber_spark.functions.sampling import (
+        mixture_oracle_pred,
+        split_oracle_expr,
+        upsample_oracle_parts,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 'x' AS id, 'web' AS src")
+    for sql in (
+        f"SELECT * FROM t WHERE {mixture_oracle_pred(['id'], {}, 'src', 0.5)}",
+        f"SELECT {split_oracle_expr(['id'], [1.0])} FROM t",
+        f"SELECT {upsample_oracle_parts(['id'], {}, 'src', 2.0)} FROM t",
+    ):
+        con.execute(sql)  # must parse and run
+
+
+def test_upsample_oracle_null_key_zero_copies(spark):
+    """A NULL-keyed row must get ZERO copies on BOTH engines (the
+    _key_hash 'excluded in both engines' contract — the oracle's bare
+    ELSE-0 branch used to emit floor(w) copies for it)."""
+    import duckdb
+
+    from lightsaber_spark.functions.sampling import (
+        upsample_by_weight,
+        upsample_oracle_parts,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "g"), (None, "g")], "id string, src string"
+    )
+    got = (
+        upsample_by_weight(df, {"g": 2.0}, "src", ["id"])
+        .groupBy("id").count().collect()
+    )
+    assert {r.id: r["count"] for r in got} == {"x": 2}
+    con = duckdb.connect()
+    n_expr = upsample_oracle_parts(["id"], {"g": 2.0}, "src")
+    rows = con.execute(
+        "WITH t(id, src) AS (VALUES ('x', 'g'), (NULL, 'g')) "
+        f"SELECT id FROM (SELECT id, unnest(generate_series(0, {n_expr} - 1)) "
+        "FROM t)"
+    ).fetchall()
+    assert [r[0] for r in rows] == ["x", "x"]
+
+
+def test_stratified_sample_null_hash_ranks_last(spark):
+    """Spark's NULLS-FIRST default let a NULL key hash consume a sample
+    slot that DuckDB (NULLS LAST) gave to a real row."""
+    import duckdb
+
+    from lightsaber_spark.functions.sampling import (
+        stratified_oracle_sql,
+        stratified_sample_exact,
+    )
+
+    rows = [("L", "a"), ("L", None), ("L", "b"), ("L", "c")]
+    df = spark.createDataFrame(rows, "lang string, doc string")
+    got = sorted(
+        (r.doc or "~")
+        for r in stratified_sample_exact(df, 2, ["lang"], ["doc"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('L', 'a'), ('L', NULL), "
+        "('L', 'b'), ('L', 'c')) v(lang, doc)"
+    )
+    want = sorted(
+        (r[0] or "~")
+        for r in con.execute(
+            stratified_oracle_sql("t", 2, ["lang"], ["doc"], ["doc"])
+        ).fetchall()
+    )
+    assert got == want and "~" not in got
+
+
+def test_banded_hamming_rejects_over_64_bits(spark):
+    from lightsaber_spark.functions.hamming import banded_hamming_pairs
+
+    sig = spark.createDataFrame([(1, 3)], "id long, h long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64"):
+        banded_hamming_pairs(sig, "id", "h", n_bits=128, n_bands=4, max_hamming=3)
+
+
+def test_compression_plan_order_col_in_cols(spark):
+    from lightsaber_spark.functions.compression import compression_plan
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "event_id long, t long"
+    )
+    out = compression_plan(df, ["event_id", "t"], "event_id").collect()
+    assert {r.column_name for r in out} == {"event_id", "t"}
