@@ -265,12 +265,17 @@ def stratified_sample_exact(
     from pyspark.sql import Window
 
     strata = list(strata_cols)
-    # nulls LAST, matching DuckDB's default — Spark's NULLS-FIRST
-    # default let a NULL key hash consume a sample slot on one engine
-    # only (r12 review, confirmed by execution)
-    w = Window.partitionBy(*strata).orderBy(F.col("_sh").asc_nulls_last())
+    # NULL key hashes are EXCLUDED on both engines (the kmv/bottomk
+    # rule): every NULL-keyed row shares the single NULL _sh, so any
+    # ordering policy only moves the block — when the rank cutoff
+    # falls inside it, row_number tie-breaks by physical partition
+    # order and selection differs per engine/retry (r12 ADVICE; the
+    # earlier asc_nulls_last fix was insufficient for exactly that
+    # boundary case)
+    w = Window.partitionBy(*strata).orderBy(F.col("_sh").asc())
     return (
         df.withColumn("_sh", _key_hash(key_cols, salt))
+        .filter(F.col("_sh").isNotNull())
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_per_stratum)
         .drop("_sh", "_rn")
@@ -286,7 +291,7 @@ def stratified_oracle_sql(
     salt: str = "strata",
 ) -> str:
     """DuckDB twin of :func:`stratified_sample_exact` (same hash, same
-    rank-within-stratum selection)."""
+    rank-within-stratum selection, same NULL-key-hash exclusion)."""
     joined = " || ',' || ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
     h = f"('0x'||substr(md5('{salt}' || ',' || {joined}),1,15))::BIGINT"
     part = ", ".join(strata_cols)
@@ -294,7 +299,7 @@ def stratified_oracle_sql(
     return f"""
     SELECT {sel} FROM (
       SELECT *, row_number() OVER (PARTITION BY {part} ORDER BY {h}) AS _rn
-      FROM {table_expr}
+      FROM {table_expr} WHERE {h} IS NOT NULL
     ) t WHERE _rn <= {n_per_stratum}
     """
 

@@ -188,8 +188,11 @@ def compact(
     Consistency (r11 ADVICE — staged swap, self-healing): the merge is
     STAGED under the ``_batch_id=-2`` sentinel partition, which every
     reader (:func:`rollup_view`) filters out, then committed by ONE
-    atomic create of a hidden ``_folds.<i>.<j>…`` marker naming the
-    entire fold set, and only
+    atomic rename publishing a hidden ``_folds`` marker whose BODY
+    names the entire fold set (the id list used to live in the marker
+    FILENAME, which breaks past ~60 ids — 255-byte filename component
+    limit on local FS/HDFS; the body is unbounded and the tmp-write +
+    rename keeps the commit a single atomic op), and only
     then swapped in: folded directories (including the old ``-1``) are
     deleted and the stage is RENAMED to ``-1``. A concurrent reader
     therefore never double-counts — the old state stays fully readable
@@ -201,27 +204,54 @@ def compact(
     crash). The only residual window is the swap itself, where a
     concurrent reader can transiently UNDERCOUNT the folded ids;
     quiesce readers across compact when strict monotonic reads are
-    required. All FS ops use the Hadoop API, so remote stores
-    (hdfs://, s3a://) work too."""
+    required. All FS ops use the Hadoop API; the atomicity story
+    assumes atomic directory rename, i.e. local FS and HDFS. On S3A,
+    rename is a non-atomic per-file copy — a crash mid-publish can
+    leave a PARTIAL ``-1`` alongside the committed stage; recovery
+    handles that (``_swap`` deletes any existing ``-1`` before the
+    publish rename, since the committed stage supersedes it), but a
+    concurrent reader during the S3A copy window can see a torn
+    ``-1`` — quiesce readers across compact on object stores."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(out_path).getFileSystem(spark._jsc.hadoopConfiguration())
     base = out_path.rstrip("/")
     stage = f"{base}/_batch_id=-2"
 
-    def _marker_name(fold_ids: list[int]) -> str:
-        return "_folds." + ".".join(str(i) for i in sorted(fold_ids))
+    def _write_marker(dir_path: str, fold_ids: list[int]) -> None:
+        # ONE marker file names the ENTIRE fold set — per-id marker
+        # files would make a crash mid-loop look like a committed
+        # smaller fold and permanently double-count the unlisted ids
+        # (review finding). The id list is the file's CONTENT, not its
+        # name (a name grows past the 255-byte filename component
+        # limit at ~60 ids and wedges compact forever; r12 ADVICE).
+        # Commit point = the atomic RENAME from the tmp name: a crash
+        # mid-write leaves only `_folds.tmp`, which recovery treats as
+        # uncommitted.
+        payload = ".".join(str(i) for i in sorted(fold_ids))
+        tmp = hpath(f"{dir_path}/_folds.tmp")
+        out = fs.create(tmp, True)
+        out.write(bytearray(payload.encode("ascii")))
+        out.close()
+        if not fs.rename(tmp, hpath(f"{dir_path}/_folds")):
+            raise IOError(f"compact: failed to commit marker in {dir_path}")
 
     def _markers(path: str) -> list[int]:
-        # ONE marker file names the ENTIRE fold set — its single
-        # atomic create is the commit point (per-id marker files would
-        # make a crash mid-loop look like a committed smaller fold and
-        # permanently double-count the unlisted ids; review finding)
         if not fs.exists(hpath(path)):
             return []
         for st in fs.listStatus(hpath(path)):
             name = st.getPath().getName()
-            if name.startswith("_folds."):
+            if name == "_folds":
+                inp = fs.open(st.getPath())
+                try:
+                    body = jvm.org.apache.commons.io.IOUtils.toString(
+                        inp, "US-ASCII"
+                    )
+                finally:
+                    inp.close()
+                return [int(x) for x in body.strip().split(".") if x]
+            if name.startswith("_folds.") and name != "_folds.tmp":
+                # legacy name-encoded marker (pre-r13 layout)
                 return [int(x) for x in name[len("_folds."):].split(".")]
         return []
 
@@ -239,12 +269,17 @@ def compact(
             if not fs.delete(p, True) and fs.exists(p):
                 raise IOError(f"compact: failed to prune {p}")
         tgt = hpath(f"{base}/_batch_id=-1")
+        # any -1 still existing here is a torn artifact of a crashed
+        # non-atomic publish (S3A per-file copy): the committed stage
+        # supersedes it, and renaming into an EXISTING dir would NEST
+        # the stage inside it (Hadoop returns true!) — delete first
+        # (r12 ADVICE)
+        if fs.exists(tgt) and not fs.delete(tgt, True):
+            raise IOError(f"compact: failed to clear torn {tgt}")
         if not fs.rename(hpath(stage), tgt):
             raise IOError(f"compact: failed to publish stage as {tgt}")
         # tidy the (hidden) marker off the new -1 (best-effort)
-        fs.delete(
-            hpath(f"{base}/_batch_id=-1/{_marker_name(fold_ids)}"), False
-        )
+        fs.delete(hpath(f"{base}/_batch_id=-1/_folds"), False)
 
     # recovery: a leftover stage is rolled forward iff committed
     if fs.exists(hpath(stage)):
@@ -272,6 +307,6 @@ def compact(
     # stage: plain parquet dir whose NAME carries the partition value —
     # identical layout to a partitionBy write (no _batch_id in files)
     merged.write.mode("overwrite").parquet(stage)
-    # commit point: ONE atomic marker create naming the whole fold set
-    fs.create(hpath(f"{stage}/{_marker_name(fold)}"), True).close()
+    # commit point: ONE atomic marker publish naming the whole fold set
+    _write_marker(stage, fold)
     _swap(fold)

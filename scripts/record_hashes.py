@@ -156,7 +156,13 @@ def _check_tree_clean(rnd: int) -> None:
             parent = _json_at(f"{c}^")
         except SystemExit:
             parent = None  # root commit / parent lacks the file
-        if _json_at(c) != parent:
+        try:
+            at_c = _json_at(c)
+        except SystemExit:
+            at_c = None  # commit DELETED the sweep file (r12 ADVICE):
+            # an unreadable blob is a content transition, not a reason
+            # to refuse with a misleading precondition error
+        if at_c != parent:
             sweep_commit = c
             break
     later = _git("log", "--oneline", f"{sweep_commit}..HEAD", "--",

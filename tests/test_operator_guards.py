@@ -147,9 +147,12 @@ def test_upsample_oracle_null_key_zero_copies(spark):
     assert [r[0] for r in rows] == ["x", "x"]
 
 
-def test_stratified_sample_null_hash_ranks_last(spark):
-    """Spark's NULLS-FIRST default let a NULL key hash consume a sample
-    slot that DuckDB (NULLS LAST) gave to a real row."""
+def test_stratified_sample_excludes_null_key_hashes(spark):
+    """NULL key hashes are EXCLUDED on both engines (r13, the
+    kmv/bottomk rule). Ordering them last was insufficient: when the
+    rank cutoff falls INSIDE the NULL block (more slots than real
+    rows), row_number tie-breaks the identical NULL hashes by physical
+    partition order — different rows per engine/retry."""
     import duckdb
 
     from lightsaber_spark.functions.sampling import (
@@ -157,24 +160,31 @@ def test_stratified_sample_null_hash_ranks_last(spark):
         stratified_sample_exact,
     )
 
-    rows = [("L", "a"), ("L", None), ("L", "b"), ("L", "c")]
+    # stratum L: cutoff straddles the NULL block (1 real row, n=2);
+    # stratum M: cutoff before the block (2 real rows, n=2)
+    rows = [
+        ("L", "a"), ("L", None), ("L", None), ("L", None),
+        ("M", "x"), ("M", "y"), ("M", None),
+    ]
     df = spark.createDataFrame(rows, "lang string, doc string")
     got = sorted(
-        (r.doc or "~")
+        (r.lang, r.doc)
         for r in stratified_sample_exact(df, 2, ["lang"], ["doc"]).collect()
     )
+    assert got == [("L", "a"), ("M", "x"), ("M", "y")]
     con = duckdb.connect()
     con.execute(
-        "CREATE TABLE t AS SELECT * FROM (VALUES ('L', 'a'), ('L', NULL), "
-        "('L', 'b'), ('L', 'c')) v(lang, doc)"
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        "('L', 'a'), ('L', NULL), ('L', NULL), ('L', NULL), "
+        "('M', 'x'), ('M', 'y'), ('M', NULL)) v(lang, doc)"
     )
     want = sorted(
-        (r[0] or "~")
+        (r[0], r[1])
         for r in con.execute(
-            stratified_oracle_sql("t", 2, ["lang"], ["doc"], ["doc"])
+            stratified_oracle_sql("t", 2, ["lang"], ["doc"], ["lang", "doc"])
         ).fetchall()
     )
-    assert got == want and "~" not in got
+    assert got == want
 
 
 def test_banded_hamming_rejects_over_64_bits(spark):

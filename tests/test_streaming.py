@@ -1916,6 +1916,87 @@ def test_compact_staged_swap_and_recovery(spark, tmp_path):
     assert view_rows() == want1
 
 
+def test_compact_marker_body_and_torn_target_recovery(spark, tmp_path):
+    """r12 ADVICE regressions on compact's commit marker:
+
+    1. The fold-id set lives in the marker file's BODY, not its NAME —
+       a name-encoded set of ~80 ten-digit ids (~880 chars) exceeds the
+       255-byte filename component limit and wedged compact forever.
+    2. Recovery of a committed stage must tolerate a TORN ``-1`` left
+       by a crashed non-atomic publish (S3A per-file copy): renaming
+       the stage into an EXISTING ``-1`` would silently NEST it
+       (Hadoop rename-into-existing-dir returns true)."""
+    import os
+    import shutil
+
+    from lightsaber_spark.streaming.rollup import _merge_aggs, compact, rollup_view
+
+    measures = [("sum", "value", "sum_v"), ("count", None, "n")]
+    keys = ["event_type"]
+    out = str(tmp_path / "roll_long")
+    cols = ["pane_start", "event_type", "sum_v", "n"]
+
+    # 80 micro-batch partitions with 10-digit ids in ONE partitioned
+    # write — the legacy name-encoded marker could not represent this
+    ids = [1_000_000_000 + i for i in range(80)]
+    rows = [(0, "a", float(i % 7), bid) for i, bid in enumerate(ids)]
+    (
+        spark.createDataFrame(
+            rows, "pane_start long, event_type string, value double, _batch_id long"
+        )
+        .groupBy("pane_start", "event_type", "_batch_id")
+        .agg(F.sum("value").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite").partitionBy("_batch_id").parquet(out)
+    )
+
+    def view_rows():
+        return sorted(
+            map(tuple, rollup_view(spark, out, measures, keys).select(*cols).collect())
+        )
+
+    want = view_rows()
+    compact(spark, out, measures, keys)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("_batch_id="))
+    assert dirs == ["_batch_id=-1", f"_batch_id={max(ids)}"]
+    assert view_rows() == want
+    # the marker was tidied off the published -1
+    assert not os.path.exists(out + "/_batch_id=-1/_folds")
+
+    # --- torn -1 recovery: stage + committed body marker + partial -1
+    spark.createDataFrame(
+        [(0, "a", 99.0, 1, max(ids) + 1)],
+        "pane_start long, event_type string, sum_v double, n long, _batch_id long",
+    ).write.mode("append").partitionBy("_batch_id").parquet(out)
+    want2 = view_rows()
+    stage = out + "/_batch_id=-2"
+    fold = [-1, max(ids)]
+    (
+        spark.read.parquet(out)
+        .filter(F.col("_batch_id").isin(fold))
+        .groupBy("pane_start", *keys)
+        .agg(*_merge_aggs(measures))
+        .write.mode("overwrite").parquet(stage)
+    )
+    with open(f"{stage}/_folds", "w") as f:
+        f.write(".".join(str(i) for i in sorted(fold)))
+    # simulate the crashed publish: old -1 half-deleted/half-copied —
+    # leave a stale dir where -1 should be after the prune step
+    shutil.rmtree(out + "/_batch_id=-1")
+    os.makedirs(out + "/_batch_id=-1")
+    shutil.copy(
+        next(
+            f"{stage}/{n}" for n in os.listdir(stage) if n.endswith(".parquet")
+        ),
+        out + "/_batch_id=-1/part-torn.parquet",
+    )
+    compact(spark, out, measures, keys)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("_batch_id="))
+    assert dirs == ["_batch_id=-1", f"_batch_id={max(ids) + 1}"]
+    # no nested stage inside -1, and the view matches pre-crash state
+    assert not os.path.exists(out + "/_batch_id=-1/_batch_id=-2")
+    assert view_rows() == want2
+
+
 def test_streaming_row_window_multi_chunk_matches_batch(spark, events, tmp_path):
     """r12 review regression: a group arrives as MULTIPLE Arrow chunks
     in shuffle ARRIVAL order, and the old per-chunk sort counted rows
