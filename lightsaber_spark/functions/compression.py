@@ -128,6 +128,160 @@ def compression_plan(
     return out
 
 
+def compression_replan(
+    df: DataFrame,
+    cols: list[str],
+    order_col: str,
+    batch_rows: int,
+    chunk_rows: int = 1 << 16,
+) -> DataFrame:
+    """Runtime-adaptive RE-planning — the reference's
+    ``CompressionMonitor`` loop (``src/monitors/CompressionMonitor.cpp``
+    re-decides codecs as column statistics drift mid-stream), expressed
+    relationally: the ordered stream is segmented into micro-batches
+    (``batch_seq = order DIV batch_rows``), the full cost model runs
+    per batch, and ``flipped`` marks every batch where a column's
+    winning codec CHANGED from the previous batch — the codec-flip
+    events the reference's monitor emits.
+
+    One row per (batch_seq, column): ``(batch_seq, column_name, codec,
+    est_bits, plain_bits, flipped)``. Single pass: one grouped
+    aggregate carries every column's stats, an explode of per-column
+    structs avoids re-executing the aggregate per column, and the flip
+    flag is one tiny window over the plan rows themselves (O(batches ×
+    columns), nothing data-sized). Unlike :func:`compression_plan`, an
+    empty relation yields ZERO rows (no batches → no plans) — grouped
+    aggregation semantics, identical on both engines."""
+    batch = F.expr(f"CAST({order_col} DIV {batch_rows} AS BIGINT)").alias(
+        "_batch_seq"
+    )
+    chunk = F.expr(f"CAST({order_col} DIV {chunk_rows} AS BIGINT)").alias("_chunk")
+    base = df.select(
+        batch, chunk, F.col(order_col).alias("_ord"), *[F.col(c) for c in cols]
+    )
+    # runs are chunked WITHIN a batch: partition by (batch, chunk) so a
+    # chunk straddling a batch boundary never leaks runs across batches
+    w = Window.partitionBy("_batch_seq", "_chunk").orderBy("_ord")
+    flags = [
+        F.when(
+            F.lag(col).over(w).isNull() | (F.lag(col).over(w) != F.col(col)), 1
+        )
+        .otherwise(0)
+        .alias(f"_r_{col}")
+        for col in cols
+    ]
+    per = base.select("*", *flags)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for col in cols:
+        aggs += [
+            F.count_distinct(col).cast("bigint").alias(f"d_{col}"),
+            F.sum(f"_r_{col}").cast("bigint").alias(f"runs_{col}"),
+            F.min(col).cast("bigint").alias(f"lo_{col}"),
+            F.max(col).cast("bigint").alias(f"hi_{col}"),
+        ]
+    stats = per.groupBy("_batch_seq").agg(*aggs)
+
+    entries = []
+    for col in cols:
+        n = F.col("n")
+        d, runs = F.col(f"d_{col}"), F.col(f"runs_{col}")
+        lo, hi = F.col(f"lo_{col}"), F.col(f"hi_{col}")
+        code_bits = F.when(d <= 1, F.lit(1)).otherwise(_bits(d - 1))
+        plain = 64 * n
+        dictionary = n * code_bits + 64 * d
+        rle = 96 * runs
+        range_ok = (hi.cast("double") - lo.cast("double")) < float(1 << 62)
+        delta = F.when(hi == lo, F.lit(64)).when(
+            range_ok, F.lit(64) + n * _bits(hi - lo)
+        )
+        best = F.least(delta, dictionary, rle, plain)
+        codec = (
+            F.when(delta.isNotNull() & (delta == best), F.lit("base_delta"))
+            .when(dictionary == best, F.lit("dictionary"))
+            .when(rle == best, F.lit("rle"))
+            .otherwise(F.lit("plain"))
+        )
+        entries.append(
+            F.struct(
+                F.lit(col).alias("column_name"),
+                codec.alias("codec"),
+                best.cast("bigint").alias("est_bits"),
+                plain.cast("bigint").alias("plain_bits"),
+            )
+        )
+    out = stats.select(
+        F.col("_batch_seq").alias("batch_seq"),
+        F.explode(F.array(*entries)).alias("_e"),
+    ).select("batch_seq", "_e.*")
+    wf = Window.partitionBy("column_name").orderBy("batch_seq")
+    prev = F.lag("codec").over(wf)
+    return out.withColumn(
+        "flipped",
+        F.when(prev.isNotNull() & (prev != F.col("codec")), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+
+
+def compression_replan_oracle_sql(
+    src_sql: str,
+    cols: list[str],
+    order_col: str,
+    batch_rows: int,
+    chunk_rows: int = 1 << 16,
+) -> str:
+    """DuckDB twin of :func:`compression_replan` (same segmentation,
+    same per-batch cost model, same flip definition)."""
+    parts = []
+    for col in cols:
+        parts.append(f"""
+    SELECT batch_seq, '{col}' AS column_name,
+           CASE WHEN delta <= dict AND delta <= rle AND delta <= plain THEN 'base_delta'
+                WHEN dict <= rle AND dict <= plain THEN 'dictionary'
+                WHEN rle <= plain THEN 'rle'
+                ELSE 'plain' END AS codec,
+           CAST(least(delta, dict, rle, plain) AS BIGINT) AS est_bits,
+           CAST(plain AS BIGINT) AS plain_bits
+    FROM (
+      SELECT batch_seq, n, 64 * n AS plain,
+             n * code_bits + 64 * d AS dict,
+             96 * runs AS rle,
+             CASE WHEN hi = lo THEN 64
+                  WHEN CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE)
+                         < 4611686018427387904.0
+                  THEN 64 + n * length(bin(hi - lo))
+                  ELSE NULL END AS delta
+      FROM (
+        SELECT batch_seq, count(*) AS n, count(DISTINCT {col}) AS d,
+               sum(r) AS runs, min({col}) AS lo, max({col}) AS hi,
+               CASE WHEN count(DISTINCT {col}) <= 1 THEN 1
+                    ELSE length(bin(count(DISTINCT {col}) - 1)) END AS code_bits
+        FROM (
+          SELECT batch_seq, {col},
+                 CASE WHEN lag({col}) OVER w IS NULL
+                        OR lag({col}) OVER w <> {col} THEN 1 ELSE 0 END AS r
+          FROM (SELECT {col}, {order_col},
+                       {order_col} // {batch_rows} AS batch_seq,
+                       {order_col} // {chunk_rows} AS _chunk FROM {src_sql})
+          WINDOW w AS (PARTITION BY batch_seq, _chunk ORDER BY {order_col})
+        )
+        GROUP BY batch_seq
+      )
+    )""")
+    inner = "\n    UNION ALL".join(parts)
+    return f"""
+    SELECT batch_seq, column_name, codec, est_bits, plain_bits,
+           CAST(CASE WHEN lag(codec) OVER
+                       (PARTITION BY column_name ORDER BY batch_seq)
+                       IS NOT NULL
+                      AND lag(codec) OVER
+                       (PARTITION BY column_name ORDER BY batch_seq)
+                       <> codec
+                THEN 1 ELSE 0 END AS BIGINT) AS flipped
+    FROM ({inner})
+    """
+
+
 def compression_plan_oracle_sql(
     src_sql: str,
     cols: list[str],

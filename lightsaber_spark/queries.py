@@ -2851,6 +2851,61 @@ def _compression_oracle() -> str:
 ORACLE_SQL["adaptive_compression_plan"] = _compression_oracle()
 
 
+@query(
+    "adaptive_compression_replan",
+    None,  # oracle attached below (built by generator)
+)
+def adaptive_compression_replan_q(spark, sf_dir):
+    """Runtime-adaptive codec RE-planning (CompressionMonitor.cpp):
+    the ordered event stream segmented into 256-row micro-batches, the
+    full codec decision re-run per batch, and `flipped` marking every
+    batch where a column's winner changed — the reference's
+    stats-drift re-decision loop as one relational plan (the streaming
+    twin in streaming/compression.py runs the same decision per real
+    micro-batch via foreachBatch)."""
+    from lightsaber_spark.functions.compression import compression_replan
+    from lightsaber_spark.functions.dedup import shingle_hash
+    from lightsaber_spark.operators.window_agg import epoch_us
+
+    ev = _events(spark, sf_dir)
+    src = ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        epoch_us(ev, "ts").alias("ts_us"),
+        _cents("value").alias("value_c"),
+        shingle_hash(F.col("event_type")).alias("type_h"),
+    )
+    return compression_replan(
+        src,
+        ["user_id", "ts_us", "value_c", "type_h"],
+        "event_id",
+        batch_rows=256,
+        chunk_rows=64,
+    )
+
+
+def _compression_replan_oracle() -> str:
+    from lightsaber_spark.functions.compression import (
+        compression_replan_oracle_sql,
+    )
+
+    src = (
+        "(SELECT event_id, CAST(user_id AS BIGINT) AS user_id, "
+        "epoch_us(ts) AS ts_us, CAST(round(value * 100) AS BIGINT) AS value_c, "
+        "('0x' || substr(md5(event_type), 1, 15))::BIGINT AS type_h FROM events)"
+    )
+    return compression_replan_oracle_sql(
+        src,
+        ["user_id", "ts_us", "value_c", "type_h"],
+        "event_id",
+        batch_rows=256,
+        chunk_rows=64,
+    )
+
+
+ORACLE_SQL["adaptive_compression_replan"] = _compression_replan_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Calendar windows — month-aligned rollup (months have unequal length,
 # so fixed-size epoch buckets cannot express this; date_trunc is the

@@ -1,4 +1,9 @@
 from lightsaber_spark.streaming.anomaly import streaming_zscore_outliers
+from lightsaber_spark.streaming.compression import (
+    codec_flips,
+    codec_log,
+    continuous_compression_replan,
+)
 from lightsaber_spark.streaming.funnel import streaming_funnel
 from lightsaber_spark.streaming.sessions import (
     session_window_agg,
@@ -38,4 +43,7 @@ __all__ = [
     "streaming_windowed_agg",
     "streaming_row_window_agg",
     "streaming_zscore_outliers",
+    "codec_flips",
+    "codec_log",
+    "continuous_compression_replan",
 ]

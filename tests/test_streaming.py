@@ -1916,6 +1916,66 @@ def test_compact_staged_swap_and_recovery(spark, tmp_path):
     assert view_rows() == want1
 
 
+def test_streaming_compression_replan_flips_and_matches_batch(spark, tmp_path):
+    """r13 (VERDICT §2.9 gap): the CompressionMonitor loop — per
+    micro-batch codec re-decision over a drifting stream. Micro-batch
+    0 carries a constant column (base-delta wins); micro-batch 1 the
+    same column drifts to a huge-range two-value alternation
+    (base-delta inapplicable past 2^62 → dictionary wins) — the codec
+    PROVABLY FLIPS mid-stream, and the durable codec log matches the
+    batch compression_replan twin row for row at the same batch
+    boundaries."""
+    import time as _t
+
+    from lightsaber_spark.functions.compression import compression_replan
+    from lightsaber_spark.streaming.compression import (
+        codec_flips,
+        codec_log,
+        continuous_compression_replan,
+    )
+
+    hi = 1 << 61
+    rows0 = [(i, i, 7) for i in range(100)]  # ord, u monotone, v const
+    rows1 = [(256 + i, 256 + i, hi if i % 2 == 0 else -hi) for i in range(100)]
+    src = str(tmp_path / "comp_src")
+    for chunk in (rows0, rows1):
+        spark.createDataFrame(chunk, "ord long, u long, v long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _t.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    stream = read_stream(
+        spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+    )
+    out = str(tmp_path / "codec_log")
+    q = continuous_compression_replan(
+        stream, ["u", "v"], "ord", out, str(tmp_path / "ck_comp")
+    )
+    q.awaitTermination()
+
+    cols = ["batch_seq", "column_name", "codec", "est_bits", "plain_bits", "flipped"]
+    got = sorted(map(tuple, codec_log(spark, out).select(*cols).collect()))
+    want = sorted(
+        map(
+            tuple,
+            compression_replan(
+                spark.read.parquet(src), ["u", "v"], "ord", batch_rows=256
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert got == want
+
+    flips = codec_flips(spark, out).collect()
+    assert [(r.batch_seq, r.column_name, r.prev_codec, r.codec) for r in flips] == [
+        (1, "v", "base_delta", "dictionary")
+    ]
+    # the monotone column never flips
+    assert all(r.flipped == 0 for r in codec_log(spark, out).collect()
+               if r.column_name == "u")
+
+
 def test_compact_marker_body_and_torn_target_recovery(spark, tmp_path):
     """r12 ADVICE regressions on compact's commit marker:
 
