@@ -540,12 +540,18 @@ def idn_hosts_to_ascii_udf():
     return _enc
 
 
-def canonical_url_dedup(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+def canonicalized_docs(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Canonical-URL exact dedup: one row per canonical URL with the
-    document count and the lowest-id representative. Output columns:
-    ``(canonical_url, domain, n_docs, rep_doc_id)``.
+    """The per-row canonicalization core shared by the batch dedup
+    (:func:`canonical_url_dedup`) and the streaming rung
+    (``streaming/stream.py streaming_url_canonical_dedup``): one row
+    per input row with ``(_id, canonical_url, domain)`` plus any
+    ``carry_cols`` passed through untouched (the streaming form carries
+    its event-time column for the watermark).
 
     Percent-normalization runs ONCE per row: the normalized URL is a
     named intermediate column feeding both :func:`canonical_url` and
@@ -554,10 +560,12 @@ def canonical_url_dedup(
     map-only path; the project boundary survives CollapseProject
     because the alias is referenced twice and the expression is
     non-cheap, verified by the plan test in ``tests/test_urls.py``)."""
-    c = (
+    carry = list(carry_cols)
+    return (
         df.select(
             F.col(id_col).cast("bigint").alias("_id"),
             pct_normalize(F.col(url_col)).alias("_u"),
+            *carry,
         )
         # host derived ONCE too, in TWO stages (r11 continuation +
         # r12): the raw regex-chain host is its own projected column
@@ -566,8 +574,8 @@ def canonical_url_dedup(
         # branch-local copies, measured 13 inlined chains without this
         # boundary), then the guard and the domain ladder both read
         # the column
-        .select("_id", "_u", _raw_host(F.col("_u")).alias("_hr"))
-        .select("_id", "_u", _strip_www(F.col("_hr")).alias("_h"))
+        .select("_id", "_u", _raw_host(F.col("_u")).alias("_hr"), *carry)
+        .select("_id", "_u", _strip_www(F.col("_hr")).alias("_h"), *carry)
         .select(
             "_id",
             canonical_url(
@@ -576,8 +584,20 @@ def canonical_url_dedup(
             registrable_domain(
                 F.col("_u"), pre_normalized=True, host_col=F.col("_h")
             ).alias("domain"),
+            *carry,
         )
     )
+
+
+def canonical_url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-URL exact dedup: one row per canonical URL with the
+    document count and the lowest-id representative. Output columns:
+    ``(canonical_url, domain, n_docs, rep_doc_id)``. Per-row
+    canonicalization in :func:`canonicalized_docs` (shared with the
+    streaming rung)."""
+    c = canonicalized_docs(df, url_col, id_col)
     return c.groupBy("canonical_url", "domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("_id").cast("bigint").alias("rep_doc_id"),

@@ -21,6 +21,7 @@ from lightsaber_spark.streaming.stream import (
     streaming_neardup_lsh,
     streaming_order_violations,
     streaming_post_window_argmax,
+    streaming_url_canonical_dedup,
     streaming_windowed_agg,
 )
 from lightsaber_spark.streaming.row_windows import streaming_row_window_agg
@@ -40,6 +41,7 @@ __all__ = [
     "streaming_neardup_lsh",
     "streaming_order_violations",
     "streaming_post_window_argmax",
+    "streaming_url_canonical_dedup",
     "streaming_windowed_agg",
     "streaming_row_window_agg",
     "streaming_zscore_outliers",

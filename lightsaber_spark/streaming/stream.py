@@ -234,6 +234,48 @@ def streaming_dedup(
     return wm.dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_url_canonical_dedup(
+    stream: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming rung of the URL dedup family (r12 VERDICT #4 — the
+    one dedup family that had batch only): canonicalize per micro-batch
+    (the SAME pure-Catalyst per-row core as the batch
+    ``canonical_url_dedup`` — ``functions/urls.py canonicalized_docs``,
+    so spellings/PSL semantics cannot diverge between rungs), then keep
+    the FIRST arrival per canonical URL across micro-batches.
+
+    Emits ``(id_col, canonical_url, domain)`` for each KEPT document —
+    the crawl-ingest shape (drop re-crawled spellings as they arrive).
+    With id-ordered arrival the kept id equals the batch query's
+    ``rep_doc_id`` (min id); the canonical-URL SET is arrival-order
+    independent.
+
+    State: one entry per distinct canonical URL (unbounded — global
+    exact dedup, batch-replay parity). With ``ts_col`` the state is
+    bounded to the watermark horizon via
+    ``dropDuplicatesWithinWatermark`` — the 100 TB-ingest mode, same
+    trade as :func:`streaming_dedup`."""
+    from lightsaber_spark.functions.urls import canonicalized_docs
+
+    carry = (ts_col,) if ts_col else ()
+    c = canonicalized_docs(stream, url_col, id_col, carry)
+    out = c.select(
+        F.col("_id").alias(id_col),
+        *([ts_col] if ts_col else []),
+        "canonical_url",
+        "domain",
+    )
+    if ts_col is None:
+        return out.dropDuplicates(["canonical_url"])
+    return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["canonical_url"]
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -1552,6 +1552,78 @@ def test_streaming_url_frontier_dedup(spark, tmp_path):
     assert len(out) == len(set(out)) == 20
 
 
+def test_streaming_url_canonical_dedup_matches_batch_and_restarts(spark, tmp_path):
+    """r13 (VERDICT #4): the URL dedup family's streaming rung. The
+    streaming op shares the batch query's per-row canonicalization core
+    (canonicalized_docs), so the kept (canonical_url, domain,
+    representative id) rows must equal the batch canonical_url_dedup
+    over the same corpus — including across a checkpoint RESTART:
+    phase 2 re-crawls of phase-1 pages are dropped from recovered
+    state, new pages still emit."""
+    import time as _t
+
+    from lightsaber_spark.functions.urls import canonical_url_dedup
+    from lightsaber_spark.streaming.stream import streaming_url_canonical_dedup
+
+    spellings = [
+        "http://www.example.com/p/{0}?utm_source=a",
+        "https://example.com/p/{0}/",
+        "HTTP://EXAMPLE.com/p/{0}#frag",
+        "http://example.com/p/{0}?fbclid=x9",
+    ]
+    src = str(tmp_path / "crawl")
+    ck = str(tmp_path / "ck_urls")
+    out = str(tmp_path / "kept")
+
+    def write_file(s, pages):
+        rows = [(p * 10 + s, spellings[s].format(p)) for p in pages]
+        spark.createDataFrame(rows, "visit_id long, url string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _t.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    def run_once():
+        stream = read_stream(
+            spark, src, spark.read.parquet(src).schema, max_files_per_trigger=1
+        )
+        q = (
+            streaming_url_canonical_dedup(stream, "url", "visit_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: spellings 0,1 of pages 0..14 (first arrival = min id)
+    write_file(0, range(15))
+    write_file(1, range(15))
+    run_once()
+    n_phase1 = spark.read.parquet(out).count()
+    assert n_phase1 == 15
+
+    # phase 2 (restart from checkpoint): re-crawled spellings 2,3 of
+    # the SAME pages must be dropped from recovered state; pages
+    # 15..19 are NEW (spellings 2,3 only) and must emit
+    write_file(2, range(20))
+    write_file(3, range(20))
+    run_once()
+
+    got = sorted(
+        (r.visit_id, r.canonical_url, r.domain)
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r.rep_doc_id, r.canonical_url, r.domain)
+        for r in canonical_url_dedup(
+            spark.read.parquet(src), "url", "visit_id"
+        ).collect()
+    )
+    assert got == want and len(got) == 20
+
+
 def _semantic_stream_fixture():
     """Synthetic embedding stream with planted near-dups: random base
     vectors plus exact copies scattered across the id range, so drops
