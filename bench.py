@@ -72,13 +72,15 @@ def main() -> None:
     # is what reproduces across runs on a contended host. Caches are
     # released between passes so both passes execute the same plan.
     t_all = time.time()
+    pass_totals = [0.0, 0.0]  # per-pass sums: pass 0 = first (cold-ish)
     for name, fn in queries.items():
         best = None
         try:
-            for _ in range(2):
+            for i in range(2):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
+                pass_totals[i] += dt
                 best = dt if best is None else min(best, dt)
                 release_shingle_caches()
             timings[name] = round(best, 3)
@@ -107,7 +109,13 @@ def main() -> None:
         # Measurement.cpp:42-47); events_rows / queries[q] gives the
         # input-throughput analog for the event-stream queries
         "events_rows": events_rows,
+        # pass metadata (r12 VERDICT #5): "value" is best-of-2-warm per
+        # query; pass_totals shows each pass's raw sum so a future
+        # reader can tell a cold pass from the warm band without
+        # re-deriving it from git history
         "passes": 2,
+        "pass_label": "best_of_2_warm",
+        "pass_totals_sec": [round(t, 3) for t in pass_totals],
         "wall_sec": wall,
         "sf": sf,
     }
