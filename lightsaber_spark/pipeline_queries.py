@@ -1933,22 +1933,30 @@ def duckdb_url_canon_ctes(src: str) -> str:
     host-case, then www-stripping guarded by the PSL exception names
     AND by the remainder-is-a-public-suffix check), ``pq``/``cp``
     (path slashes, tracking-param filter + sort), ``c`` (canonical
-    string + PSL-ladder registrable domain: exception → three-label →
-    wildcard → two-label → default)."""
+    string + PSL-ladder registrable domain over the FULL generated
+    ICANN tables, r13: exceptions (3- then 2-label) → four-label →
+    three-label + 2-label wildcard bases → two-label + 1-label
+    wildcard bases → default)."""
     from lightsaber_spark.functions.urls import (
-        MULTI_LABEL_PUBLIC_SUFFIXES,
-        PSL_WILDCARD_EXCEPTIONS,
-        PSL_WILDCARD_TLDS,
-        THREE_LABEL_PUBLIC_SUFFIXES,
+        PSL_EXCEPTIONS_2,
+        PSL_EXCEPTIONS_3,
+        PSL_SUFFIXES_2,
+        PSL_SUFFIXES_3,
+        PSL_SUFFIXES_4,
+        PSL_WILDCARD_BASES_1,
+        PSL_WILDCARD_BASES_2,
         TRACKING_PARAM_NAMES,
         TRACKING_PREFIX,
     )
 
     names = ", ".join(f"'{n}'" for n in TRACKING_PARAM_NAMES)
-    suffixes = ", ".join(f"'{s}'" for s in MULTI_LABEL_PUBLIC_SUFFIXES)
-    exceptions = ", ".join(f"'{s}'" for s in PSL_WILDCARD_EXCEPTIONS)
-    wildcards = ", ".join(f"'{s}'" for s in PSL_WILDCARD_TLDS)
-    three_label = ", ".join(f"'{s}'" for s in THREE_LABEL_PUBLIC_SUFFIXES)
+    suffixes = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_2)
+    exceptions = ", ".join(f"'{s}'" for s in PSL_EXCEPTIONS_2)
+    exceptions3 = ", ".join(f"'{s}'" for s in PSL_EXCEPTIONS_3)
+    wildcards = ", ".join(f"'{s}'" for s in PSL_WILDCARD_BASES_1)
+    wildcards2 = ", ".join(f"'{s}'" for s in PSL_WILDCARD_BASES_2)
+    three_label = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_3)
+    four_label = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_4)
     plen = len(TRACKING_PREFIX)
     return f"""
     norm AS (SELECT doc_id,
@@ -1980,9 +1988,13 @@ def duckdb_url_canon_ctes(src: str) -> str:
                WHEN NOT contains(barehost, '.') THEN rawhost
                WHEN barehost IN ({suffixes}) THEN rawhost
                WHEN barehost IN ({three_label}) THEN rawhost
+               WHEN barehost IN ({four_label}) THEN rawhost
                WHEN regexp_matches(barehost, '^[^.]+\\.[^.]+$')
                     AND regexp_extract(barehost, '([^.]+)$', 1) IN ({wildcards})
                     AND barehost NOT IN ({exceptions}) THEN rawhost
+               WHEN regexp_matches(barehost, '^[^.]+\\.[^.]+\\.[^.]+$')
+                    AND regexp_extract(barehost, '([^.]+\\.[^.]+)$', 1) IN ({wildcards2})
+                    AND barehost NOT IN ({exceptions3}) THEN rawhost
                ELSE barehost END AS host,
           rest FROM h1),
     pq AS (SELECT doc_id, host,
@@ -1998,21 +2010,24 @@ def duckdb_url_canon_ctes(src: str) -> str:
                 THEN '?' || array_to_string(params, '&') ELSE '' END AS canonical_url,
            CASE WHEN regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}(:\\d+)?$')
                   OR host LIKE '[%' THEN host
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({exceptions3})
+                THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({exceptions})
                 THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({four_label})
+                THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                          THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
+                          ELSE host END
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({three_label})
+                  OR regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({wildcards2})
                 THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
-                          ELSE regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) END
-                WHEN regexp_extract(host, '([^.]+)$', 1) IN ({wildcards})
-                THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
-                          THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
-                          WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
-                          THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
                           ELSE host END
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
-                 AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
-                THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                  OR regexp_extract(host, '([^.]+)$', 1) IN ({wildcards})
+                THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
+                          THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                          ELSE host END
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> ''
                 THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
                 ELSE host END AS domain

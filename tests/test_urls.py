@@ -372,55 +372,73 @@ def test_idn_opt_in_unifies_unicode_and_ace_spellings(spark):
 
 
 def test_psl_table_sweep_cross_engine_and_model(spark):
-    """r12 PSL data-completeness sweep: for EVERY rule in the expanded
-    tables (558 two-label registries incl. US states, 153 three-label
-    US locality rules, wildcard TLDs, exceptions), synthesize the
-    registrable / sub / www shapes and lock (a) Spark == DuckDB ladder
-    byte-for-byte and (b) Spark == an independently written Python
-    model of the PSL algorithm (longest rule wins, exceptions override
-    wildcards) — two implementations agreeing is not enough when both
-    are hand-built from the same tables."""
+    """r13 FULL-PSL sweep: for EVERY rule in the generated ICANN
+    tables (3899 two-label + 1971 three-label + 4 four-label plain
+    rules incl. all 453 ACE-encoded IDN rules, 9+9 wildcard bases,
+    1+7 exceptions — `psl_data.py`, generated from the vendored
+    public_suffix_list.dat), synthesize the registrable / sub / www
+    shapes and lock (a) Spark == DuckDB ladder byte-for-byte and
+    (b) Spark == an independently written Python model of the PSL
+    algorithm (longest rule wins, exceptions override wildcards) —
+    two implementations agreeing is not enough when both are
+    hand-built from the same tables."""
     import duckdb
 
     from lightsaber_spark.functions.urls import (
-        MULTI_LABEL_PUBLIC_SUFFIXES,
-        PSL_WILDCARD_EXCEPTIONS,
-        PSL_WILDCARD_TLDS,
-        THREE_LABEL_PUBLIC_SUFFIXES,
+        PSL_EXCEPTIONS_2,
+        PSL_EXCEPTIONS_3,
+        PSL_SUFFIXES_2,
+        PSL_SUFFIXES_3,
+        PSL_SUFFIXES_4,
+        PSL_WILDCARD_BASES_1,
+        PSL_WILDCARD_BASES_2,
     )
     from lightsaber_spark.pipeline_queries import duckdb_url_canon_ctes
+
+    suf2, suf3, suf4 = set(PSL_SUFFIXES_2), set(PSL_SUFFIXES_3), set(PSL_SUFFIXES_4)
 
     def model(host: str) -> str:
         """PSL algorithm over the same rule tables: the public suffix
         is the LONGEST matching rule; registrable = suffix + 1 label
-        (or the host itself if nothing sits above the suffix)."""
+        (or the host itself if nothing sits above the suffix);
+        exception rules prevail over everything."""
         labels = host.split(".")
-        if host in PSL_WILDCARD_EXCEPTIONS or any(
-            host.endswith("." + e) for e in PSL_WILDCARD_EXCEPTIONS
-        ):
-            e = next(
-                e for e in PSL_WILDCARD_EXCEPTIONS
-                if host == e or host.endswith("." + e)
-            )
-            return e
+        for exc_set in (PSL_EXCEPTIONS_3, PSL_EXCEPTIONS_2):
+            for e in exc_set:
+                if host == e or host.endswith("." + e):
+                    return e
         suffix_len = 1  # default rule: *
-        if len(labels) >= 2 and ".".join(labels[-2:]) in MULTI_LABEL_PUBLIC_SUFFIXES:
+        if len(labels) >= 2 and ".".join(labels[-2:]) in suf2:
             suffix_len = 2
-        if len(labels) >= 3 and ".".join(labels[-3:]) in THREE_LABEL_PUBLIC_SUFFIXES:
-            suffix_len = 3
-        if labels[-1] in PSL_WILDCARD_TLDS and len(labels) >= 2:
+        if labels[-1] in PSL_WILDCARD_BASES_1 and len(labels) >= 2:
             suffix_len = max(suffix_len, 2)  # *.tld rule
+        if len(labels) >= 3 and ".".join(labels[-3:]) in suf3:
+            suffix_len = max(suffix_len, 3)
+        if (
+            len(labels) >= 3
+            and ".".join(labels[-2:]) in PSL_WILDCARD_BASES_2
+        ):
+            suffix_len = max(suffix_len, 3)  # *.kawasaki.jp rule
+        if len(labels) >= 4 and ".".join(labels[-4:]) in suf4:
+            suffix_len = max(suffix_len, 4)
         n = min(len(labels), suffix_len + 1)
         return ".".join(labels[-n:])
 
     hosts = []
-    for sfx in MULTI_LABEL_PUBLIC_SUFFIXES:
+    for sfx in PSL_SUFFIXES_2:
         hosts += [f"foo.{sfx}", f"sub.foo.{sfx}", f"www.foo.{sfx}", sfx]
-    for sfx in THREE_LABEL_PUBLIC_SUFFIXES[::7]:
+    for sfx in PSL_SUFFIXES_3:
         hosts += [f"foo.{sfx}", f"sub.foo.{sfx}", sfx]
-    for tld in PSL_WILDCARD_TLDS:
+    for sfx in PSL_SUFFIXES_4:
+        hosts += [f"foo.{sfx}", f"sub.foo.{sfx}", f"www.foo.{sfx}", sfx]
+    for tld in PSL_WILDCARD_BASES_1:
         hosts += [f"foo.{tld}", f"bar.foo.{tld}", f"x.bar.foo.{tld}"]
-    for e in PSL_WILDCARD_EXCEPTIONS:
+    for b in PSL_WILDCARD_BASES_2:
+        hosts += [b, f"foo.{b}", f"bar.foo.{b}", f"x.bar.foo.{b}",
+                  f"www.foo.{b}", f"www.bar.foo.{b}"]
+    for e in PSL_EXCEPTIONS_2:
+        hosts += [e, f"pages.{e}", f"www.{e}"]
+    for e in PSL_EXCEPTIONS_3:
         hosts += [e, f"pages.{e}", f"www.{e}"]
     rows = [(i, f"http://{h}/p") for i, h in enumerate(hosts)]
 
@@ -435,16 +453,23 @@ def test_psl_table_sweep_cross_engine_and_model(spark):
     # remains is a bare suffix / exception (the _host guard)
     for i, h in enumerate(hosts):
         stripped = h
-        if h.startswith("www.") and h not in PSL_WILDCARD_EXCEPTIONS:
+        if h.startswith("www.") and h not in PSL_EXCEPTIONS_2:
             rest = h[4:]
+            rest_labels = rest.split(".")
             rest_is_suffix = (
                 "." not in rest
-                or rest in MULTI_LABEL_PUBLIC_SUFFIXES
-                or rest in THREE_LABEL_PUBLIC_SUFFIXES
+                or rest in suf2
+                or rest in suf3
+                or rest in suf4
                 or (
-                    rest.count(".") == 1
-                    and rest.rsplit(".", 1)[1] in PSL_WILDCARD_TLDS
-                    and rest not in PSL_WILDCARD_EXCEPTIONS
+                    len(rest_labels) == 2
+                    and rest_labels[-1] in PSL_WILDCARD_BASES_1
+                    and rest not in PSL_EXCEPTIONS_2
+                )
+                or (
+                    len(rest_labels) == 3
+                    and ".".join(rest_labels[-2:]) in PSL_WILDCARD_BASES_2
+                    and rest not in PSL_EXCEPTIONS_3
                 )
             )
             if not rest_is_suffix:
