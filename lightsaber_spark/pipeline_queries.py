@@ -2151,6 +2151,78 @@ def q_url_canonical_dedup(spark, sf_dir):
     return canonical_url_dedup(d.select("doc_id", url.alias("url")))
 
 
+#: the r13 full-PSL query's host shapes — one per DEEP rule class the
+#: generated tables added beyond the r12 hand dict: four-label suffix,
+#: two-label wildcard base, three-label exception (alone and with a
+#: subdomain), an ACE IDN registry suffix — plus the shallow classes
+#: for contrast (plain, two-label, www-noise, three-label, one-label
+#: wildcard, two-label exception, IP literal)
+_DEEP_PSL_HOSTS = (
+    "example.com",            # default rule
+    "sub.example.co.uk",      # two-label suffix
+    "www.foo.co.uk",          # www noise above a registrable site
+    "district.k12.ca.us",     # three-label suffix
+    "x.pvt.k12.ma.us",        # FOUR-label suffix (pvt.k12.ma.us)
+    "a.shop.foo.ck",          # one-label wildcard (*.ck)
+    "b.x.bar.kawasaki.jp",    # two-label wildcard (*.kawasaki.jp)
+    "city.kawasaki.jp",       # three-label EXCEPTION, bare
+    "docs.city.kawasaki.jp",  # three-label EXCEPTION, subdomain
+    "www.ck",                 # two-label exception (www IS the site)
+    "foo.xn--55qx5d.cn",      # IDN registry suffix (公司.cn as ACE)
+    "192.168.1.1",            # IP literal: no registrable domain
+)
+
+
+def _deep_psl_oracle() -> str:
+    hosts_case = " ".join(
+        f"WHEN doc_id % 12 = {i} THEN '{h}'"
+        for i, h in enumerate(_DEEP_PSL_HOSTS)
+    )
+    return f"""
+    WITH raw AS (SELECT doc_id,
+        'http://' || CASE {hosts_case} END
+        || '/p/' || CAST(doc_id % 5 AS VARCHAR)
+        || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x' ELSE '' END AS url
+      FROM documents),
+    {duckdb_url_canon_ctes("raw")}
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM c GROUP BY 1
+    """
+
+
+@query("url_deep_psl_domains", _deep_psl_oracle())
+def q_url_deep_psl_domains(spark, sf_dir):
+    """Registrable-domain rollup over the DEEP PSL rule classes the
+    r13 full-table generation added (psl_data.py — four-label
+    suffixes, two-label wildcard bases, three-label exceptions, ACE
+    IDN registries): a deterministic host per doc_id cycles through
+    one shape per class (``_DEEP_PSL_HOSTS``), then the shared
+    canonicalization core groups by registrable domain. The driver
+    oracle runs the SAME synthesis through the DuckDB ladder — the
+    deep branches are exercised by the cross-engine value hash, not
+    just pytest. Map-only canonicalization + one hash agg."""
+    from lightsaber_spark.functions.urls import canonicalized_docs
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    host = F.when(did % 12 == 0, F.lit(_DEEP_PSL_HOSTS[0]))
+    for i, h in enumerate(_DEEP_PSL_HOSTS[1:], start=1):
+        host = host.when(did % 12 == i, F.lit(h))
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        F.lit("/p/"),
+        (did % 5).cast("string"),
+        F.when(did % 3 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    c = canonicalized_docs(d.select("doc_id", url.alias("url")), "url", "doc_id")
+    return c.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("_id").cast("bigint").alias("rep_doc_id"),
+    )
+
+
 _LEV_PERMILLE = 400
 # hot-bucket valve: > largest genuine family at every shipped scale
 # (max observed bucket: 5 at sf0.01, 16 at sf0.1, ~160 in the 10×
