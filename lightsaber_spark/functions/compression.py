@@ -87,7 +87,13 @@ def compression_plan(
         ]
     stats = per.agg(*aggs)
 
-    plans = []
+    # one row per column via explode-of-structs over the SINGLE stats
+    # row — the r13 fix for the original per-column union of selects,
+    # which re-executed the aggregate (and re-SCANNED the input) once
+    # per column: AQE exchange reuse did not kick in across the union
+    # branches in foreachBatch micro-batches, confirmed by
+    # numInputRows = n_cols × batch rows in the streaming re-planner
+    entries = []
     for col in cols:
         n = F.col("n")
         d, runs = F.col(f"d_{col}"), F.col(f"runs_{col}")
@@ -114,18 +120,15 @@ def compression_plan(
             .otherwise(F.lit("plain"))
         )
         est = F.when(n == 0, F.lit(0)).otherwise(best)
-        plans.append(
-            stats.select(
+        entries.append(
+            F.struct(
                 F.lit(col).alias("column_name"),
                 codec.alias("codec"),
                 est.cast("bigint").alias("est_bits"),
                 plain.cast("bigint").alias("plain_bits"),
             )
         )
-    out = plans[0]
-    for p in plans[1:]:
-        out = out.unionAll(p)
-    return out
+    return stats.select(F.explode(F.array(*entries)).alias("_e")).select("_e.*")
 
 
 def compression_replan(
