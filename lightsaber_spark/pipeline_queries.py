@@ -1920,7 +1920,7 @@ def q_pii_redact(spark, sf_dir):
     return out.select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
 
 
-def duckdb_url_canon_ctes(src: str) -> str:
+def duckdb_url_canon_ctes(src: str, include_private: bool = False) -> str:
     """The DuckDB canonicalization pipeline as a CTE chain: reads
     ``(doc_id, url)`` rows from relation ``src`` and ends with CTE
     ``c`` exposing ``(doc_id, canonical_url, domain)``. The single
@@ -1938,26 +1938,56 @@ def duckdb_url_canon_ctes(src: str) -> str:
     three-label + 2-label wildcard bases → two-label + 1-label
     wildcard bases → default)."""
     from lightsaber_spark.functions.urls import (
-        PSL_EXCEPTIONS_2,
-        PSL_EXCEPTIONS_3,
-        PSL_SUFFIXES_2,
-        PSL_SUFFIXES_3,
-        PSL_SUFFIXES_4,
-        PSL_WILDCARD_BASES_1,
-        PSL_WILDCARD_BASES_2,
+        _PSL_SETS,
         TRACKING_PARAM_NAMES,
         TRACKING_PREFIX,
     )
 
+    def lst(key: str) -> str:
+        return ", ".join(f"'{s}'" for s in _PSL_SETS[key])
+
+    p = include_private
     names = ", ".join(f"'{n}'" for n in TRACKING_PARAM_NAMES)
-    suffixes = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_2)
-    exceptions = ", ".join(f"'{s}'" for s in PSL_EXCEPTIONS_2)
-    exceptions3 = ", ".join(f"'{s}'" for s in PSL_EXCEPTIONS_3)
-    wildcards = ", ".join(f"'{s}'" for s in PSL_WILDCARD_BASES_1)
-    wildcards2 = ", ".join(f"'{s}'" for s in PSL_WILDCARD_BASES_2)
-    three_label = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_3)
-    four_label = ", ".join(f"'{s}'" for s in PSL_SUFFIXES_4)
+    suffixes = lst("p_suf2" if p else "suf2")
+    exceptions = lst("exc2")
+    exceptions3 = lst("exc3")
+    wildcards = lst("wild1")
+    wildcards2 = lst("p_wild2" if p else "wild2")
+    three_label = lst("p_suf3" if p else "suf3")
+    four_label = lst("p_suf4" if p else "suf4")
     plen = len(TRACKING_PREFIX)
+    l5 = "'([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$'"
+    l6 = "'([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$'"
+    # private-mode EXTRA branches, spliced into the h (www-guard) and
+    # c (domain ladder) CASEs below; empty strings in ICANN mode
+    h_private = ""
+    c_private_deep5 = ""
+    c_wild3_or = ""
+    if p:
+        h_private = f"""
+               WHEN barehost IN ({lst("p_suf5")}) THEN rawhost
+               WHEN regexp_matches(barehost, '^[^.]+(\\.[^.]+){{3}}$')
+                    AND regexp_extract(barehost, '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({lst("p_wild3")})
+               THEN rawhost
+               WHEN regexp_matches(barehost, '^[^.]+(\\.[^.]+){{4}}$')
+                    AND regexp_extract(barehost, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({lst("p_wild4")})
+               THEN rawhost"""
+        # `*.B` matches only hosts STRICTLY deeper than the base — the
+        # wildcard arms require one more label than the base (the
+        # Spark ladder carries the same guard; r13 private sweep)
+        c_private_deep5 = f"""
+                WHEN regexp_extract(host, {l5}, 1) IN ({lst("p_suf5")})
+                  OR (regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({lst("p_wild4")})
+                      AND regexp_extract(host, {l5}, 1) <> '')
+                THEN CASE WHEN regexp_extract(host, {l6}, 1) <> ''
+                          THEN regexp_extract(host, {l6}, 1)
+                          ELSE host END"""
+        c_wild3_or = (
+            f"\n                  OR (regexp_extract(host, "
+            f"'([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({lst('p_wild3')})"
+            f"\n                      AND regexp_extract(host, "
+            f"'([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) <> '')"
+        )
     return f"""
     norm AS (SELECT doc_id,
         array_to_string(list_transform(string_split(url, '%'), (p, i) ->
@@ -1994,7 +2024,7 @@ def duckdb_url_canon_ctes(src: str) -> str:
                     AND barehost NOT IN ({exceptions}) THEN rawhost
                WHEN regexp_matches(barehost, '^[^.]+\\.[^.]+\\.[^.]+$')
                     AND regexp_extract(barehost, '([^.]+\\.[^.]+)$', 1) IN ({wildcards2})
-                    AND barehost NOT IN ({exceptions3}) THEN rawhost
+                    AND barehost NOT IN ({exceptions3}) THEN rawhost{h_private}
                ELSE barehost END AS host,
           rest FROM h1),
     pq AS (SELECT doc_id, host,
@@ -2013,8 +2043,8 @@ def duckdb_url_canon_ctes(src: str) -> str:
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({exceptions3})
                 THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({exceptions})
-                THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
-                WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({four_label})
+                THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1){c_private_deep5}
+                WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({four_label}){c_wild3_or}
                 THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
                           ELSE host END
@@ -2220,6 +2250,78 @@ def q_url_deep_psl_domains(spark, sf_dir):
     return c.groupBy("domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("_id").cast("bigint").alias("rep_doc_id"),
+    )
+
+
+def _private_psl_oracle() -> str:
+    return f"""
+    WITH raw AS (SELECT doc_id,
+        'http://' ||
+        CASE doc_id % 10
+          WHEN 0 THEN 'user' || CAST(doc_id % 7 AS VARCHAR) || '.github.io'
+          WHEN 1 THEN 'www.github.io'
+          WHEN 2 THEN 'a.user3.github.io'
+          WHEN 3 THEN 'blog' || CAST(doc_id % 5 AS VARCHAR) || '.blogspot.com'
+          WHEN 4 THEN 'x.y.compute.amazonaws.com'
+          WHEN 5 THEN 'b.s3.dualstack.ap-south-1.amazonaws.com'
+          WHEN 6 THEN 'sub.example.co.uk'
+          WHEN 7 THEN 'a.shop.foo.ck'
+          WHEN 8 THEN 'www.user' || CAST(doc_id % 3 AS VARCHAR) || '.github.io'
+          ELSE 'q.w.compute.amazonaws.com.cn'
+        END || '/p/' || CAST(doc_id % 4 AS VARCHAR) AS url
+      FROM documents),
+    {duckdb_url_canon_ctes("raw", include_private=True)}
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM c GROUP BY 1
+    """
+
+
+@query("url_private_psl_domains", _private_psl_oracle())
+def q_url_private_psl_domains(spark, sf_dir):
+    """PRIVATE-section PSL rollup (r13 opt-in,
+    ``registrable_domain(include_private=True)``): hosted-content
+    platforms become suffixes, so ``user1.github.io`` and
+    ``user2.github.io`` are DIFFERENT registrable domains (the
+    ICANN-only default groups every GitHub Pages site under one
+    ``github.io`` key — the mis-grouping a crawl-dedup user hits
+    first on hosted content). Host shapes cover each private rule
+    class: depth-2/3 plain (github.io, blogspot), depth-5 plain (S3
+    dualstack buckets), base-depth-3 and -4 wildcards
+    (``*.compute.amazonaws.com[.cn]``), the www-guard over a private
+    suffix (``www.github.io`` keeps its www; ``www.userN.github.io``
+    strips it), with ICANN shapes mixed in (merged-rule semantics).
+    The oracle runs the SAME synthesis through the private-mode DuckDB
+    ladder."""
+    from lightsaber_spark.functions.urls import registrable_domain
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    m = did % 10
+    host = (
+        F.when(m == 0, F.concat(F.lit("user"), (did % 7).cast("string"),
+                                F.lit(".github.io")))
+        .when(m == 1, F.lit("www.github.io"))
+        .when(m == 2, F.lit("a.user3.github.io"))
+        .when(m == 3, F.concat(F.lit("blog"), (did % 5).cast("string"),
+                               F.lit(".blogspot.com")))
+        .when(m == 4, F.lit("x.y.compute.amazonaws.com"))
+        .when(m == 5, F.lit("b.s3.dualstack.ap-south-1.amazonaws.com"))
+        .when(m == 6, F.lit("sub.example.co.uk"))
+        .when(m == 7, F.lit("a.shop.foo.ck"))
+        .when(m == 8, F.concat(F.lit("www.user"), (did % 3).cast("string"),
+                               F.lit(".github.io")))
+        .otherwise(F.lit("q.w.compute.amazonaws.com.cn"))
+    )
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"), (did % 4).cast("string"))
+    dom = registrable_domain(url.alias("url"), include_private=True)
+    return (
+        d.select("doc_id", dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep_doc_id"),
+        )
     )
 
 

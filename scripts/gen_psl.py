@@ -87,18 +87,26 @@ def main() -> int:
     sha = hashlib.sha256(raw.encode("utf-8")).hexdigest()
     repo_enc, stdlib_enc = _encoders()
 
-    in_icann = False
+    section = None
     suf = {2: [], 3: [], 4: []}
     wild = {1: [], 2: []}
     exc = {2: [], 3: []}
+    psuf = {2: [], 3: [], 4: [], 5: []}
+    pwild = {2: [], 3: [], 4: []}
     n_unicode = n_depth1 = 0
     for ln in raw.splitlines():
         if "===BEGIN ICANN DOMAINS===" in ln:
-            in_icann = True
+            section = "icann"
             continue
         if "===END ICANN DOMAINS===" in ln:
+            section = None
+            continue
+        if "===BEGIN PRIVATE DOMAINS===" in ln:
+            section = "private"
+            continue
+        if "===END PRIVATE DOMAINS===" in ln:
             break
-        if not in_icann:
+        if section is None:
             continue
         rule = ln.strip()
         if not rule or rule.startswith("//"):
@@ -113,15 +121,32 @@ def main() -> int:
         labels = [ace(lb, repo_enc, stdlib_enc) for lb in rule.split(".")]
         name = ".".join(labels)
         depth = len(labels)
-        if kind == "plain":
-            if depth == 1:
-                n_depth1 += 1  # default-rule-equivalent, not emitted
-                continue
-            suf[depth].append(name)
-        elif kind == "wild":
-            wild[depth].append(name)
-        else:
-            exc[depth].append(name)
+        if section == "icann":
+            if kind == "plain":
+                if depth == 1:
+                    n_depth1 += 1  # default-rule-equivalent, not emitted
+                    continue
+                suf[depth].append(name)
+            elif kind == "wild":
+                wild[depth].append(name)
+            else:
+                exc[depth].append(name)
+        else:  # private section (opt-in tables)
+            if kind == "exc":
+                # no private exceptions exist in this snapshot and the
+                # engine ladder does not implement them — fail loudly
+                # rather than silently drop a future snapshot's rule
+                raise SystemExit(
+                    f"gen_psl: private-section exception rule {rule!r} — "
+                    "extend the engine ladder before regenerating"
+                )
+            if kind == "plain":
+                if depth == 1:
+                    n_depth1 += 1
+                    continue
+                psuf[depth].append(name)
+            else:
+                pwild[depth].append(name)
 
     def tup(name: str, vals: list[str]) -> str:
         body = "\n".join(f'    "{v}",' for v in sorted(set(vals)))
@@ -132,11 +157,15 @@ def main() -> int:
 Public Suffix List rule tables (ICANN section), ACE-encoded. Source:
 lightsaber_spark/data/public_suffix_list.dat (Mozilla PSL, MPL 2.0;
 sha256 {sha}).
-Counts: {len(suf[2])} two-label + {len(suf[3])} three-label +
-{len(suf[4])} four-label plain rules ({n_unicode} IDN rules encoded to
-xn--), {len(wild[1])}+{len(wild[2])} wildcard bases,
-{len(exc[2])}+{len(exc[3])} exceptions; {n_depth1} single-label TLD
-rules are intentionally omitted (identical to the PSL default rule in
+ICANN: {len(suf[2])} two-label + {len(suf[3])} three-label +
+{len(suf[4])} four-label plain rules, {len(wild[1])}+{len(wild[2])}
+wildcard bases, {len(exc[2])}+{len(exc[3])} exceptions.
+PRIVATE (opt-in tables): {len(psuf[2])}/{len(psuf[3])}/{len(psuf[4])}/
+{len(psuf[5])} plain by depth, {len(pwild[2])}/{len(pwild[3])}/
+{len(pwild[4])} wildcard bases by base depth, no exceptions (the
+generator refuses if a future snapshot adds one).
+{n_unicode} IDN rules total encoded to xn--; {n_depth1} single-label
+TLD rules intentionally omitted (identical to the PSL default rule in
 the engine ladder). Regenerate with: python scripts/gen_psl.py
 """
 
@@ -161,6 +190,13 @@ the engine ladder). Regenerate with: python scripts/gen_psl.py
         tup("PSL_WILDCARD_BASES_2", wild[2]),
         tup("PSL_EXCEPTIONS_2", exc[2]),
         tup("PSL_EXCEPTIONS_3", exc[3]),
+        tup("PSL_PRIVATE_SUFFIXES_2", psuf[2]),
+        tup("PSL_PRIVATE_SUFFIXES_3", psuf[3]),
+        tup("PSL_PRIVATE_SUFFIXES_4", psuf[4]),
+        tup("PSL_PRIVATE_SUFFIXES_5", psuf[5]),
+        tup("PSL_PRIVATE_WILDCARD_BASES_2", pwild[2]),
+        tup("PSL_PRIVATE_WILDCARD_BASES_3", pwild[3]),
+        tup("PSL_PRIVATE_WILDCARD_BASES_4", pwild[4]),
         sha_fn,
     ]
     with open(OUT, "w", encoding="utf-8") as f:
@@ -168,8 +204,10 @@ the engine ladder). Regenerate with: python scripts/gen_psl.py
     print(
         f"wrote {OUT}: suf2={len(suf[2])} suf3={len(suf[3])} "
         f"suf4={len(suf[4])} wild={len(wild[1])}+{len(wild[2])} "
-        f"exc={len(exc[2])}+{len(exc[3])} (idn={n_unicode}, "
-        f"tld_omitted={n_depth1})"
+        f"exc={len(exc[2])}+{len(exc[3])} private="
+        f"{len(psuf[2])}/{len(psuf[3])}/{len(psuf[4])}/{len(psuf[5])}"
+        f"+w{len(pwild[2])}/{len(pwild[3])}/{len(pwild[4])} "
+        f"(idn={n_unicode}, tld_omitted={n_depth1})"
     )
     return 0
 

@@ -485,3 +485,101 @@ def test_psl_table_sweep_cross_engine_and_model(spark):
     )
     got_duck = dict(con.execute(sql).fetchall())
     assert got == got_duck
+
+
+def test_psl_private_sweep_cross_engine_and_model(spark):
+    """r13 PRIVATE-section sweep: for EVERY rule in the generated
+    private tables (1574/331/66/66 plain by depth, 57/30/2 wildcard
+    bases by base depth), synthesize registrable / sub / www shapes
+    and lock Spark(include_private=True) == the private-mode DuckDB
+    ladder == an independent Python model of the merged-rule PSL
+    algorithm."""
+    import duckdb
+
+    from lightsaber_spark.functions.urls import _PSL_SETS, registrable_domain
+    from lightsaber_spark.pipeline_queries import duckdb_url_canon_ctes
+
+    S = {k: set(v) for k, v in _PSL_SETS.items()}
+
+    def model(host: str) -> str:
+        labels = host.split(".")
+        for exc_key in ("exc3", "exc2"):  # ICANN-only; no private exc
+            for e in S[exc_key]:
+                if host == e or host.endswith("." + e):
+                    return e
+
+        def tail(k):
+            return ".".join(labels[-k:]) if len(labels) >= k else None
+
+        suffix_len = 1
+        if tail(2) in S["p_suf2"]:
+            suffix_len = 2
+        if labels[-1] in S["wild1"] and len(labels) >= 2:
+            suffix_len = max(suffix_len, 2)
+        if tail(3) in S["p_suf3"]:
+            suffix_len = max(suffix_len, 3)
+        if len(labels) >= 3 and tail(2) in S["p_wild2"]:
+            suffix_len = max(suffix_len, 3)
+        if tail(4) in S["p_suf4"]:
+            suffix_len = max(suffix_len, 4)
+        if len(labels) >= 4 and tail(3) in S["p_wild3"]:
+            suffix_len = max(suffix_len, 4)
+        if tail(5) in S["p_suf5"]:
+            suffix_len = max(suffix_len, 5)
+        if len(labels) >= 5 and tail(4) in S["p_wild4"]:
+            suffix_len = max(suffix_len, 5)
+        n = min(len(labels), suffix_len + 1)
+        return ".".join(labels[-n:])
+
+    def strip_model(h: str) -> str:
+        if not h.startswith("www.") or h in S["exc2"]:
+            return h
+        rest = h[4:]
+        rl = rest.split(".")
+        rest_is_suffix = (
+            "." not in rest
+            or any(rest in S[k] for k in ("p_suf2", "p_suf3", "p_suf4", "p_suf5"))
+            or (len(rl) == 2 and rl[-1] in S["wild1"] and rest not in S["exc2"])
+            or (len(rl) == 3 and ".".join(rl[-2:]) in S["p_wild2"]
+                and rest not in S["exc3"])
+            or (len(rl) == 4 and ".".join(rl[-3:]) in S["p_wild3"])
+            or (len(rl) == 5 and ".".join(rl[-4:]) in S["p_wild4"])
+        )
+        return h if rest_is_suffix else rest
+
+    hosts = []
+    for key in ("p_suf2", "p_suf3", "p_suf4", "p_suf5"):
+        # private plain rules only — the merged ICANN part is already
+        # swept by the ICANN test; slice to keep runtime bounded but
+        # ALWAYS cover the purely-private depths in full
+        rules = sorted(S[key] - S.get(key.replace("p_", ""), set()))
+        for sfx in rules:
+            hosts += [f"foo.{sfx}", f"sub.foo.{sfx}", f"www.foo.{sfx}", sfx]
+    for key in ("p_wild3", "p_wild4"):
+        for b in sorted(S[key]):
+            hosts += [b, f"foo.{b}", f"bar.foo.{b}", f"www.bar.foo.{b}"]
+    for b in sorted(S["p_wild2"] - S["wild2"]):  # private 2-label bases
+        hosts += [b, f"foo.{b}", f"bar.foo.{b}", f"www.bar.foo.{b}"]
+
+    rows = [(i, f"http://{h}/p") for i, h in enumerate(hosts)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r.d
+        for r in df.select(
+            "doc_id",
+            registrable_domain(F.col("url"), include_private=True).alias("d"),
+        ).collect()
+    }
+    for i, h in enumerate(hosts):
+        want = model(strip_model(h))
+        assert got[i] == want, (h, got[i], want)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", rows)
+    sql = (
+        "WITH " + duckdb_url_canon_ctes("src", include_private=True)
+        + " SELECT doc_id, domain FROM c"
+    )
+    got_duck = dict(con.execute(sql).fetchall())
+    assert got == got_duck
