@@ -1706,7 +1706,9 @@ _BM25_TF_DUCK = ",\n         ".join(
     WITH bm25_base AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
          {_BM25_TF_DUCK}
-      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
+      FROM (SELECT doc_id,
+                   COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
+            FROM documents)
     )
     {bm25_select("bm25_base", BM25_TERMS, 20)}
     """,

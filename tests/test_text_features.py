@@ -552,3 +552,44 @@ def test_bpe_tokenize_docs_content_pin(spark, tables):
         checksum_model = (checksum_model + doc_id * h) % (2**61 - 1)
         checksum_spark = (checksum_spark + doc_id * tokens_hash) % (2**61 - 1)
     assert checksum_spark == checksum_model
+
+
+def test_term_tf_table_null_text_cross_engine(spark):
+    """r13 review: NULL text must count as an EMPTY document (dl = 0,
+    tf = 0) on both engines. Without the coalesce, Spark's
+    size(NULL) = -1 fed dl/tf = -1 into BM25 scoring while DuckDB's
+    len(NULL) was NULL — divergent garbage either way, masked by the
+    catalog's non-null corpus."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from lightsaber_spark.functions.text import term_tf_table
+
+    df = spark.createDataFrame(
+        [(1, "the window spark window"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.dl, r.tf0, r.tf1)
+        for r in term_tf_table(df, ("window", "spark")).collect()
+    )
+    assert got == [(1, 4, 2, 1), (2, 0, 0, 0), (3, 0, 0, 0)]
+
+    toks = (
+        "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(doc_id BIGINT, text VARCHAR);"
+        "INSERT INTO t VALUES (1, 'the window spark window'), (2, NULL), (3, '')"
+    )
+    want = sorted(
+        map(tuple, con.execute(f"""
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf1
+        FROM (SELECT doc_id, COALESCE({toks}, CAST([] AS VARCHAR[])) AS toks
+              FROM t)
+        """).fetchall())
+    )
+    assert got == want
