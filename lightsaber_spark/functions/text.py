@@ -91,8 +91,16 @@ def normalize_text(c: Column) -> Column:
 
 
 def tokens(c: Column, pattern: str = WORD_RE) -> Column:
-    """Array of tokens (lowercased match of ``pattern``)."""
-    return F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
+    """Array of tokens (lowercased match of ``pattern``). NULL text
+    yields an EMPTY array, never NULL (r13 review): without the
+    coalesce every downstream ``F.size`` turned into -1 on null text
+    (Spark's size(NULL)) while DuckDB's len(NULL) is NULL — the shared
+    oracle fragment ``oracle_fragments.TOKS`` carries the same
+    COALESCE so both engines implement empty-doc semantics."""
+    return F.coalesce(
+        F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0)),
+        F.array().cast("array<string>"),
+    )
 
 
 def token_count(c: Column, pattern: str = WORD_RE) -> Column:
@@ -222,7 +230,11 @@ def text_stats(df: DataFrame, text_col: str = "text", arrow: bool = False) -> Da
         n_stop = F.col("_ts.n_stop")
         n_token_chars = F.col("_ts.n_token_chars")
     else:
-        t = F.col(text_col)
+        # NULL text = empty doc, matching the arrow form's ""
+        # substitution (r13 review: size(NULL) = -1 made the two
+        # forms disagree on null text, breaking the bit-identical
+        # claim) and the DuckDB COALESCE
+        t = F.coalesce(F.col(text_col), F.lit(""))
         toks = tokens(t)
         with_s = df
         n_chars = F.length(t).cast("bigint")
@@ -257,8 +269,10 @@ def quality_filter(
     """The quality GATE: keep documents passing the standard cheap
     pretraining filters. All comparisons are exact integer arithmetic
     (``n_punct·1000 ≤ max‰·n_chars``) — no float thresholds, so the
-    keep/drop decision is bit-stable across engines and data orders."""
-    t = F.col(text_col)
+    keep/drop decision is bit-stable across engines and data orders.
+    NULL text = empty doc (dropped by the token floor) — the explicit
+    form of what the old size(NULL) = -1 accident happened to do."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = tokens(t)
     n_chars = F.length(t).cast("bigint")
     n_tokens = F.size(toks).cast("bigint")
@@ -276,8 +290,10 @@ def quality_filter(
 def language_id(c: Column) -> Column:
     """Marker-pattern language heuristic: count hits per language, take
     the argmax (ties → lexicographically larger code, consistent with
-    array_max struct ordering in both Spark and DuckDB)."""
-    lc = F.lower(c)
+    array_max struct ordering in both Spark and DuckDB). NULL text =
+    empty doc (all-zero counts → the tie code), keeping both engines'
+    struct comparisons NULL-free (r13 review)."""
+    lc = F.lower(F.coalesce(c, F.lit("")))
     entries = []
     for lang, pat in sorted(LANG_PATTERNS.items()):
         cnt = F.size(F.regexp_extract_all(lc, F.lit(pat), F.lit(0)))

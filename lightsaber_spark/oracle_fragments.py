@@ -13,7 +13,14 @@ Cross-engine invariants these encode (CLAUDE.md exactness policy):
   both engines and below 2^63 so no HUGEINT appears.
 """
 
-TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+# NULL text yields an EMPTY token list, never NULL — the DuckDB twin
+# of functions/text.tokens()'s coalesce (r13: without it, Spark's
+# size(NULL) = -1 and DuckDB's len(NULL) = NULL silently diverged on
+# null-text corpora; every TOKS consumer inherits the fix)
+TOKS = (
+    "COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+    "CAST([] AS VARCHAR[]))"
+)
 SHINGLES = (
     "list_distinct(list_transform(range(greatest(len(t) - 2, 0)), "
     "i -> array_to_string(t[i+1:i+3], ' ')))"

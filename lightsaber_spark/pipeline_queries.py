@@ -186,7 +186,7 @@ def q_text_repetition(spark, sf_dir):
     f"""
     SELECT doc_id, (list_aggregate([
       {", ".join(
-        "{'c': len(regexp_extract_all(lower(text), '" + pat.replace("'", "''") + "')), 'l': '" + lang + "'}"
+        "{'c': len(regexp_extract_all(lower(COALESCE(text, '')), '" + pat.replace("'", "''") + "')), 'l': '" + lang + "'}"
         for lang, pat in sorted(LANG_PATTERNS.items())
       )}
     ], 'max')).l AS lang_pred
@@ -219,7 +219,7 @@ def q_fingerprint(spark, sf_dir):
     "text_token_count_by_source",
     """
     SELECT source,
-           CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT)
+           CAST(sum(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+|[0-9]|[^a-z0-9 ]'))) AS BIGINT)
              AS total_tokens,
            count(*) AS n_docs
     FROM documents GROUP BY 1
@@ -448,7 +448,7 @@ def q_text_line_dedup_scrub(spark, sf_dir):
     "chunk_documents_ctx32",
     """
     WITH t AS (SELECT doc_id,
-                      CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                      CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+')) AS BIGINT)
                         AS n
                FROM documents),
     c AS (SELECT doc_id, n,
@@ -536,7 +536,7 @@ def q_funnel(spark, sf_dir):
     "text_context_length_histogram",
     """
     WITH t AS (SELECT greatest(
-                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')),
+                 len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+|[0-9]|[^a-z0-9 ]')),
                  1) AS n FROM documents)
     SELECT CAST(power(2, CAST(floor(log2(n)) AS BIGINT)) AS BIGINT) AS bucket_lo,
            count(*) AS n_docs,
@@ -3286,7 +3286,7 @@ _PAD_CTX = 512
 @query(
     "packing_padding_waste",
     f"""
-    WITH t AS (SELECT least(len(regexp_extract_all(lower(text),
+    WITH t AS (SELECT least(len(regexp_extract_all(lower(COALESCE(text, '')),
                        '[a-z]+|[0-9]|[^a-z0-9 ]')), {_PAD_CTX}) AS n
                FROM documents),
     p AS (SELECT n,
@@ -3538,7 +3538,7 @@ def _data_card_oracle(n_hashes: int = 32, bands: int = 8, seed: int = 42) -> str
              ON a.band = b.band AND a.bucket = b.bucket
                 AND a.doc_id <> b.doc_id),
     feat AS (SELECT source, doc_id, length(text) AS n_chars,
-                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))
+                    len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+|[0-9]|[^a-z0-9 ]'))
                       AS n_bpe,
                     {TOKS} AS toks,
                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct

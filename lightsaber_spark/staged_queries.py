@@ -506,7 +506,7 @@ def mixture_temperature_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SRC_OVERLAP_ORACLE = """
 WITH toks AS (
-  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  SELECT source, regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS t
   FROM documents
 ),
 sh AS (
