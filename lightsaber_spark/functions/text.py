@@ -390,11 +390,15 @@ def bm25_topk(base: DataFrame, terms, k: int = 20,
     )
     # the constant key must survive constant folding on BOTH sides or
     # Catalyst rewrites the equality into a one-sided filter and plans
-    # a nested loop: nullable expressions (dl*0 here, the when() above)
-    # are opaque to the x*0→0 simplification, so this stays a broadcast
-    # HASH join on _k
+    # a nested loop: a when() without otherwise is NULLABLE and hence
+    # opaque to the simplifier on both sides. (This was `dl * 0` until
+    # r13: the tokens() NULL-coalesce made dl non-nullable, x*0 folded
+    # to 0, and the plan regressed to a nested loop — caught by
+    # test_no_nested_loop_join.)
     scored = (
-        base.withColumn("_k", F.col("dl") * F.lit(0))
+        base.withColumn(
+            "_k", F.when(F.col("dl") >= 0, F.lit(0)).cast("bigint")
+        )
         .join(F.broadcast(stats), "_k")
         .select("doc_id", F.expr(score).alias("score"))
     )

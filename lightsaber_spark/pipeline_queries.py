@@ -2294,8 +2294,13 @@ def q_url_private_psl_domains(spark, sf_dir):
     suffix (``www.github.io`` keeps its www; ``www.userN.github.io``
     strips it), with ICANN shapes mixed in (merged-rule semantics).
     The oracle runs the SAME synthesis through the private-mode DuckDB
-    ladder."""
-    from lightsaber_spark.functions.urls import registrable_domain
+    ladder. Uses the STAGED frame form (registrable_domains_frame):
+    the inline expression form's branch-local tail copies push the
+    private-table CASE past codegen limits and the plan falls back to
+    per-row interpretation — measured 36 s vs ~0.5 s warm at sf0.1
+    (r13; the same staging lesson as canonical_url_dedup's _raw_host
+    boundary)."""
+    from lightsaber_spark.functions.urls import registrable_domains_frame
 
     d = _docs(spark, sf_dir)
     did = F.col("doc_id")
@@ -2316,14 +2321,15 @@ def q_url_private_psl_domains(spark, sf_dir):
         .otherwise(F.lit("q.w.compute.amazonaws.com.cn"))
     )
     url = F.concat(F.lit("http://"), host, F.lit("/p/"), (did % 4).cast("string"))
-    dom = registrable_domain(url.alias("url"), include_private=True)
-    return (
-        d.select("doc_id", dom.alias("domain"))
-        .groupBy("domain")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.min("doc_id").cast("bigint").alias("rep_doc_id"),
-        )
+    doms = registrable_domains_frame(
+        d.select("doc_id", url.alias("url")),
+        "url",
+        "doc_id",
+        include_private=True,
+    )
+    return doms.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("rep_doc_id"),
     )
 
 
