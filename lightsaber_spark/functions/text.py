@@ -413,14 +413,13 @@ def term_tf_table(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
     posting list — the per-term sum order is then written in the plan,
     which keeps double addition order-independent-by-construction.
 
-    NULL text counts as an empty document (dl = 0, tf = 0): without
-    the coalesce, Spark's size(NULL) = -1 fed dl/tf = -1 into the
-    scoring arithmetic while DuckDB's len(NULL) is NULL — a latent
-    cross-engine divergence masked by the catalog's non-null corpus
-    (r13 review; same class as the chunk_documents guard)."""
-    toks = F.coalesce(
-        tokens(F.col(text_col)), F.array().cast("array<string>")
-    )
+    NULL text counts as an empty document (dl = 0, tf = 0): Spark's
+    size(NULL) = -1 would feed dl/tf = -1 into the scoring arithmetic
+    while DuckDB's len(NULL) is NULL — a latent cross-engine
+    divergence masked by the catalog's non-null corpus (r13 review;
+    same class as the chunk_documents guard). :func:`tokens` carries
+    the empty-array coalesce internally, so no extra wrap here."""
+    toks = tokens(F.col(text_col))
     cols = [F.col("doc_id"), F.size(toks).cast("bigint").alias("dl")]
 
     # one-arg lambda via factory: a two-parameter lambda would be

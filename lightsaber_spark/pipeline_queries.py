@@ -1706,9 +1706,7 @@ _BM25_TF_DUCK = ",\n         ".join(
     WITH bm25_base AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
          {_BM25_TF_DUCK}
-      FROM (SELECT doc_id,
-                   COALESCE({TOKS}, CAST([] AS VARCHAR[])) AS toks
-            FROM documents)
+      FROM (SELECT doc_id, {TOKS} AS toks FROM documents)
     )
     {bm25_select("bm25_base", BM25_TERMS, 20)}
     """,
@@ -2051,12 +2049,14 @@ def duckdb_url_canon_ctes(src: str, include_private: bool = False) -> str:
                           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
                           ELSE host END
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) IN ({three_label})
-                  OR regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({wildcards2})
+                  OR (regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({wildcards2})
+                      AND regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> '')
                 THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$', 1)
                           ELSE host END
                 WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suffixes})
-                  OR regexp_extract(host, '([^.]+)$', 1) IN ({wildcards})
+                  OR (regexp_extract(host, '([^.]+)$', 1) IN ({wildcards})
+                      AND regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> '')
                 THEN CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1) <> ''
                           THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
                           ELSE host END

@@ -24,6 +24,25 @@ Flags:
   SINGLE_PART  — more than one Exchange SinglePartition (serializes the
                  data through one task; a final global agg/limit
                  legitimately uses one)
+  NO_CODEGEN   — (``codegen_flags``, separate pass over an AQE-OFF plan)
+                 a Project/Filter outside every WholeStageCodegen span.
+                 The r13 lesson: a CASE ladder too big for codegen runs
+                 INTERPRETED with no warning, evaluating branch-local
+                 expression copies per row (36s vs 1.15s at sf0.1 for
+                 the inline private-PSL ladder) — the Spark-side twin of
+                 the reference's everything-is-compiled guarantee
+                 (/root/reference/src/cql/operators/codeGeneration/
+                 OperatorJit.cpp:240). Exemptions: nodes under an
+                 AdaptiveSparkPlan subtree (cached relations planned
+                 under AQE defer codegen annotation), and blocks whose
+                 expressions contain ``lambdafunction(`` — higher-order
+                 functions are CodegenFallback in Spark by design — as
+                 long as the block stays under 256 KB of expression
+                 text. A fallback block BIGGER than that is exactly the
+                 branch-local-copy blowup class and is flagged anyway.
+                 Requires a plan built with spark.sql.adaptive.enabled
+                 =false: under AQE the codegen stars are deferred to
+                 runtime re-planning and every node looks interpreted.
 """
 
 from __future__ import annotations
@@ -95,7 +114,7 @@ _COL_ID = re.compile(r"#(\d+)")
 
 # one line of the tree section: decoration (3-char groups of "   ",
 # ":  ", "+- ", ":- "), optional codegen "*", operator name, "(id)"
-_TREE_LINE = re.compile(r"^((?:[ :]  |[:+]- )*)\*? ?([A-Za-z][\w]*)[^(\n]*\((\d+)\)\s*$")
+_TREE_LINE = re.compile(r"^((?:[ :]  |[:+]- )*)(\*)? ?([A-Za-z][\w]*)[^(\n]*\((\d+)\)\s*$")
 
 # ops a predicate passes through untouched on its way down to the scan
 _TRANSPARENT = {"ColumnarToRow", "Project", "WholeStageCodegen", "InputAdapter"}
@@ -105,13 +124,26 @@ _AGG_OPS = {"HashAggregate", "ObjectHashAggregate", "SortAggregate"}
 
 def _tree_nodes(plan: str) -> list[tuple[int, str, str]]:
     """(depth, name, id) per line of the formatted plan's tree section."""
-    nodes: list[tuple[int, str, str]] = []
+    return [(d, name, nid) for d, _star, name, nid in _tree_nodes_cg(plan)]
+
+
+def _tree_nodes_cg(plan: str) -> list[tuple[int, bool, str, str]]:
+    """(depth, codegen_star, name, id) per tree-section line. The ``*``
+    prefix is the authoritative whole-stage-codegen marker: detail-block
+    ``[codegen id : N]`` annotations are sometimes absent on nodes whose
+    tree line carries the star (observed on filters above reused
+    broadcast subtrees), but a starless Project/Filter in an AQE-off
+    plan really is outside every codegen span."""
+    nodes: list[tuple[int, bool, str, str]] = []
     for line in plan.splitlines():
         if line.startswith("("):
             break  # first detail block — tree section is over
         m = _TREE_LINE.match(line)
         if m:
-            nodes.append((len(m.group(1)) // 3, m.group(2), m.group(3)))
+            nodes.append(
+                (len(m.group(1)) // 3, m.group(2) is not None,
+                 m.group(3), m.group(4))
+            )
     return nodes
 
 
@@ -222,3 +254,87 @@ def plan_flags(plan: str) -> list[str]:
     if sp > 1:
         flags.append(f"SINGLE_PART×{sp}")
     return flags
+
+
+# --- NO_CODEGEN (interpreted-eval) detection ------------------------------
+
+_CODEGEN_CHECK_OPS = {"Project", "Filter"}
+_CODEGEN_FALLBACK_MARK = "lambdafunction("
+# Largest legitimate fallback block in the catalog is the PSL ladder's
+# single staged InSet Project at ~84 KB; the r13 inline monster was
+# 5.7 MB. 256 KB gives 3× headroom over legit and 20× margin under the
+# failure class.
+_CODEGEN_FALLBACK_MAX_BLOCK = 262144
+
+
+def _detail_blocks(plan: str) -> dict[str, str]:
+    by_id: dict[str, str] = {}
+    for b in _BLOCK_SPLIT.split(plan):
+        m = re.match(r"\((\d+)\) ", b)
+        if m:
+            by_id[m.group(1)] = b
+    return by_id
+
+
+def _plan_segments(plan: str) -> list[str]:
+    """The main plan plus each subquery's plan as separate segments
+    (each holds its own tree section; detail blocks share one global
+    id space)."""
+    main, sep, rest = plan.partition("===== Subqueries =====")
+    segments = [main]
+    if sep:
+        segments.extend(re.split(r"\nSubquery:\d+", rest))
+    return segments
+
+
+def codegen_flags(plan: str) -> list[str]:
+    """Return ["NO_CODEGEN×k"] if k Project/Filter nodes run outside
+    whole-stage codegen (interpreted row-at-a-time eval). MUST be fed a
+    plan generated with spark.sql.adaptive.enabled=false — under AQE
+    codegen staging is deferred and every node looks starless. See the
+    module docstring for the exemption rules."""
+    by_id = _detail_blocks(plan)
+    bad = 0
+    for segment in _plan_segments(plan):
+        nodes = _tree_nodes_cg(segment)
+        skip_below: int | None = None
+        for depth, star, name, nid in nodes:
+            if skip_below is not None:
+                if depth > skip_below:
+                    continue
+                skip_below = None
+            if name == "AdaptiveSparkPlan":
+                # cached InMemoryRelation subtree planned under AQE —
+                # codegen annotation deferred, not evidence of fallback
+                skip_below = depth
+                continue
+            if name in _CODEGEN_CHECK_OPS and not star:
+                block = by_id.get(nid, "")
+                if (
+                    _CODEGEN_FALLBACK_MARK in block
+                    and len(block) <= _CODEGEN_FALLBACK_MAX_BLOCK
+                ):
+                    continue  # bounded higher-order-function fallback
+                bad += 1
+    return [f"NO_CODEGEN×{bad}"] if bad else []
+
+
+def formatted_plan(df, adaptive: bool | None = None) -> str:
+    """Formatted explain string; with ``adaptive=False`` the physical
+    plan is prepared with AQE off so codegen stars are assigned
+    statically (feed that to :func:`codegen_flags`). The DataFrame must
+    be freshly built — ``executedPlan`` is cached on first access, so a
+    frame already explained under AQE keeps its adaptive plan."""
+    spark = df.sparkSession
+    if adaptive is None:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+    try:
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)

@@ -42,16 +42,19 @@ def continuous_compression_replan(
     it, then read flips with :func:`codec_flips`."""
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         plan = compression_plan(batch_df, cols, order_col, chunk_rows).withColumn(
             "_batch_id", F.lit(int(batch_id))
         )
-        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            plan.write.mode("overwrite").partitionBy("_batch_id").parquet(out_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        # per-write option, NOT session conf: mutating the session-global
+        # partitionOverwriteMode inside foreachBatch would leak dynamic
+        # mode into any concurrent overwrite in the same session (and the
+        # restore would clobber a concurrent setter)
+        (
+            plan.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(_write_batch)

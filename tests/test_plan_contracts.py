@@ -229,6 +229,65 @@ def test_audit_flags_nested_loop(spark):
     assert "NESTED_LOOP" in plan_flags(p)
 
 
+def test_audit_flags_interpreted_case_ladder(spark):
+    """NO_CODEGEN must fire on the r13 failure class: a CASE ladder
+    whose branch-local higher-order-function copies blow the expression
+    text past any sane codegen budget and silently run INTERPRETED
+    (the inline private-PSL ladder cost 36s vs 1.15s staged at sf0.1).
+    The synthetic rebuilds the shape: a derived HOF tail copied into
+    every branch of an InSet ladder, >256 KB of expression text."""
+    from lightsaber_spark.plan_audit import codegen_flags, formatted_plan
+
+    df = spark.range(10).selectExpr("concat('h', id, '.example.com') AS s")
+    tail = "array_join(transform(split(lower(s), '\\\\.'), x -> x), '.')"
+    branches = []
+    for b in range(32):
+        vals = ",".join(f"'v{b}_{i}'" for i in range(1500))
+        branches.append(f"WHEN {tail} IN ({vals}) THEN {tail}")
+    ladder = df.selectExpr("CASE " + " ".join(branches) + " ELSE s END AS rd")
+    p = formatted_plan(ladder, adaptive=False)
+    flags = codegen_flags(p)
+    assert any(f.startswith("NO_CODEGEN") for f in flags), p[:600]
+
+
+def test_audit_codegen_disabled_trips_flag(spark):
+    """With whole-stage codegen turned off, even a trivial filter plan
+    runs interpreted — the flag must fire; the identical plan with
+    codegen on must stay silent (proves the star parsing is live)."""
+    from lightsaber_spark.plan_audit import codegen_flags, formatted_plan
+
+    spark.catalog.clearCache()
+
+    def shape():
+        return spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+            "user_id > 3"
+        ).select("user_id", "value")
+
+    old = spark.conf.get("spark.sql.codegen.wholeStage")
+    try:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        broken = formatted_plan(shape(), adaptive=False)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", old)
+    assert codegen_flags(broken), broken[:600]
+
+    healthy = formatted_plan(shape(), adaptive=False)
+    assert not codegen_flags(healthy), healthy[:600]
+
+
+def test_audit_bounded_hof_fallback_is_benign(spark):
+    """A small Project using array HOFs (CodegenFallback by design in
+    Spark) is the engine's documented pattern outside hot paths — it
+    must NOT flag; only the oversized-ladder class does."""
+    from lightsaber_spark.plan_audit import codegen_flags, formatted_plan
+
+    df = spark.range(10).selectExpr(
+        "transform(sequence(1, 3), x -> x * id) AS arr"
+    )
+    p = formatted_plan(df, adaptive=False)
+    assert not codegen_flags(p), p[:600]
+
+
 def test_audit_scalar_broadcast_nested_loop_is_benign(spark):
     """A BroadcastNestedLoopJoin whose broadcast side is a grouping-free
     aggregate (provably ONE row — the scalar-attach pattern: corpus
