@@ -2060,8 +2060,14 @@ def tpch_q11(spark, sf_dir):
     stats = v.agg(
         F.count(F.lit(1)).alias("_g"), F.sum("val_c").alias("_t")
     ).withColumn("_k", F.when(F.col("_g") >= 0, F.lit(0)).cast("bigint"))
+    # when() without otherwise, not `val_c * 0`: the product form is
+    # nullable only while val_c stays nullable — an innocent coalesce
+    # upstream would fold it to a literal and degrade this join to a
+    # nested loop (exactly how r13's tokens() coalesce broke bm25)
     return (
-        v.withColumn("_k", F.col("val_c") * F.lit(0))
+        v.withColumn(
+            "_k", F.when(F.col("val_c") >= 0, F.lit(0)).cast("bigint")
+        )
         .join(F.broadcast(stats), "_k")
         .filter(F.col("val_c") * F.col("_g") > 2 * F.col("_t"))
         .select(

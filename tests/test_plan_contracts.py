@@ -67,6 +67,30 @@ def test_exchange_ceiling(spark, name):
     )
 
 
+# Queries that attach a 1-row global aggregate through a CONSTANT join
+# key built as `when(x >= 0, 0)` — nullable, hence opaque to constant
+# folding. If the fold ever collapses (e.g. an upstream coalesce makes
+# the operand non-nullable, as r13's tokens() change did to bm25's dl),
+# Catalyst rewrites the equality away and plans a BroadcastNestedLoopJoin.
+# One named assertion per documented trick site (VERDICT r13 #6):
+_NULLABLE_KEY_TRICK_SITES = [
+    "text_bm25_topk",            # functions/text.py bm25_topk (_k over dl)
+    "tpch_q11_important_stock",  # queries.py (_k over _g and val_c)
+    "funnel_view_click_purchase",  # pipeline_queries.py (_k over counts)
+]
+
+
+@pytest.mark.parametrize("name", _NULLABLE_KEY_TRICK_SITES)
+def test_constant_key_join_stays_hash_join(spark, name):
+    p = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, (
+        f"{name}: the nullable constant-key trick collapsed — some change "
+        "made the key expression non-nullable, Catalyst folded it to a "
+        "literal, and the scalar-attach join degraded to a nested loop "
+        f"(see functions/text.py bm25 docstring)\n{p[:600]}"
+    )
+
+
 def test_url_canonicalization_stays_pure_catalyst(spark):
     """canonical_url's contract is ZERO Python in the plan: the whole
     pipeline (percent-normalization included) is Catalyst expressions,
