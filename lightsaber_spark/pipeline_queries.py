@@ -2333,6 +2333,98 @@ def q_url_private_psl_domains(spark, sf_dir):
     )
 
 
+def _html_extraction_oracle() -> str:
+    from lightsaber_spark.functions.html import duckdb_html_to_text
+
+    et = duckdb_html_to_text("html")
+    return f"""
+    WITH raw AS (SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+        || '<style>p {{ margin: 0; }}</style>'
+        || CASE WHEN doc_id % 3 = 0
+                THEN '<script>var v = 1 < 2; // ' || CAST(doc_id AS VARCHAR) || '</script>'
+                ELSE '' END
+        || '</head><body>'
+        || CASE WHEN doc_id % 4 = 0
+                THEN '<!-- crawler ' || CAST(doc_id AS VARCHAR) || ' -->'
+                ELSE '' END
+        || '<h1>' || source || ' &amp; co</h1>'
+        || '<p>' || COALESCE(text, '') || '</p>'
+        || CASE WHEN doc_id % 5 = 0
+                THEN '<div class="ad">SPONSORED&nbsp;&quot;' || CAST(doc_id % 7 AS VARCHAR)
+                     || '&#39;&quot; &lt;promo&gt;</div>'
+                ELSE '' END
+        || '<ul><li>nav</li><li >about</li></ul></body></html>' AS html
+      FROM documents),
+    ext AS (SELECT doc_id, {et} AS et FROM raw)
+    SELECT doc_id,
+           CAST(length(et) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(lower(et), '[a-z0-9]+')) AS BIGINT)
+             AS n_tokens,
+           {H60.format(x="et")} AS text_h
+    FROM ext
+    """
+
+
+@query("html_text_extraction", _html_extraction_oracle())
+def q_html_text_extraction(spark, sf_dir):
+    """HTML → text extraction — the crawl-ingest stage UPSTREAM of the
+    whole text ladder (quality gates, dedup, packing all assume plain
+    text; a real 100 TB pipeline starts from raw crawled HTML). The
+    corpus has no HTML column, so a deterministic page is synthesized
+    per document (title/style/script/comment/heading/ad-block/nav
+    boilerplate keyed off doc_id, the document's text as body — the
+    url_canonical_dedup fixture-extension precedent; identical
+    synthesis in the oracle), then stripped by the pure-Catalyst
+    pipeline in ``functions/html.py`` (script/style/comment removal,
+    block tags → newlines, inline tags → spaces, entity decode,
+    whitespace normalization — each stage mirrored token-for-token in
+    the DuckDB twin). Output fingerprints the extraction per doc:
+    extracted length, token count, md5-prefix text hash. Map-only,
+    zero Python, zero shuffles — scan-shaped at any scale."""
+    from lightsaber_spark.functions.dedup import shingle_hash
+    from lightsaber_spark.functions.html import html_to_text
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), ds, F.lit("</title>"),
+        F.lit("<style>p { margin: 0; }</style>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("<script>var v = 1 < 2; // "), ds,
+                     F.lit("</script>")),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit("<!-- crawler "), ds, F.lit(" -->")),
+        ).otherwise(F.lit("")),
+        F.lit("<h1>"), F.col("source"), F.lit(" &amp; co</h1>"),
+        F.lit("<p>"), F.coalesce(F.col("text"), F.lit("")), F.lit("</p>"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit('<div class="ad">SPONSORED&nbsp;&quot;'),
+                (did % 7).cast("string"),
+                F.lit("&#39;&quot; &lt;promo&gt;</div>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<ul><li>nav</li><li >about</li></ul></body></html>"),
+    )
+    et = html_to_text(html)
+    extracted = d.select("doc_id", et.alias("et"))
+    return extracted.select(
+        "doc_id",
+        F.length("et").cast("bigint").alias("n_chars"),
+        F.size(F.regexp_extract_all(F.lower("et"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tokens"),
+        shingle_hash(F.col("et")).alias("text_h"),
+    )
+
+
 _LEV_PERMILLE = 400
 # hot-bucket valve: > largest genuine family at every shipped scale
 # (max observed bucket: 5 at sf0.01, 16 at sf0.1, ~160 in the 10×

@@ -1,0 +1,75 @@
+"""HTML → text extraction (functions/html.py): cross-engine agreement
+on adversarial fragments, plan purity, and the extraction semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lightsaber_spark.functions.html import duckdb_html_to_text, html_to_text
+
+# adversarial fragments: script bodies containing fake close tags and
+# comparison operators, attribute quotes around '>', double-escaped
+# entities, bare '<'/'>' in prose, NULL/empty inputs, case variance
+_SAMPLES = [
+    '<html><head><title>T</title><style>p { color: "x"; }</style>'
+    '<script>var a = 1 < 2 && "</div>";</script></head>'
+    "<body><!-- c1 --><h1>Head &amp; shoulders</h1><p>first  para</p>"
+    "<p>a<b>b</b>c &lt;tag&gt; &amp;lt;keep&amp;gt; &quot;q&#39;s&quot;&nbsp;end</p>"
+    '<ul><li>one</li><li >two</li></ul><br/><div class="z">block</div>'
+    "tail</body></html>",
+    None,
+    "",
+    "no tags at all",
+    '<p>unclosed <Weird-Tag attr=">">x',
+    "a < b and c > d & e",
+    "<P>UPPER</P><SCRIPT>s</SCRIPT>ok",
+    "<p>\n  multi\n\n  line\t text  </p>\n\n",
+    "&amp;amp; stays single-decoded",
+]
+
+
+def test_html_extraction_matches_duckdb(spark):
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            "SELECT " + duckdb_html_to_text("h") + " FROM (SELECT unnest(?) AS h)",
+            [_SAMPLES],
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(s,) for s in _SAMPLES], "h string")
+    got = [r[0] for r in df.select(html_to_text(F.col("h"))).collect()]
+    assert got == want
+
+
+def test_html_extraction_semantics(spark):
+    df = spark.createDataFrame([(s,) for s in _SAMPLES], "h string")
+    got = [r[0] for r in df.select(html_to_text(F.col("h"))).collect()]
+    first = got[0]
+    assert "script" not in first and "color" not in first  # content dropped
+    assert "c1" not in first  # comment dropped
+    assert "Head & shoulders" in first  # entity decoded
+    assert "&lt;keep&gt;" in first  # double-escape decoded exactly once
+    assert "a b c" in first  # inline tag did not glue words
+    assert "first para" in first  # space run collapsed
+    assert "one\ntwo" in first  # block tags kept line structure
+    assert got[1] == "" and got[2] == ""  # NULL html = empty text
+    assert got[3] == "no tags at all"
+    assert got[7] == "multi\nline text"  # edge newlines stripped
+    assert got[8] == "&amp; stays single-decoded"
+
+
+def test_html_extraction_plan_is_pure_codegen(spark):
+    """Same contract as canonical_url: zero Python in the plan, and the
+    whole chain inside whole-stage codegen (NO_CODEGEN audit clean)."""
+    from lightsaber_spark.plan_audit import codegen_flags, formatted_plan
+
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    df = entrymod.queries()["html_text_extraction"](spark, SF_DIR)
+    p = formatted_plan(df, adaptive=False)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert not codegen_flags(p), p[:800]
