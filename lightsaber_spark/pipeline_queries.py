@@ -2356,9 +2356,12 @@ def _html_extraction_oracle() -> str:
                 ELSE '' END
         || '<ul><li>nav</li><li >about</li></ul></body></html>' AS html
       FROM documents),
-    ext AS (SELECT doc_id, {et} AS et FROM raw)
+    ext AS (SELECT doc_id, length(html) AS n_raw, {et} AS et FROM raw)
     SELECT doc_id,
+           CAST(n_raw AS BIGINT) AS n_raw_chars,
            CAST(length(et) AS BIGINT) AS n_chars,
+           (CAST(length(et) AS BIGINT) * 1000) // greatest(n_raw, 1)
+             AS text_permille,
            CAST(len(regexp_extract_all(lower(et), '[a-z0-9]+')) AS BIGINT)
              AS n_tokens,
            {H60.format(x="et")} AS text_h
@@ -2413,11 +2416,22 @@ def q_html_text_extraction(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.lit("<ul><li>nav</li><li >about</li></ul></body></html>"),
     )
-    et = html_to_text(html)
-    extracted = d.select("doc_id", et.alias("et"))
+    extracted = d.select(
+        "doc_id",
+        F.length(html).alias("n_raw"),
+        html_to_text(html).alias("et"),
+    )
+    # text_permille = extracted/raw density — the classic boilerplate
+    # signal (ad/nav-heavy pages score low). Integer division on BOTH
+    # engines (DIV / //): DuckDB's float→BIGINT cast rounds where
+    # Spark's truncates (CLAUDE.md gotcha), so never a quotient+cast.
     return extracted.select(
         "doc_id",
+        F.col("n_raw").cast("bigint").alias("n_raw_chars"),
         F.length("et").cast("bigint").alias("n_chars"),
+        F.expr(
+            "(CAST(length(et) AS BIGINT) * 1000) DIV greatest(n_raw, 1)"
+        ).alias("text_permille"),
         F.size(F.regexp_extract_all(F.lower("et"), F.lit("[a-z0-9]+"), F.lit(0)))
         .cast("bigint")
         .alias("n_tokens"),
