@@ -61,6 +61,75 @@ def test_html_extraction_semantics(spark):
     assert got[8] == "&amp; stays single-decoded"
 
 
+def test_streaming_html_extract_dedup_matches_batch(spark, tmp_path):
+    """The family's streaming rung: crawl pages arrive as a stream,
+    text is extracted per row (stateless Catalyst — no state needed)
+    and exact-duplicate extractions are dropped on the text hash
+    (different boilerplate around the same body dedups together). Kept
+    set must equal the batch extract→dedup over the same corpus."""
+    import time as _t
+
+    from lightsaber_spark.functions.dedup import shingle_hash
+    from lightsaber_spark.streaming import read_stream
+    from lightsaber_spark.streaming.stream import streaming_dedup
+
+    src = str(tmp_path / "pages")
+    wrappers = [
+        "<html><body><p>{0}</p></body></html>",
+        '<html><head><script>track("{1}")</script>'
+        "<style>div {{ margin: 0; }}</style></head>"
+        "<body><!-- v2 --><div>{0}</div></body></html>",
+    ]
+
+    def write_file(w, pages):
+        rows = [
+            (p * 10 + w, wrappers[w].format(f"body text {p}", p))
+            for p in pages
+        ]
+        spark.createDataFrame(rows, "page_id long, html string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _t.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    write_file(0, range(12))
+    write_file(1, range(18))  # 0..11 re-crawled with other boilerplate
+
+    def extract(df):
+        return df.select(
+            "page_id", html_to_text(F.col("html")).alias("text")
+        ).withColumn("text_h", shingle_hash(F.col("text")))
+
+    stream = extract(
+        read_stream(
+            spark, src, "page_id long, html string", max_files_per_trigger=1
+        )
+    )
+    q = (
+        streaming_dedup(stream, ["text_h"])
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "kept"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r.page_id, r.text)
+        for r in spark.read.parquet(str(tmp_path / "kept")).collect()
+    )
+    want = sorted(
+        (r.page_id, r.text)
+        for r in extract(spark.read.parquet(src))
+        .groupBy("text_h")
+        .agg(F.min_by(F.struct("page_id", "text"), "page_id").alias("s"))
+        .select("s.page_id", "s.text")
+        .collect()
+    )
+    assert got == want and len(got) == 18
+
+
 def test_html_extraction_plan_is_pure_codegen(spark):
     """Same contract as canonical_url: zero Python in the plan, and the
     whole chain inside whole-stage codegen (NO_CODEGEN audit clean)."""
