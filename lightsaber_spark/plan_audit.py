@@ -258,6 +258,17 @@ def plan_flags(plan: str) -> list[str]:
 
 # --- NO_CODEGEN (interpreted-eval) detection ------------------------------
 
+# Why ONLY Project/Filter: the failure class is expression-ladder blowup,
+# which Catalyst always places in a Project (or Filter) node. An r14
+# starless-node census over all 171 catalog AQE-off plans found every
+# other row-operator either never codegens structurally (Window,
+# WindowGroupLimit, ObjectHashAggregate, MergingSessions,
+# TakeOrderedAndProject, Union, exchanges, python nodes) or has RARE
+# legitimately-starless instances that would need guesswork exemptions
+# (4/531 HashAggregate — pivot aggregate shapes; 1/175 BroadcastHashJoin
+# — non-inner build shapes; 1/91 Generate — non-codegen generator),
+# while starless Project/Filter occurrences were exactly the bounded
+# HOF-fallback set the exemption below covers.
 _CODEGEN_CHECK_OPS = {"Project", "Filter"}
 _CODEGEN_FALLBACK_MARK = "lambdafunction("
 # Largest legitimate fallback block in the catalog is the PSL ladder's

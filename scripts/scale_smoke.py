@@ -58,6 +58,12 @@ QUERIES = [
     "duplicated_passages_k10",
     "dedup_minhash_levenshtein",
     "pii_redact_stats",
+    "url_deep_psl_domains",
+    "url_private_psl_domains",
+    "adaptive_compression_replan",
+    "html_text_extraction",
+    "lrb3_two_stage_dag",
+    "text_bm25_topk",
     "profile_events_columns",
     "multimodal_audio_decode_real",
     # round-4 staged queries, registered in round 5 — keep the scale
