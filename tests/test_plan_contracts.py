@@ -253,6 +253,34 @@ def test_audit_flags_nested_loop(spark):
     assert "NESTED_LOOP" in plan_flags(p)
 
 
+# Heavy-expression queries where an interpreted fallback would be the
+# r13 36s-class regression: the audit catches it per-round, this makes
+# it fail the SUITE. (The whole catalog is audited by explain_audit;
+# these are the expression-ladder-heaviest representatives.)
+_CODEGEN_FLAGSHIPS = [
+    "url_canonical_dedup",
+    "url_deep_psl_domains",
+    "url_private_psl_domains",
+    "text_stats_per_doc",
+    "quality_linear_score_topk",
+]
+
+
+@pytest.mark.parametrize("name", _CODEGEN_FLAGSHIPS)
+def test_flagship_stays_inside_codegen(spark, name):
+    from lightsaber_spark.plan_audit import codegen_flags, formatted_plan
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF_DIR)
+    p = formatted_plan(df, adaptive=False)
+    assert not codegen_flags(p), (
+        f"{name}: a Project/Filter left whole-stage codegen — the r13 "
+        "interpreted-fallback class; stage derived expressions as named "
+        f"columns (registrable_domains_frame pattern)\n{p[:800]}"
+    )
+
+
 def test_audit_flags_interpreted_case_ladder(spark):
     """NO_CODEGEN must fire on the r13 failure class: a CASE ladder
     whose branch-local higher-order-function copies blow the expression
