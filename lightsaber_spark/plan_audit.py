@@ -253,6 +253,13 @@ def plan_flags(plan: str) -> list[str]:
     sp = plan.count("Exchange SinglePartition")
     if sp > 1:
         flags.append(f"SINGLE_PART×{sp}")
+
+    # ROW_PYTHON — a row-at-a-time Python UDF in the plan (BatchEvalPython
+    # pickles row batches through the legacy serializer, ~10-100× slower
+    # than Arrow). The engine's rule is Arrow-batched pandas UDFs ONLY
+    # (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas are fine).
+    if "BatchEvalPython" in plan:
+        flags.append("ROW_PYTHON")
     return flags
 
 

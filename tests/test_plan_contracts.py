@@ -281,6 +281,22 @@ def test_flagship_stays_inside_codegen(spark, name):
     )
 
 
+def test_audit_flags_row_python_udf(spark):
+    """ROW_PYTHON must fire on a row-at-a-time Python UDF (pickled
+    BatchEvalPython — the 10-100× slow path the engine bans) and stay
+    silent on the Arrow-batched pandas twin."""
+    from pyspark.sql.functions import pandas_udf, udf
+
+    from lightsaber_spark.plan_audit import plan_flags
+
+    df = spark.range(10)
+    slow = df.select(udf(lambda x: x + 1, "long")("id").alias("y"))
+    assert "ROW_PYTHON" in plan_flags(_formatted(spark, slow))
+
+    fast = df.select(pandas_udf(lambda s: s + 1, "long")("id").alias("y"))
+    assert "ROW_PYTHON" not in plan_flags(_formatted(spark, fast))
+
+
 def test_audit_flags_interpreted_case_ladder(spark):
     """NO_CODEGEN must fire on the r13 failure class: a CASE ladder
     whose branch-local higher-order-function copies blow the expression
