@@ -10,6 +10,7 @@ built into Catalyst/Tungsten (SURVEY.md §4).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -76,11 +77,25 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# session → {(abs sf_dir, table) → DataFrame}. A DataFrame is just a
+# plan over an immutable testdata path, so re-deriving it (parquet
+# footer read + ns-normalization analysis, measured ~110 ms/table warm)
+# once per QUERY BUILD was pure overhead — across a 171-query catalog
+# pass that is tens of seconds. Weak-keyed by the owning SparkSession:
+# DataFrames are session-bound, entries die with their session (never
+# key a process cache by id() — the PSL-cache lesson), and a restarted
+# context can never be served another session's frames. Trade-off: a
+# cached frame pins its file listing — append-after-load to the SAME
+# dir in one session won't be seen. Testdata dirs are immutable by
+# contract (TESTDATA.md); mutable inputs go through spark.read direct.
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the TESTDATA parquet tables as a dict of DataFrames and
     register them as temp views (mirrors the driver's DuckDB view setup).
     Timestamp[ns] columns are normalized to TimestampType (µs, matching
-    DuckDB's read of the same files)."""
+    DuckDB's read of the same files). Cached per (session, dir, table)."""
     from pyspark.sql import functions as F
 
     configure_runtime(spark)
@@ -88,12 +103,21 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     )
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    base = os.path.abspath(sf_dir)
     out = {}
     for n in names:
-        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        for c in _NANOS_TS_COLS.get(n, []):
-            if dict(df.dtypes).get(c) == "bigint":
-                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        df = cache.get((base, n))
+        if df is None:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            for c in _NANOS_TS_COLS.get(n, []):
+                if dict(df.dtypes).get(c) == "bigint":
+                    df = df.withColumn(
+                        c, F.timestamp_micros(F.expr(f"{c} div 1000"))
+                    )
+            cache[(base, n)] = df
+        # re-register every call: callers alternating sf_dirs in one
+        # session (scale_smoke base vs scaled) rebind the view each time
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
