@@ -5,6 +5,7 @@ from lightsaber_spark.streaming.compression import (
     continuous_compression_replan,
 )
 from lightsaber_spark.streaming.funnel import streaming_funnel
+from lightsaber_spark.streaming.gapfill import streaming_gapfill_tumbling
 from lightsaber_spark.streaming.sessions import (
     session_window_agg,
     streaming_sessions_timeout,
@@ -35,6 +36,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_funnel",
     "streaming_gapfill_count",
+    "streaming_gapfill_tumbling",
     "streaming_line_boilerplate",
     "streaming_line_df_counts",
     "streaming_line_scrub",

@@ -1,0 +1,137 @@
+"""Streaming empty-window emission (gap fill).
+
+The reference emits EVERY window between the first data point and the
+stream head, empty or not (``OperatorKernel.h:3830-3988`` — the batch
+twin is ``operators/window_agg.window_spine`` + ``gap_filled``).
+Spark's native streaming window aggregation only emits windows that
+received rows, so the streaming twin is a stateful op: tumbling
+buckets are derived input-side, one state row tracks the next
+unemitted window start plus the still-open bucket partials, and every
+window whose END the watermark has passed is emitted in order —
+count 0 / sum NULL for windows no row touched. An event-time timeout
+keeps emission flowing when a micro-batch brings no rows for the key.
+
+Relationship to ``stream.streaming_gapfill_count`` (r8): that op is
+NEXT-EVENT-driven — a window (and any skipped empties before it)
+closes only when a LATER event arrives for the key, so a silent
+stream holds its tail forever. This one is WATERMARK-driven with an
+event-time timeout: time passage alone drains the gap — the
+reference's continuous-emission model (same distinction
+``sessions.streaming_sessions_timeout`` draws for session close), and
+it carries the exact-cents sum the batch ``gapfill_tumbling_count``
+query emits, so the equivalence test compares all three columns.
+
+State is O(open windows) = O(watermark lag / window size), never
+O(span): the emitted prefix leaves state immediately.
+
+Import note (CLAUDE.md gotcha): ``pandas as pd`` must be importable
+from MODULE globals for pandas type-hint inference under
+``from __future__ import annotations``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+US = 1_000_000
+
+
+def streaming_gapfill_tumbling(
+    stream: DataFrame,
+    ts_col: str,
+    size_sec: int,
+    value_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Global tumbling windows with empty-window emission: output rows
+    ``(window_start bigint, n bigint, sum_value double|null)`` for
+    EVERY window start from the first event's window up to the last
+    window closed by the watermark, in order, exactly once (append
+    mode). ``value_col`` (integer cents for exactness, the repo's
+    money rule) feeds ``sum_value`` (= cents/100.0, NULL when n=0),
+    mirroring the batch ``gapfill_tumbling_count`` query."""
+    out_schema = StructType(
+        [
+            StructField("window_start", LongType()),
+            StructField("n", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    # state: next unemitted window start (sec), parallel arrays of the
+    # still-open buckets (starts sec / counts / cent sums)
+    state_schema = StructType(
+        [
+            StructField("next_start", LongType()),
+            StructField("open_starts", ArrayType(LongType())),
+            StructField("open_counts", ArrayType(LongType())),
+            StructField("open_sums", ArrayType(LongType())),
+        ]
+    )
+    size_us = size_sec * US
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            next_start, starts, counts, sums = state.get
+            open_b = {
+                int(s): [int(c), int(v)]
+                for s, c, v in zip(starts, counts, sums)
+            }
+            next_start = int(next_start)
+        else:
+            next_start, open_b = None, {}
+
+        for pdf in pdf_iter:
+            for w_us, v in zip(pdf["_w_us"], pdf["_v"]):
+                s = int(w_us) // size_us * size_sec
+                b = open_b.setdefault(s, [0, 0])
+                b[0] += 1
+                b[1] += 0 if pd.isna(v) else int(v)
+                if next_start is None or s < next_start:
+                    next_start = s
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows = []
+        if next_start is not None:
+            # emit every window whose END the watermark has passed
+            while (next_start + size_sec) * US <= wm_us:
+                n, cents = open_b.pop(next_start, (0, 0))
+                rows.append(
+                    (next_start, n, (cents / 100.0) if n else None)
+                )
+                next_start += size_sec
+            state.update(
+                (
+                    next_start,
+                    sorted(open_b),
+                    [open_b[s][0] for s in sorted(open_b)],
+                    [open_b[s][1] for s in sorted(open_b)],
+                )
+            )
+            # wake up when the watermark passes the next window end,
+            # even if no further rows arrive for this key (ms epoch)
+            state.setTimeoutTimestamp((next_start + size_sec) * 1000)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["window_start", "n", "sum_value"]
+            )
+
+    wm = stream.withWatermark(ts_col, watermark)
+    prepared = wm.select(
+        F.col(ts_col),
+        F.lit(0).cast("bigint").alias("_g"),
+        F.unix_micros(F.col(ts_col)).alias("_w_us"),
+        (
+            F.col(value_col) if value_col is not None else F.lit(None)
+        ).cast("bigint").alias("_v"),
+    )
+    return prepared.groupBy("_g").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "EventTimeTimeout"
+    )

@@ -1731,6 +1731,96 @@ def test_streaming_two_stage_dag_matches_batch_with_restart(spark, tmp_path):
     assert phase1_windows <= {r.window_id for r in got.collect()}
 
 
+def test_streaming_gapfill_matches_batch_and_restarts(spark, tmp_path):
+    """Streaming empty-window emission (the reference's continuous
+    emission model, OperatorKernel.h:3830-3988): every tumbling window
+    from the first event's window through the last watermark-closed
+    window emits exactly once — count 0 / sum NULL where no row landed
+    — matching the batch spine + gap_filled composition, INCLUDING
+    across a checkpoint restart that spans a multi-window silence
+    (the empty windows inside the gap emit once, from recovered
+    state)."""
+    import datetime as dt
+
+    from lightsaber_spark.operators.window_agg import (
+        gap_filled,
+        window_spine,
+        windowed_agg,
+    )
+    from lightsaber_spark.streaming.gapfill import streaming_gapfill_tumbling
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "filled")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    size = 3600
+
+    def write_hours(hours):
+        rows = [
+            (t0 + dt.timedelta(hours=h, minutes=m), float(100 * h + m))
+            for h in hours
+            for m in (7, 23)
+        ]
+        spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic replay order
+
+    def run_once():
+        stream = read_stream(
+            spark, src, "ts timestamp, value double", max_files_per_trigger=1
+        ).withColumn("value_c", F.round(F.col("value") * 100).cast("bigint"))
+        q = (
+            streaming_gapfill_tumbling(stream, "ts", size, "value_c")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: hours 1,2 then a silence; phase 2 (restart): hours 7,9
+    # — the 4 empty windows inside the gap must emit exactly once
+    write_hours([1])
+    write_hours([2])
+    run_once()
+    write_hours([7])
+    write_hours([9])
+    run_once()
+
+    got = sorted(
+        (r.window_start, r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(got) == len({g[0] for g in got})  # exactly once per window
+
+    ev = spark.read.parquet(src).withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("bigint")
+    )
+    agg = windowed_agg(
+        ev, "ts", size, size, [("count", None, "n"), ("sum", "value_c", "sum_c")]
+    ).select("window_start", "n", (F.col("sum_c") / 100.0).alias("sum_value"))
+    spine = window_spine(ev, "ts", size, size)
+    full = gap_filled(
+        agg, spine, [("count", None, "n"), ("sum", "value_c", "sum_value")]
+    )
+    # streaming emits only windows the final watermark closed: the last
+    # event sits inside the hour-9 window, which stays open
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    want = sorted(
+        (r.window_start, r.n, r.sum_value)
+        for r in full.filter(
+            (F.col("window_start") + size) * 1_000_000 <= max_us
+        ).collect()
+    )
+    assert got == want, (got[:6], want[:6], len(got), len(want))
+    # the silence really produced empty rows (hours 3,4,5,6 at n=0)
+    zeros = [g for g in got if g[1] == 0]
+    assert len(zeros) >= 4 and all(g[2] is None for g in zeros)
+
+
 def _semantic_stream_fixture():
     """Synthetic embedding stream with planted near-dups: random base
     vectors plus exact copies scattered across the id range, so drops
