@@ -11,9 +11,11 @@ whole-stage-codegen'd, zero Python in the plan (same contract as
 ``urls.canonical_url``; the NO_CODEGEN audit covers it). Every stage is
 mirrored token-for-token in the DuckDB oracle via
 :func:`duckdb_html_to_text`; both engines use RE2-compatible patterns
-with inline ``(?is)`` flags so Java regex and RE2 agree (the ``\\A..\\z``
-anchoring lesson from json_props_stats does not arise — no ``$``
-anchors here).
+with case-insensitivity spelled as explicit ASCII classes via
+:func:`_ci` — never ``(?i)``, which Java folds ASCII-only but RE2 folds
+Unicode, so a case-variant tag like ``<ſcript>`` (U+017F) would diverge
+(the ``\\A..\\z`` anchoring lesson from json_props_stats does not arise
+— no ``$`` anchors here).
 
 Stages (order is semantics — later stages see earlier output):
   1. ``<script>``/``<style>`` elements dropped WITH their content
@@ -35,14 +37,38 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+def _ci(word: str) -> str:
+    """ASCII-bounded case-insensitive spelling of a tag name. Java's
+    ``(?i)`` folds ASCII only while RE2's folds Unicode (U+017F long-s
+    matches ``(?i)s`` in DuckDB but not in Spark, so ``<ſcript>`` would
+    be stripped WITH its body by the oracle and kept by the engine) —
+    spelling each letter as a two-char class makes both engines agree
+    by construction, with no ``(?i)`` flag at all."""
+    return "".join(
+        f"[{c}{c.upper()}]" if c.isalpha() else c for c in word
+    )
+
+
+_BLOCK_TAGS = [
+    "p", "div", "br", "h[1-6]", "li", "ul", "ol", "tr", "td", "th",
+    "table", "blockquote", "section", "article", "header", "footer",
+    "pre", "form",
+]
+
 # (pattern, replacement) — applied in order on both engines
 _TAG_STAGES: list[tuple[str, str]] = [
-    (r"(?is)<script\b[^>]*>.*?</script>", " "),
-    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (
+        r"(?s)<" + _ci("script") + r"\b[^>]*>.*?</" + _ci("script") + ">",
+        " ",
+    ),
+    (
+        r"(?s)<" + _ci("style") + r"\b[^>]*>.*?</" + _ci("style") + ">",
+        " ",
+    ),
     (r"(?s)<!--.*?-->", " "),
     (
-        r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote"
-        r"|section|article|header|footer|pre|form)\b[^>]*/?>",
+        r"</?(?:" + "|".join(_ci(t) for t in _BLOCK_TAGS)
+        + r")\b[^>]*/?>",
         "\n",
     ),
     (r"(?s)<[^>]*>", " "),

@@ -342,7 +342,13 @@ def formatted_plan(df, adaptive: bool | None = None) -> str:
     plan is prepared with AQE off so codegen stars are assigned
     statically (feed that to :func:`codegen_flags`). The DataFrame must
     be freshly built — ``executedPlan`` is cached on first access, so a
-    frame already explained under AQE keeps its adaptive plan."""
+    frame already explained under AQE keeps its adaptive plan. The
+    caching cuts BOTH ways: calling this with ``adaptive=False``
+    permanently bakes the AQE-off ``executedPlan`` into the passed
+    frame (the conf is restored but the cached plan is not), so any
+    later ACTION on that same frame silently runs without AQE — treat
+    the frame as explain-only afterwards and rebuild before executing
+    (every in-repo call site rebuilds a fresh frame)."""
     spark = df.sparkSession
     if adaptive is None:
         return spark._jvm.PythonSQLUtils.explainString(

@@ -56,7 +56,9 @@ def streaming_gapfill_tumbling(
     EVERY window start from the first event's window up to the last
     window closed by the watermark, in order, exactly once (append
     mode). ``value_col`` (integer cents for exactness, the repo's
-    money rule) feeds ``sum_value`` (= cents/100.0, NULL when n=0),
+    money rule) feeds ``sum_value`` (= cents/100.0, NULL when n=0 OR
+    when no non-null value landed in the window — SQL ``sum`` over
+    all-NULL is NULL, so state tracks a per-bucket non-null count),
     mirroring the batch ``gapfill_tumbling_count`` query."""
     out_schema = StructType(
         [
@@ -73,16 +75,17 @@ def streaming_gapfill_tumbling(
             StructField("open_starts", ArrayType(LongType())),
             StructField("open_counts", ArrayType(LongType())),
             StructField("open_sums", ArrayType(LongType())),
+            StructField("open_nnz", ArrayType(LongType())),
         ]
     )
     size_us = size_sec * US
 
     def fn(key, pdf_iter, state):
         if state.exists:
-            next_start, starts, counts, sums = state.get
+            next_start, starts, counts, sums, nnzs = state.get
             open_b = {
-                int(s): [int(c), int(v)]
-                for s, c, v in zip(starts, counts, sums)
+                int(s): [int(c), int(v), int(z)]
+                for s, c, v, z in zip(starts, counts, sums, nnzs)
             }
             next_start = int(next_start)
         else:
@@ -91,9 +94,11 @@ def streaming_gapfill_tumbling(
         for pdf in pdf_iter:
             for w_us, v in zip(pdf["_w_us"], pdf["_v"]):
                 s = int(w_us) // size_us * size_sec
-                b = open_b.setdefault(s, [0, 0])
+                b = open_b.setdefault(s, [0, 0, 0])
                 b[0] += 1
-                b[1] += 0 if pd.isna(v) else int(v)
+                if not pd.isna(v):
+                    b[1] += int(v)
+                    b[2] += 1
                 if next_start is None or s < next_start:
                     next_start = s
 
@@ -102,9 +107,9 @@ def streaming_gapfill_tumbling(
         if next_start is not None:
             # emit every window whose END the watermark has passed
             while (next_start + size_sec) * US <= wm_us:
-                n, cents = open_b.pop(next_start, (0, 0))
+                n, cents, nnz = open_b.pop(next_start, (0, 0, 0))
                 rows.append(
-                    (next_start, n, (cents / 100.0) if n else None)
+                    (next_start, n, (cents / 100.0) if nnz else None)
                 )
                 next_start += size_sec
             state.update(
@@ -113,6 +118,7 @@ def streaming_gapfill_tumbling(
                     sorted(open_b),
                     [open_b[s][0] for s in sorted(open_b)],
                     [open_b[s][1] for s in sorted(open_b)],
+                    [open_b[s][2] for s in sorted(open_b)],
                 )
             )
             # wake up when the watermark passes the next window end,

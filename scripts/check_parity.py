@@ -125,7 +125,61 @@ def main() -> int:
         f"\n{checked} strong-checked ok, {len(weak)} weak (rows-only), "
         f"{len(failures)} failed, sf_dir={sf_dir}"
     )
+    if not only:
+        _write_parity_log(sf_dir, checked, weak, failures, len(queries))
     return 1 if failures else 0
+
+
+def _write_parity_log(sf_dir, checked, weak, failures, total):
+    """Record a full-catalog run as ``PARITY.json`` — the bridge
+    ``round_start.py`` accepts when more queries front than one driver
+    sweep can re-vouch (the r14 table-cache lesson: a hash-closure move
+    can front all 171 at once, and the only honest cover is a
+    full-catalog parity run on the same tree). Only written when no
+    query filter was given (partial runs prove nothing about the
+    catalog) and keyed to the git HEAD so a later commit invalidates
+    it."""
+    import json
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root,
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip() or None
+        # dirty query-implementation files mean HEAD does not describe
+        # the verified code — round_start must not accept such a log
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "lightsaber_spark", "__spark_entry__.py"], cwd=root,
+            capture_output=True, text=True, timeout=30,
+        ).stdout.strip())
+    except Exception:
+        head, dirty = None, True
+    path = os.path.join(root, "PARITY.json")
+    prior = {}
+    try:
+        with open(path) as f:
+            prior = {
+                k: v for k, v in json.load(f).items()
+                if isinstance(v, dict)
+            }
+    except (OSError, ValueError):
+        pass
+    prior[sf_dir] = {
+        "git_head": head,
+        "dirty_query_files": dirty,
+        "checked": checked,
+        "weak": len(weak),
+        "failed": len(failures),
+        "total": total,
+    }
+    with open(path, "w") as f:
+        json.dump(prior, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"parity log → {path} (HEAD {str(head)[:9]})")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,12 @@ _SAMPLES = [
     "<P>UPPER</P><SCRIPT>s</SCRIPT>ok",
     "<p>\n  multi\n\n  line\t text  </p>\n\n",
     "&amp;amp; stays single-decoded",
+    # Unicode case-variant tag names (U+017F LATIN SMALL LETTER LONG S,
+    # U+0130 İ): Java's (?i) folds ASCII only, RE2's folds Unicode — the
+    # _ci() explicit-class spelling makes both engines treat these as
+    # generic tags (body KEPT), not script/style elements
+    "<ſcript>kept-by-both</ſcript>ok<STİLE>also kept</STİLE>",
+    "<DİV>not-a-block</DİV>end",
 ]
 
 
@@ -59,6 +65,10 @@ def test_html_extraction_semantics(spark):
     assert got[3] == "no tags at all"
     assert got[7] == "multi\nline text"  # edge newlines stripped
     assert got[8] == "&amp; stays single-decoded"
+    # Unicode case-variant tag names are generic tags on BOTH engines:
+    # bodies kept, tags become spaces (ADVICE r14 — (?i) drift killed)
+    assert got[9] == "kept-by-both ok also kept"
+    assert got[10] == "not-a-block end"
 
 
 def test_streaming_html_extract_dedup_matches_batch(spark, tmp_path):

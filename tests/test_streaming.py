@@ -1755,9 +1755,12 @@ def test_streaming_gapfill_matches_batch_and_restarts(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
     size = 3600
 
-    def write_hours(hours):
+    def write_hours(hours, null_values=False):
         rows = [
-            (t0 + dt.timedelta(hours=h, minutes=m), float(100 * h + m))
+            (
+                t0 + dt.timedelta(hours=h, minutes=m),
+                None if null_values else float(100 * h + m),
+            )
             for h in hours
             for m in (7, 23)
         ]
@@ -1782,9 +1785,12 @@ def test_streaming_gapfill_matches_batch_and_restarts(spark, tmp_path):
         q.awaitTermination()
 
     # phase 1: hours 1,2 then a silence; phase 2 (restart): hours 7,9
-    # — the 4 empty windows inside the gap must emit exactly once
+    # — the 4 empty windows inside the gap must emit exactly once.
+    # Hour 2's rows carry NULL values: a window with rows but no
+    # non-null value must emit sum_value NULL (SQL sum semantics),
+    # not +0.0 — the streaming state tracks a non-null count.
     write_hours([1])
-    write_hours([2])
+    write_hours([2], null_values=True)
     run_once()
     write_hours([7])
     write_hours([9])
@@ -1819,6 +1825,9 @@ def test_streaming_gapfill_matches_batch_and_restarts(spark, tmp_path):
     # the silence really produced empty rows (hours 3,4,5,6 at n=0)
     zeros = [g for g in got if g[1] == 0]
     assert len(zeros) >= 4 and all(g[2] is None for g in zeros)
+    # the all-NULL-value hour emitted rows>0 with sum_value NULL
+    all_null = [g for g in got if g[1] > 0 and g[2] is None]
+    assert len(all_null) == 1 and all_null[0][1] == 2
 
 
 def _semantic_stream_fixture():
