@@ -124,6 +124,65 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+# hyperlink extraction: one pattern, two capture groups — group 1 the
+# double-quoted href value, group 2 the raw anchor body. Extracted
+# TWICE (once per group) on both engines: the same pattern matches the
+# same occurrences in the same order, so the two arrays align
+# positionally (Spark regexp_extract_all and DuckDB regexp_extract_all
+# both take ONE group index per call). Scope: double-quoted hrefs only
+# — the dominant form; single-quoted/unquoted attrs are skipped
+# IDENTICALLY on both engines. href values containing '"' or tags
+# whose earlier attribute values contain '>' mis-span identically too
+# (regex-over-HTML limits, deterministic cross-engine).
+_LINK_PATTERN = (
+    r"(?s)<" + _ci("a") + r"\b[^>]*\b" + _ci("href")
+    + r'\s*=\s*"([^"]*)"[^>]*>(.*?)</' + _ci("a") + r"\s*>"
+)
+
+
+def extract_hrefs(col: Column) -> Column:
+    """``array<string>`` of double-quoted href values of ``<a>``
+    elements, in document order (NULL html → empty array)."""
+    return F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(_LINK_PATTERN), F.lit(1)
+    )
+
+
+def extract_anchors(col: Column) -> Column:
+    """``array<string>`` of RAW anchor bodies, positionally aligned
+    with :func:`extract_hrefs` (same pattern, group 2). Clean each
+    element AFTER exploding with :func:`clean_anchor_text` — a plain
+    column chain stays in whole-stage codegen where a per-element
+    lambda would run interpreted (CLAUDE.md HOF gotcha)."""
+    return F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(_LINK_PATTERN), F.lit(2)
+    )
+
+
+def clean_anchor_text(col: Column) -> Column:
+    """Anchor body → display text: the full :func:`html_to_text`
+    pipeline (anchors may contain inline tags and entities), then
+    newline runs folded to spaces — anchor text is a one-line label."""
+    return F.trim(F.regexp_replace(html_to_text(col), r"\s+", " "))
+
+
+def duckdb_extract_links(expr: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`extract_hrefs` / :func:`extract_anchors`
+    as SQL expression strings (same pattern, groups 1 and 2)."""
+    pat = _sql_str(_LINK_PATTERN)
+    base = f"COALESCE({expr}, '')"
+    return (
+        f"regexp_extract_all({base}, {pat}, 1)",
+        f"regexp_extract_all({base}, {pat}, 2)",
+    )
+
+
+def duckdb_clean_anchor(expr: str) -> str:
+    """DuckDB twin of :func:`clean_anchor_text`."""
+    inner = duckdb_html_to_text(expr)
+    return f"trim(regexp_replace({inner}, '\\s+', ' ', 'g'))"
+
+
 def duckdb_html_to_text(expr: str) -> str:
     """The identical pipeline as a DuckDB SQL expression over ``expr``.
     DuckDB's ``regexp_replace`` is first-match-only by default — every

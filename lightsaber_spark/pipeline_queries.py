@@ -2439,6 +2439,414 @@ def q_html_text_extraction(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# HTML hyperlink extraction → crawl graph (r14 verdict #3): the OTHER
+# half of crawl ingest — the r14 text stage feeds the quality/dedup
+# ladder, the link stage feeds frontier construction and domain-graph
+# signals. Shared deterministic page-with-links synthesis keyed off
+# doc_id (the url_canonical_dedup precedent), exercised link shapes:
+# always-present varied-host link (optional www./tracking params),
+# relative href (extracted; dropped by the absolute-only gate
+# downstream), single-quoted href (NOT extracted — double-quote-only
+# scope, identically on both engines), uppercase <A HREF="HTTP://...">
+# (case-variant tag + scheme + :80 port), no-href <a name=...> anchor
+# (not a link).
+# --------------------------------------------------------------------------
+
+def _link_page_spark() -> F.Column:
+    did = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    scheme_a = (
+        F.when(did % 5 == 0, F.lit("HTTPS"))
+        .when(did % 2 == 0, F.lit("https"))
+        .otherwise(F.lit("http"))
+    )
+    www_a = F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit(""))
+    host_a = (
+        F.when(did % 6 == 0, F.lit("example.com"))
+        .when(did % 6 == 1, F.lit("foo.co.uk"))
+        .when(did % 6 == 2, F.lit("blog.example.com"))
+        .when(did % 6 == 3, F.lit("shop.foo.ck"))
+        .when(did % 6 == 4, F.lit("district.k12.ca.us"))
+        .otherwise(F.concat(F.col("source"), F.lit(".net")))
+    )
+    q_a = (
+        F.when(did % 4 == 0, F.concat(F.lit("?utm_source=x&id="), s(did % 5)))
+        .when(did % 4 == 2, F.concat(F.lit("?id="), s(did % 5),
+                                     F.lit("&utm_campaign=c")))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("<html><body><h1>"), F.col("source"), F.lit("</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")), F.lit("</p>"),
+        F.lit('<a href="'), scheme_a, F.lit("://"), www_a, host_a,
+        F.lit("/l/"), s(did % 40), q_a,
+        F.lit('">Read <b>more</b> &amp; t'), s(did % 7), F.lit("</a>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit('<a href="/local/'), s(did % 9),
+                     F.lit('">local '), s(did % 9), F.lit("</a>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.lit("<a href='https://skip.example.org/x'>skipped</a>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit('<A HREF="HTTP://News.Example.com:80/u/'),
+                s(did % 6), F.lit('?utm_source=f&id='), s(did % 3),
+                F.lit('">UP '), s(did % 3), F.lit("</A>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit('<a name="top">top</a>')).otherwise(
+            F.lit("")
+        ),
+        F.lit("</body></html>"),
+    )
+
+
+_LINK_PAGE_SQL = """
+        '<html><body><h1>' || source || '</h1><p>' || COALESCE(text, '')
+        || '</p><a href="'
+        || CASE WHEN doc_id % 5 = 0 THEN 'HTTPS'
+                WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+        || '://'
+        || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+        || CASE WHEN doc_id % 6 = 0 THEN 'example.com'
+                WHEN doc_id % 6 = 1 THEN 'foo.co.uk'
+                WHEN doc_id % 6 = 2 THEN 'blog.example.com'
+                WHEN doc_id % 6 = 3 THEN 'shop.foo.ck'
+                WHEN doc_id % 6 = 4 THEN 'district.k12.ca.us'
+                ELSE source || '.net' END
+        || '/l/' || CAST(doc_id % 40 AS VARCHAR)
+        || CASE WHEN doc_id % 4 = 0
+                THEN '?utm_source=x&id=' || CAST(doc_id % 5 AS VARCHAR)
+                WHEN doc_id % 4 = 2
+                THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_campaign=c'
+                ELSE '' END
+        || '">Read <b>more</b> &amp; t' || CAST(doc_id % 7 AS VARCHAR) || '</a>'
+        || CASE WHEN doc_id % 2 = 0
+                THEN '<a href="/local/' || CAST(doc_id % 9 AS VARCHAR)
+                     || '">local ' || CAST(doc_id % 9 AS VARCHAR) || '</a>'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN '<a href=''https://skip.example.org/x''>skipped</a>'
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN '<A HREF="HTTP://News.Example.com:80/u/'
+                     || CAST(doc_id % 6 AS VARCHAR)
+                     || '?utm_source=f&id=' || CAST(doc_id % 3 AS VARCHAR)
+                     || '">UP ' || CAST(doc_id % 3 AS VARCHAR) || '</A>'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN '<a name="top">top</a>' ELSE '' END
+        || '</body></html>'
+"""
+
+#: absolute-URL gate for frontier/graph edges — any scheme://; applied
+#: to the RAW href on both engines (relative links need the base URL
+#: to resolve, out of scope for the graph rollup)
+_ABS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def _link_extraction_oracle() -> str:
+    from lightsaber_spark.functions.html import (
+        duckdb_clean_anchor,
+        duckdb_extract_links,
+    )
+
+    hrefs, anchors = duckdb_extract_links("html")
+    return f"""
+    WITH raw AS (SELECT doc_id, {_LINK_PAGE_SQL} AS html FROM documents),
+    l AS (SELECT doc_id, {hrefs} AS hr, {anchors} AS an FROM raw),
+    e AS (SELECT doc_id, unnest(hr) AS href, unnest(an) AS an,
+                 unnest(range(len(hr))) AS pos
+          FROM l)
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, href,
+           {duckdb_clean_anchor("an")} AS anchor
+    FROM e
+    """
+
+
+@query("html_link_extraction", _link_extraction_oracle())
+def q_html_link_extraction(spark, sf_dir):
+    """Hyperlink extraction from raw HTML — the frontier half of crawl
+    ingest (the r14 ``html_text_extraction`` stage is the text half).
+    One regex pattern with two capture groups extracts positionally
+    aligned href/anchor arrays (``functions/html.py extract_hrefs`` /
+    ``extract_anchors``), zipped and exploded to one row per link;
+    anchor bodies (which carry inline tags and entities) are cleaned
+    AFTER the explode so the cleanup chain stays a codegen'd column
+    pipeline. Single-quoted hrefs and href-less ``<a name=...>``
+    anchors are skipped identically on both engines (documented
+    double-quote scope). Map-only + explode — scan-shaped, no
+    shuffle at any scale."""
+    from lightsaber_spark.functions.html import (
+        clean_anchor_text,
+        extract_anchors,
+        extract_hrefs,
+    )
+
+    d = _docs(spark, sf_dir)
+    page = _link_page_spark()
+    links = d.select(
+        "doc_id",
+        extract_hrefs(page).alias("hr"),
+        extract_anchors(page).alias("an"),
+    )
+    return links.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("hr", "an")).alias("pos", "z"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("z.hr").alias("href"),
+        clean_anchor_text(F.col("z.an")).alias("anchor"),
+    )
+
+
+def _crawl_graph_oracle() -> str:
+    from lightsaber_spark.functions.html import duckdb_extract_links
+
+    hrefs, _ = duckdb_extract_links("html")
+    return f"""
+    WITH raw0 AS (SELECT doc_id, {_LINK_PAGE_SQL} AS html FROM documents),
+    l AS (SELECT doc_id, unnest({hrefs}) AS href FROM raw0),
+    raw AS (SELECT doc_id, href AS url FROM l
+            WHERE regexp_matches(href, '{_ABS_URL_RE}')),
+    {duckdb_url_canon_ctes("raw")}
+    SELECT d.source || '.com' AS src_domain, c.domain AS dst_domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs
+    FROM c JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@query("crawl_graph_domains", _crawl_graph_oracle())
+def q_crawl_graph_domains(spark, sf_dir):
+    """Crawl-graph rollup: registrable-domain edges from each page's
+    outbound links — the domain-graph signal CCNet-class pipelines use
+    for source quality (link farms, SEO clusters) and crawl scheduling.
+    Composes three green families end-to-end: HTML link extraction →
+    absolute-URL gate on the RAW href (relative links need base-URL
+    resolution, out of scope) → the full URL canonicalization /
+    PSL-registrable-domain ladder — then one hash aggregation to
+    ``(src_domain, dst_domain)`` edges with link and distinct-doc
+    counts. The source side keys off the document's own source feed
+    (``source || '.com'``). Map-only + explode + one shuffle on the
+    edge key — the 100 TB shape. The domain ladder runs through
+    ``canonicalized_docs`` (the staged core shared with
+    ``url_canonical_dedup``): calling ``registrable_domain`` raw in a
+    multi-consumer select re-pays the big-literal PSL InSet
+    ColumnNode→JVM conversion per select (CLAUDE.md gotcha — measured
+    60 s vs 4 s here) and loses the projected host boundary."""
+    from lightsaber_spark.functions.html import extract_hrefs
+    from lightsaber_spark.functions.urls import canonicalized_docs
+
+    d = _docs(spark, sf_dir)
+    page = _link_page_spark()
+    links = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".com")).alias("src_domain"),
+        F.explode(extract_hrefs(page)).alias("href"),
+    ).filter(F.col("href").rlike(_ABS_URL_RE))
+    c = canonicalized_docs(
+        links, url_col="href", id_col="doc_id", carry_cols=("src_domain",)
+    )
+    return c.groupBy(
+        "src_domain", F.col("domain").alias("dst_domain")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.countDistinct("_id").cast("bigint").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Learned quality classifier (r14 verdict #2) — the fastText-class
+# rung: train a tiny integer linear model on a labeled subset
+# (teacher = a held-out linear quality gate), score the whole corpus
+# with the frozen weights. Trainer in functions/classifier.py
+# (quantized-centroid init + damped batch perceptron, fixed rounds);
+# the ENTIRE fit unrolls into the DuckDB oracle below — the
+# k-means-unrolled-oracle pattern — so the driver strong-checks the
+# training, not just the scoring.
+# --------------------------------------------------------------------------
+
+_QL_K = 8          # hash buckets (features f0..f7)
+_QL_ROUNDS = 4     # fixed refinement rounds (static dataflow)
+_QL_SHIFT = 2      # damping exponent (measured stable; 0 oscillates)
+
+#: teacher rule — an integer linear gate over (capped token count,
+#: type-token ratio, alpha share), thresholds centered on the corpus
+#: distributions (~49% positive at sf0.01)
+_QL_TEACHER = "2*f{k} + f{k1} + 3*(f{k2} - 800) >= 640"
+
+
+def _learned_quality_oracle(
+    k: int = _QL_K, rounds: int = _QL_ROUNDS, shift: int = _QL_SHIFT
+) -> str:
+    d = k + 3
+
+    def bucket(j: int) -> str:
+        return (
+            f"CAST((len(list_filter(toks, x -> "
+            f"('0x'||substr(md5(x),1,15))::BIGINT % {k} = {j})) * 1000)"
+            f" // greatest(len(toks),1) AS BIGINT)"
+        )
+
+    feat0 = ", ".join(
+        [f"{bucket(j)} AS f{j}" for j in range(k)]
+        + [
+            f"CAST(least(len(toks), 1000) AS BIGINT) AS f{k}",
+            f"CAST((len(list_distinct(toks)) * 1000)"
+            f" // greatest(len(toks),1) AS BIGINT) AS f{k + 1}",
+            f"CAST((length(regexp_replace(tx, '[^A-Za-z]', '', 'g')) * 1000)"
+            f" // greatest(length(tx),1) AS BIGINT) AS f{k + 2}",
+        ]
+    )
+    teacher = _QL_TEACHER.format(k=k, k1=k + 1, k2=k + 2)
+    sums = ", ".join(
+        [
+            f"CAST(sum(CASE WHEN y = 1 THEN f{j} ELSE 0 END) AS BIGINT)"
+            f" AS s1_{j}"
+            for j in range(d)
+        ]
+        + [
+            f"CAST(sum(CASE WHEN y = 0 THEN f{j} ELSE 0 END) AS BIGINT)"
+            f" AS s0_{j}"
+            for j in range(d)
+        ]
+        + [
+            "CAST(greatest(sum(y), 1) AS BIGINT) AS n1",
+            "CAST(greatest(sum(1 - y), 1) AS BIGINT) AS n0",
+            "CAST(count(*) AS BIGINT) AS n",
+        ]
+    )
+    # HALF_UP integer means (features are non-negative, so no sign
+    # dance needed); // truncates identically on both engines
+    means = ", ".join(
+        f"CAST((2*s1_{j} + n1) // (2*n1) AS BIGINT) AS m1_{j}, "
+        f"CAST((2*s0_{j} + n0) // (2*n0) AS BIGINT) AS m0_{j}"
+        for j in range(d)
+    )
+    sq1 = " + ".join(f"m1_{j}*m1_{j}" for j in range(d))
+    sq0 = " + ".join(f"m0_{j}*m0_{j}" for j in range(d))
+    w0 = (
+        "SELECT "
+        + ", ".join(
+            f"CAST(2*(m1_{j} - m0_{j}) AS BIGINT) AS w{j}" for j in range(d)
+        )
+        + f", CAST(({sq0}) - ({sq1}) AS BIGINT) AS b, n FROM m"
+    )
+
+    def margin(alias: str) -> str:
+        return (
+            " + ".join(f"{alias}.w{j}*f{j}" for j in range(d))
+            + f" + {alias}.b"
+        )
+
+    round_ctes = []
+    for t in range(rounds):
+        prev = f"w{t}" if t else "w0"
+        denom = f"(g.n * {2 ** (t + shift)})"
+        grads = ", ".join(
+            [
+                f"CAST(sum(f{j} * e) AS BIGINT) AS g{j}"
+                for j in range(d)
+            ]
+            + ["CAST(sum(e) AS BIGINT) AS gb", "any_value(n) AS n"]
+        )
+        # e = y - pred against the previous round's weights; DuckDB //
+        # truncates toward zero (negative gradients included) — the
+        # exact twin of classifier._tdiv
+        round_ctes.append(
+            f"""e{t} AS (SELECT tr.*, w.n,
+           (y - CASE WHEN {margin('w')} > 0 THEN 1 ELSE 0 END) AS e
+           FROM tr, {prev} w),
+    g{t} AS (SELECT {grads} FROM e{t}),
+    w{t + 1} AS (SELECT
+           {", ".join(f"CAST(w.w{j} + (2*g.g{j}) // {denom} AS BIGINT) AS w{j}" for j in range(d))},
+           CAST(w.b + (2*g.gb) // {denom} AS BIGINT) AS b, g.n AS n
+           FROM {prev} w, g{t} g)"""
+        )
+    rounds_sql = ",\n    ".join(round_ctes)
+    return f"""
+    WITH t AS (SELECT doc_id, COALESCE(text, '') AS tx, {TOKS} AS toks
+               FROM documents),
+    feat0 AS (SELECT doc_id, {feat0} FROM t),
+    feat AS (SELECT *, CASE WHEN {teacher} THEN 1 ELSE 0 END AS y
+             FROM feat0),
+    tr AS (SELECT * FROM feat WHERE doc_id % 4 < 3),
+    c0 AS (SELECT {sums} FROM tr),
+    m AS (SELECT {means}, n FROM c0),
+    w0 AS ({w0}),
+    {rounds_sql}
+    SELECT doc_id, CAST(y AS BIGINT) AS label,
+           CAST(CASE WHEN {margin('w')} > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS pred,
+           CAST({margin('w')} AS BIGINT) AS margin
+    FROM feat, w{rounds} w
+    """
+
+
+@query("quality_learned_classifier", _learned_quality_oracle())
+def q_quality_learned_classifier(spark, sf_dir):
+    """Learned quality scorer — the missing rung between the
+    rule-based gates (``documents_quality_gate``,
+    ``quality_linear_score_topk``) and a production CCNet/fastText
+    classifier: train a tiny integer linear model on a labeled subset
+    (here the teacher is a held-out linear quality gate over token
+    count / type-token ratio / alpha share — the classifier sees those
+    plus 8 hashed token-bucket shares and must RECOVER the gate), then
+    score every document with the frozen weights as one lazy map.
+
+    Trainer: ``functions/classifier.py centroid_perceptron_fit`` —
+    quantized-centroid init + ``_QL_ROUNDS`` damped batch-perceptron
+    rounds, every step exact integer arithmetic, each round one
+    bounded collect of d+2 integers (the ``kmeans_fit_scaled`` class;
+    ``tests/test_lazy_build.py`` whitelist). The DuckDB oracle unrolls
+    the ENTIRE fit (centroid means, every refinement round) so the
+    driver strong-checks training and scoring end-to-end. Scoring at
+    100 TB is a map with 12 integer multiply-adds per row; training
+    cost is ``rounds + 1`` aggregations over the train subset, each
+    collapsing to one row."""
+    from lightsaber_spark.functions.classifier import (
+        centroid_perceptron_fit,
+        margin_expr,
+        quality_feature_frame,
+    )
+
+    k = _QL_K
+    fcols = [f"f{j}" for j in range(k + 3)]
+    feats = quality_feature_frame(_docs(spark, sf_dir), k=k)
+    labeled = feats.withColumn(
+        "y",
+        F.when(
+            2 * F.col(f"f{k}") + F.col(f"f{k + 1}")
+            + 3 * (F.col(f"f{k + 2}") - 800)
+            >= 640,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+    train = labeled.filter(F.col("doc_id") % 4 < 3)
+    w = centroid_perceptron_fit(
+        train, fcols, "y", rounds=_QL_ROUNDS, shift=_QL_SHIFT
+    )
+    m = margin_expr(w, fcols)
+    return labeled.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        F.when(m > 0, 1).otherwise(0).cast("bigint").alias("pred"),
+        m.cast("bigint").alias("margin"),
+    )
+
+
 _LEV_PERMILLE = 400
 # hot-bucket valve: > largest genuine family at every shipped scale
 # (max observed bucket: 5 at sf0.01, 16 at sf0.1, ~160 in the 10×

@@ -260,7 +260,99 @@ def plan_flags(plan: str) -> list[str]:
     # (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas are fine).
     if "BatchEvalPython" in plan:
         flags.append("ROW_PYTHON")
+
+    gw = _unbounded_global_windows(plan, by_id)
+    if gw:
+        flags.append(f"GLOBAL_WINDOW×{gw}")
     return flags
+
+
+# ops whose output is bounded independent of input row count (a global
+# aggregate/limit) or bounded by a key domain (grouped aggregate /
+# distinct — both compile to the agg ops). A WindowExec with an empty
+# partition spec runs its whole input through ONE task; that is only
+# scale-safe when some such boundary sits between it and the raw data.
+_BOUNDING_OPS = _AGG_OPS | {
+    "GlobalLimit",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    "FlatMapGroupsInPandas",  # stateful/grouped python op: per-group fold
+}
+
+
+def _window_partition_spec(block: str) -> str | None:
+    """The partition-spec of a Window detail block. An EMPTY partition
+    spec is rendered as a MISSING bracket group, not an empty one
+    (measured on the catalog: global windows print
+    ``Arguments: [funcs], [order]`` or just ``[funcs]``; partitioned
+    ones print ``[funcs], [partition], [order]``) — so:
+
+    - 3+ groups → second group is the partition spec;
+    - 2 groups → the second is an ORDER spec (contains ASC/DESC) ⇒
+      partition empty, else it is a partition-only spec;
+    - 1 group → partition empty.
+
+    Returns '' for an empty spec, the spec text otherwise, None when
+    the block has no Arguments line (not a Window block)."""
+    m = re.search(r"\nArguments: (.*)", block)
+    if not m:
+        return None
+    s = m.group(1)
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    if not groups:
+        return None
+    if len(groups) >= 3:
+        return groups[1].strip()
+    if len(groups) == 1:
+        return ""
+    second = groups[1].strip()
+    if " ASC" in second or " DESC" in second:
+        return ""  # it's the order spec — no partition group printed
+    return second
+
+
+def _unbounded_global_windows(plan: str, by_id: dict[str, str]) -> int:
+    """Count Window nodes with an EMPTY partition spec whose input
+    subtree contains no bounding operator (r14 verdict #5 — the
+    mechanized form of the 'No Partition Defined' boundedness
+    argument). Every legitimate catalog shape (row-window bucket
+    offsets, exact median, ntile/rank over distinct values, chunk
+    boundary tables, top-k) computes its global window over an
+    aggregate/limit/grouped-python intermediate, so a qualifying
+    Window has a bounding descendant; a global window directly over
+    raw rows serializes the full input through one task — the 100 TB
+    hazard. A ReusedExchange descendant counts as bounded only if its
+    referenced subtree would (not resolvable textually) — none of the
+    catalog's global windows sit over one, so it conservatively does
+    NOT count."""
+    nodes = _tree_nodes(plan)
+    bad = 0
+    for i, (depth, name, nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        spec = _window_partition_spec(by_id.get(nid, ""))
+        if spec is None or spec != "":
+            continue
+        bounded = False
+        for j in range(i + 1, len(nodes)):
+            d, n, _cid = nodes[j]
+            if d <= depth:
+                break
+            if n in _BOUNDING_OPS:
+                bounded = True
+                break
+        if not bounded:
+            bad += 1
+    return bad
 
 
 # --- NO_CODEGEN (interpreted-eval) detection ------------------------------

@@ -276,6 +276,39 @@ def streaming_url_canonical_dedup(
     )
 
 
+def streaming_html_link_frontier(
+    stream: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Crawl-frontier construction from a stream of raw HTML pages
+    (r14 verdict #3): extract every double-quoted ``<a href>`` per
+    page (``functions/html.py extract_hrefs`` — the same pattern as
+    the batch ``html_link_extraction`` query), gate to absolute URLs
+    (relative hrefs need base-URL resolution), then reuse
+    :func:`streaming_url_canonical_dedup` so each CANONICAL url is
+    emitted exactly once across micro-batches — the set of new pages
+    to fetch. Extraction + explode are stateless per micro-batch; the
+    only state is the canonical-URL dedup set (bounded to the
+    watermark horizon when ``ts_col`` is given, the 100 TB-ingest
+    mode). Emits ``(id_col, canonical_url, domain)`` — id = the page
+    that FIRST linked to the url."""
+    from lightsaber_spark.functions.html import extract_hrefs
+
+    carry = [ts_col] if ts_col else []
+    links = stream.select(
+        F.col(id_col),
+        *carry,
+        F.explode(extract_hrefs(F.col(html_col))).alias("_href"),
+    ).filter(F.col("_href").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"))
+    return streaming_url_canonical_dedup(
+        links, url_col="_href", id_col=id_col,
+        ts_col=ts_col, watermark=watermark,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -140,6 +140,85 @@ def test_streaming_html_extract_dedup_matches_batch(spark, tmp_path):
     assert got == want and len(got) == 18
 
 
+def test_streaming_link_frontier_matches_batch(spark, tmp_path):
+    """Frontier rung (r14 verdict #3): pages stream in, every
+    double-quoted absolute <a href> is extracted and canonicalized,
+    and each CANONICAL url is emitted exactly once across
+    micro-batches — re-crawled spellings (www./tracking-param/scheme
+    noise) and relative/single-quoted hrefs never re-enqueue. Emitted
+    canonical-URL set must equal the batch extract→canonical-distinct
+    over the same corpus."""
+    import time as _t
+
+    from lightsaber_spark.functions.html import extract_hrefs
+    from lightsaber_spark.functions.urls import canonicalized_docs
+    from lightsaber_spark.streaming import read_stream
+    from lightsaber_spark.streaming.stream import streaming_html_link_frontier
+
+    src = str(tmp_path / "pages")
+
+    def page(links):
+        body = "".join(
+            f'<a href="{u}">l</a>' if u else "<a name=\"x\">n</a>"
+            for u in links
+        )
+        return f"<html><body>{body}</body></html>"
+
+    batches = [
+        [
+            (0, page(["http://example.com/a?utm_source=f",
+                      "https://foo.co.uk/b", "/relative/1"])),
+            (1, page(["https://www.example.com/a", None])),
+        ],
+        [
+            # re-spellings of batch-0 urls + one genuinely new
+            (2, page(["HTTPS://EXAMPLE.com/a#frag",
+                      "http://foo.co.uk/b/", "https://new.example.org/c"])),
+        ],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, html string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+
+    stream = read_stream(
+        spark, src, "doc_id long, html string", max_files_per_trigger=1
+    )
+    q = (
+        streaming_html_link_frontier(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "frontier"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(str(tmp_path / "frontier")).collect()
+    got = {(r.canonical_url, r.domain) for r in emitted}
+    assert len(emitted) == len(got)  # exactly once per canonical url
+
+    links = (
+        spark.read.parquet(src)
+        .select(
+            "doc_id", F.explode(extract_hrefs(F.col("html"))).alias("u")
+        )
+        .filter(F.col("u").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"))
+    )
+    want = {
+        (r.canonical_url, r.domain)
+        for r in canonicalized_docs(links, url_col="u")
+        .select("canonical_url", "domain")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # canonical identities really collapsed the spellings: 3 urls, and
+    # the relative / single-less / no-href anchors never enqueued
+    assert len(got) == 3, sorted(got)
+
+
 def test_html_extraction_plan_is_pure_codegen(spark):
     """Same contract as canonical_url: zero Python in the plan, and the
     whole chain inside whole-stage codegen (NO_CODEGEN audit clean)."""

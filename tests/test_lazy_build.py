@@ -33,6 +33,8 @@ _EAGER_BUILD_WHITELIST = {
     "bpe_tokenize_docs",                 # merge-table learning (bounded)
     "pagerank_customer_supplier",        # setup-only localCheckpoint
     "pipeline_quality_dedup_split_pack", # composes duplicate_groups
+    "quality_learned_classifier",        # perceptron fit: rounds+1
+                                         # one-row collects (r15)
 }
 
 

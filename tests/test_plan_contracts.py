@@ -374,3 +374,36 @@ def test_audit_scalar_broadcast_nested_loop_is_benign(spark):
     )
     p2 = _formatted(spark, big.crossJoin(F.broadcast(keyed)))
     assert "NESTED_LOOP" in plan_flags(p2), p2
+
+
+def test_audit_flags_unbounded_global_window(spark):
+    """GLOBAL_WINDOW (r15): a Window with an EMPTY partition spec over
+    RAW rows serializes the whole input through one task — flagged.
+    The same window over an aggregate intermediate (the catalog's 11
+    documented shapes: bucket offsets, exact median, distinct-value
+    ranks, chunk boundary tables) is bounded and must NOT flag."""
+    from pyspark.sql import Window
+
+    from lightsaber_spark.plan_audit import plan_flags
+
+    w = Window.orderBy("id")
+    raw = spark.range(1000).withColumn("rk", F.row_number().over(w))
+    p = _formatted(spark, raw)
+    assert any(f.startswith("GLOBAL_WINDOW") for f in plan_flags(p)), p
+
+    # bounded: the global window reads a grouped-aggregate intermediate
+    agg = (
+        spark.range(1000)
+        .groupBy((F.col("id") % 7).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wk = Window.orderBy("k")
+    over_agg = agg.withColumn("cum", F.sum("n").over(wk))
+    p2 = _formatted(spark, over_agg)
+    assert not any(f.startswith("GLOBAL_WINDOW") for f in plan_flags(p2)), p2
+
+    # a PARTITIONED window over raw rows is fine (distributes by key)
+    wp = Window.partitionBy(F.col("id") % 7).orderBy("id")
+    part = spark.range(1000).withColumn("rk", F.row_number().over(wp))
+    p3 = _formatted(spark, part)
+    assert not any(f.startswith("GLOBAL_WINDOW") for f in plan_flags(p3)), p3

@@ -1830,6 +1830,108 @@ def test_streaming_gapfill_matches_batch_and_restarts(spark, tmp_path):
     assert len(all_null) == 1 and all_null[0][1] == 2
 
 
+def test_streaming_gapfill_keyed_matches_batch_and_restarts(spark, tmp_path):
+    """Keyed gapfill (r14 verdict #4): one spine PER KEY, starting at
+    each key's first event's window — the form that distributes at
+    100 TB (the global form funnels through one python partition).
+    Two keys with different first-event hours and different silent
+    gaps, a NULL-key row dropped input-side, a checkpoint restart in
+    the middle; per-key output must equal per-key batch
+    spine+gap_filled, emitted exactly once."""
+    import datetime as dt
+
+    from lightsaber_spark.operators.window_agg import (
+        gap_filled,
+        window_spine,
+        windowed_agg,
+    )
+    from lightsaber_spark.streaming.gapfill import streaming_gapfill_tumbling
+
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "filled")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    size = 3600
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "uid string, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    def ev(uid, h, m, v):
+        return (uid, t0 + dt.timedelta(hours=h, minutes=m), v)
+
+    def run_once():
+        stream = read_stream(
+            spark, src, "uid string, ts timestamp, value double",
+            max_files_per_trigger=1,
+        ).withColumn("value_c", F.round(F.col("value") * 100).cast("bigint"))
+        q = (
+            streaming_gapfill_tumbling(
+                stream, "ts", size, "value_c", keys=["uid"]
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # key a starts hour 1 (gap hours 3-4), key b starts hour 2
+    # (gap hours 3-6); NULL-key row must be dropped, not crash the
+    # Arrow state fn (NaN-key gotcha)
+    write([ev("a", 1, 7, 1.25), ev("b", 2, 30, 2.5), (None, t0, 9.0)])
+    write([ev("a", 2, 10, 0.75), ev("a", 5, 0, 4.0)])
+    run_once()
+    write([ev("b", 7, 45, 1.0), ev("a", 8, 1, 2.0), ev("b", 8, 59, 3.0)])
+    run_once()
+
+    got = sorted(
+        (r.uid, r.window_start, r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert len(got) == len({(g[0], g[1]) for g in got})  # exactly once
+
+    ev_all = (
+        spark.read.parquet(src)
+        .filter(F.col("uid").isNotNull())
+        .withColumn("value_c", F.round(F.col("value") * 100).cast("bigint"))
+    )
+    max_us = ev_all.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    want = []
+    for uid in ("a", "b"):
+        one = ev_all.filter(F.col("uid") == uid)
+        agg = windowed_agg(
+            one, "ts", size, size,
+            [("count", None, "n"), ("sum", "value_c", "sum_c")],
+        ).select(
+            "window_start", "n", (F.col("sum_c") / 100.0).alias("sum_value")
+        )
+        spine = window_spine(one, "ts", size, size)
+        full = gap_filled(
+            agg, spine,
+            [("count", None, "n"), ("sum", "value_c", "sum_value")],
+        )
+        want += [
+            (uid, r.window_start, r.n, r.sum_value)
+            for r in full.filter(
+                (F.col("window_start") + size) * 1_000_000 <= max_us
+            ).collect()
+        ]
+    assert got == sorted(want), (got[:8], sorted(want)[:8])
+    # each key's spine starts at ITS first event and covers its gaps
+    # (window_start is absolute epoch seconds; t0 = 2024-01-01 UTC)
+    base = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    a_rows = [g for g in got if g[0] == "a"]
+    b_rows = [g for g in got if g[0] == "b"]
+    assert a_rows[0][1] == base + 3600 and b_rows[0][1] == base + 7200
+    assert sum(1 for g in a_rows if g[2] == 0) >= 2
+    assert sum(1 for g in b_rows if g[2] == 0) >= 4
+
+
 def _semantic_stream_fixture():
     """Synthetic embedding stream with planted near-dups: random base
     vectors plus exact copies scattered across the id range, so drops
