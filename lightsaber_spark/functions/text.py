@@ -823,3 +823,54 @@ def collapse_repeats_udf(pattern: str = WORD_RE):
         return pd.DataFrame(rows, columns=["cleaned", "n_before", "n_after"])
 
     return _cr
+
+
+# --------------------------------------------------------------------------
+# Frozen-table BPE encoding (r14 verdict #7) — pure-expression greedy
+# BPE apply, cross-engine exact. The greedy loop (bpe_encode_word:
+# repeatedly merge the lowest-rank adjacent pair) is equivalent to
+# applying the learned merges in RANK ORDER, one full left-to-right
+# pass each — a learned table can only reference a merged symbol in
+# HIGHER-rank rules than the rules that created it, so when rule k
+# runs, no lower-rank rule is applicable and rule k can never
+# re-enable one. Each pass is ONE string replace over a
+# double-separator encoding: symbols carry "||" boundaries
+# ("||a||b||c||</w>||") and the pattern "|A||B|" → "|AB|" consumes
+# only the INNER bars, so boundaries survive for the next overlapping
+# occurrence and left-to-right non-overlapping replace semantics
+# equal the greedy scan exactly (verified against bpe_encode_word on
+# adversarial same-char runs and merged-symbol chains — the naive
+# single-separator encoding mis-associates odd runs ≥ 5).
+# --------------------------------------------------------------------------
+
+def bpe_encode_frozen_expr(word_col: Column) -> Column:
+    """Encoded form of one word under the FROZEN merge table
+    (``functions/bpe_frozen.py``): the double-separator subword string
+    ``||s1||s2||...||``. Pure Catalyst — one regexp char-split plus
+    one ``replace`` per merge, zero Python."""
+    from lightsaber_spark.functions.bpe_frozen import FROZEN_MERGES
+
+    enc = F.concat(
+        F.lit("||"),
+        F.regexp_replace(word_col, "(.)", "$1||"),
+        F.lit("</w>||"),
+    )
+    for a, b in FROZEN_MERGES:
+        enc = F.replace(
+            enc, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+        )
+    return enc
+
+
+def duckdb_bpe_encode_frozen(expr: str) -> str:
+    """DuckDB twin of :func:`bpe_encode_frozen_expr` (RE2 backref
+    spelling ``\\1``; merge symbols are ``[a-z0-9]``+``</w>`` so no
+    quoting hazards)."""
+    from lightsaber_spark.functions.bpe_frozen import FROZEN_MERGES
+
+    enc = (
+        f"'||' || regexp_replace({expr}, '(.)', '\\1||', 'g') || '</w>||'"
+    )
+    for a, b in FROZEN_MERGES:
+        enc = f"replace({enc}, '|{a}||{b}|', '|{a}{b}|')"
+    return enc

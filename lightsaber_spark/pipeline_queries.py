@@ -2666,6 +2666,81 @@ def q_crawl_graph_domains(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Frozen-table BPE encode (r14 verdict #7) — strong-checks the BPE
+# APPLY step that bpe_tokenize_docs leaves rows-only (its table is
+# learned per-corpus; this one ships a frozen table like production
+# tokenizers), shrinking what the rows-only pair leaves unchecked to
+# the learner itself.
+# --------------------------------------------------------------------------
+
+
+def _bpe_frozen_oracle() -> str:
+    from lightsaber_spark.functions.text import duckdb_bpe_encode_frozen
+
+    enc = duckdb_bpe_encode_frozen("w")
+    h = H60.format(x="w || ':' || e")
+    return f"""
+    WITH occ AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents),
+    vocab AS (SELECT DISTINCT w FROM occ),
+    enc AS (SELECT w, {enc} AS e FROM vocab),
+    env AS (SELECT w,
+            CAST(len(string_split(e, '||')) - 2 AS BIGINT) AS n_sub,
+            ({h}) % 1000000000 AS h
+            FROM enc)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+           CAST(sum(h) AS BIGINT) AS enc_h
+    FROM occ JOIN env USING (w)
+    GROUP BY 1
+    """
+
+
+@query("bpe_encode_frozen", _bpe_frozen_oracle())
+def q_bpe_encode_frozen(spark, sf_dir):
+    """BPE encoding under a FROZEN merge table
+    (``functions/bpe_frozen.py``, learned once from the sf0.001 corpus
+    by the deterministic ``learn_bpe_merges`` and checked in — the
+    production-tokenizer shape: train once, freeze, apply everywhere).
+    Encoding runs per WORD TYPE (distinct words), not per occurrence —
+    the 100 TB form: the Zipf-bounded vocab takes the 50-stage
+    replace chain (``bpe_encode_frozen_expr``, pure Catalyst, zero
+    Python), then one equi-join fans results back to occurrences and
+    one aggregation rolls up per doc (word count, subword count,
+    order-independent bounded hash of the encodings). The greedy-loop
+    equivalence argument and the double-separator trick live in
+    ``functions/text.py``; freezing provenance is pinned by calling
+    ``frozen_bpe_sha`` below so regeneration moves this query's
+    staleness hash (generated data constants are not chased)."""
+    from lightsaber_spark.functions.bpe_frozen import frozen_bpe_sha
+    from lightsaber_spark.functions.dedup import shingle_hash
+    from lightsaber_spark.functions.text import bpe_encode_frozen_expr, tokens
+
+    _ = frozen_bpe_sha()  # staleness anchor for the generated table
+    d = _docs(spark, sf_dir)
+    occ = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = occ.select("w").distinct()
+    env = vocab.select(
+        "w", bpe_encode_frozen_expr(F.col("w")).alias("e")
+    ).select(
+        "w",
+        (F.size(F.split("e", r"\|\|")) - 2).cast("bigint").alias("n_sub"),
+        (
+            shingle_hash(F.concat(F.col("w"), F.lit(":"), F.col("e")))
+            % 1000000000
+        ).alias("h"),
+    )
+    return (
+        occ.join(env, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.sum("h").cast("bigint").alias("enc_h"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Learned quality classifier (r14 verdict #2) — the fastText-class
 # rung: train a tiny integer linear model on a labeled subset
 # (teacher = a held-out linear quality gate), score the whole corpus

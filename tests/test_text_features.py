@@ -593,3 +593,38 @@ def test_term_tf_table_null_text_cross_engine(spark):
         """).fetchall())
     )
     assert got == want
+
+
+def test_bpe_frozen_encode_equals_greedy_loop(spark, tables):
+    """The pure-expression frozen-table encode (50 chained replaces
+    over the double-separator encoding, rank order) must equal the
+    reference greedy loop (bpe_encode_word: repeatedly merge the
+    lowest-rank adjacent pair) for EVERY word type in the corpus —
+    the equivalence argument behind the bpe_encode_frozen oracle.
+    Also pinned on the adversarial shapes where the single-separator
+    encoding breaks (odd same-char runs, merged-symbol chains)."""
+    from lightsaber_spark.functions.bpe_frozen import FROZEN_MERGES
+    from lightsaber_spark.functions.text import (
+        bpe_encode_frozen_expr,
+        bpe_encode_word,
+        tokens,
+    )
+
+    ranks = {tuple(m): i for i, m in enumerate(FROZEN_MERGES)}
+    docs = tables["documents"]
+    vocab = docs.select(
+        F.explode(tokens(F.col("text"))).alias("w")
+    ).distinct()
+    extra = spark.createDataFrame(
+        [("aaaaa",), ("eeeee",), ("ererer",), ("eee",), ("owowow",)],
+        "w string",
+    )
+    got = {
+        r["w"]: [s for s in r["e"].split("||") if s]
+        for r in vocab.unionByName(extra)
+        .select("w", bpe_encode_frozen_expr(F.col("w")).alias("e"))
+        .collect()
+    }
+    assert len(got) > 30  # fixture vocab + adversarial extras
+    for w, enc in got.items():
+        assert enc == bpe_encode_word(w, ranks), w
