@@ -71,9 +71,22 @@ def centroid_perceptron_fit(
     Eager by necessity (the scale-bounded collect class): 1 + rounds
     aggregations, each collected as ONE row of integers. The returned
     list is frozen into the scoring plan as literals, so corpus-wide
-    scoring stays a single lazy map."""
+    scoring stays a single lazy map.
+
+    The train frame is persisted (memory-and-disk) for the fit's
+    lifetime: each round re-aggregates the SAME featurized rows, and
+    without the cache every round re-runs the upstream Arrow
+    featurizer (~5 full passes; measured 4.6 s → 2.9 s at sf0.1).
+    The persisted frame is d+2 integers per row — narrow by
+    construction (the features are permille scalars, never text), and
+    it spills rather than OOMs at corpus scale; the final scoring
+    plan the caller builds is NOT persisted and recomputes features
+    lazily once."""
+    from pyspark.storagelevel import StorageLevel
+
     d = len(feature_cols)
     y = F.col(label_col)
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
 
     # round 0: per-class sums + counts in ONE aggregation pass
     agg = [
@@ -87,29 +100,32 @@ def centroid_perceptron_fit(
         F.sum(F.when(y == 0, 1).otherwise(0)).alias("n0"),
         F.count(F.lit(1)).alias("n"),
     ]
-    row = train.agg(*agg).collect()[0]
-    n1, n0, n_tr = max(int(row["n1"]), 1), max(int(row["n0"]), 1), int(row["n"])
-    m1 = [_half_up_mean(int(row[f"s1_{j}"]), n1) for j in range(d)]
-    m0 = [_half_up_mean(int(row[f"s0_{j}"]), n0) for j in range(d)]
-    w = [2 * (a - b) for a, b in zip(m1, m0)]
-    w.append(sum(x * x for x in m0) - sum(x * x for x in m1))  # bias
+    try:
+        row = train.agg(*agg).collect()[0]
+        n1, n0, n_tr = max(int(row["n1"]), 1), max(int(row["n0"]), 1), int(row["n"])
+        m1 = [_half_up_mean(int(row[f"s1_{j}"]), n1) for j in range(d)]
+        m0 = [_half_up_mean(int(row[f"s0_{j}"]), n0) for j in range(d)]
+        w = [2 * (a - b) for a, b in zip(m1, m0)]
+        w.append(sum(x * x for x in m0) - sum(x * x for x in m1))  # bias
 
-    for t in range(rounds):
-        margin = margin_expr(w, feature_cols)
-        err = (y - F.when(margin > 0, 1).otherwise(0)).alias("_e")
-        g = train.select(
-            *[
-                (F.col(c) * err).alias(f"g{j}")
-                for j, c in enumerate(feature_cols)
-            ],
-            err.alias(f"g{d}"),  # bias gradient: feature ≡ 1
-        ).agg(*[F.sum(f"g{j}").alias(f"g{j}") for j in range(d + 1)])
-        grow = g.collect()[0]
-        denom = n_tr * (2 ** (t + shift))
-        w = [
-            wi + _tdiv(2 * int(grow[f"g{j}"]), denom)
-            for j, wi in enumerate(w)
-        ]
+        for t in range(rounds):
+            margin = margin_expr(w, feature_cols)
+            err = (y - F.when(margin > 0, 1).otherwise(0)).alias("_e")
+            g = train.select(
+                *[
+                    (F.col(c) * err).alias(f"g{j}")
+                    for j, c in enumerate(feature_cols)
+                ],
+                err.alias(f"g{d}"),  # bias gradient: feature ≡ 1
+            ).agg(*[F.sum(f"g{j}").alias(f"g{j}") for j in range(d + 1)])
+            grow = g.collect()[0]
+            denom = n_tr * (2 ** (t + shift))
+            w = [
+                wi + _tdiv(2 * int(grow[f"g{j}"]), denom)
+                for j, wi in enumerate(w)
+            ]
+    finally:
+        train.unpersist()
     return w
 
 
