@@ -82,6 +82,39 @@ def fingerprint_media(
     return media.mapInPandas(batches, FINGERPRINT_SCHEMA)
 
 
+def synthetic_wav_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", frame: int = 256, n_bits: int = 32
+) -> DataFrame:
+    """FUSED synthetic-WAV encode→decode→fingerprint in ONE Python
+    pass — the audio twin of ``image_dedup.synthetic_png_ahash``
+    (guide §4.1/§8): the RIFF blob never crosses the JVM↔Python
+    boundary; the real codec still runs end-to-end per clip
+    (``encode_wav`` bytes → verifying ``decode_wav`` →
+    :func:`energy_fingerprint`). Bit-identical to
+    ``fingerprint_media(synthetic_wav_media(df), frame, n_bits)``
+    (FINGERPRINT_SCHEMA) — pinned by the fusion-equivalence test."""
+    from lightsaber_spark.functions.multimodal import (
+        _spread_ids,
+        _synth_wav_blob,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps, nf = [], [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                _rate, _n, samples = decode_wav(_synth_wav_blob(mid))
+                fp, frames = energy_fingerprint(samples, frame, n_bits)
+                ids.append(mid)
+                fps.append(fp)
+                nf.append(frames)
+            yield pd.DataFrame(
+                {"media_id": ids, "fingerprint": fps, "n_frames": nf}
+            )
+
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, FINGERPRINT_SCHEMA)
+
+
 def audio_near_dup(
     media: DataFrame,
     max_hamming: int = 3,

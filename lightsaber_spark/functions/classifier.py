@@ -65,6 +65,7 @@ def centroid_perceptron_fit(
     label_col: str = "y",
     rounds: int = 4,
     shift: int = DAMP_SHIFT,
+    persist: bool = True,
 ) -> list[int]:
     """Fit integer weights ``[w_0..w_{d-1}, b]`` on a labeled frame.
 
@@ -79,14 +80,17 @@ def centroid_perceptron_fit(
     featurizer (~5 full passes; measured 4.6 s → 2.9 s at sf0.1).
     The persisted frame is d+2 integers per row — narrow by
     construction (the features are permille scalars, never text), and
-    it spills rather than OOMs at corpus scale; the final scoring
-    plan the caller builds is NOT persisted and recomputes features
-    lazily once."""
+    it spills rather than OOMs at corpus scale. Pass ``persist=False``
+    when the CALLER already caches a parent of ``train`` (r15 OPT:
+    ``quality_learned_classifier`` persists the full featurized frame
+    once and shares it between the fit and corpus-wide scoring —
+    double-caching the train slice on top would only waste memory)."""
     from pyspark.storagelevel import StorageLevel
 
     d = len(feature_cols)
     y = F.col(label_col)
-    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist:
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
 
     # round 0: per-class sums + counts in ONE aggregation pass
     agg = [
@@ -125,7 +129,8 @@ def centroid_perceptron_fit(
                 for j, wi in enumerate(w)
             ]
     finally:
-        train.unpersist()
+        if persist:
+            train.unpersist()
     return w
 
 

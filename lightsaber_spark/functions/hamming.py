@@ -25,15 +25,24 @@ def banded_hamming_pairs(
     n_bands: int,
     max_hamming: int,
     align_cols: tuple[str, ...] = (),
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Pairs ``(id_a < id_b, [align_cols,] hamming)`` with
+    """Pairs ``(id_a < id_b, [align_cols,] [carries,] hamming)`` with
     ``hamming <= max_hamming`` over signed-long signatures in ``sig``.
     Equi-join retrieval + exact verification; see module docstring for
     the losslessness argument.
 
     ``align_cols`` are extra equality keys both sides must share (e.g.
     a frame index, so only co-positioned video frames pair) — they join
-    alongside (band, bucket) and are carried into the output."""
+    alongside (band, bucket) and are carried into the output.
+
+    ``carry_cols`` (r15 OPT, guide §2.4 "share one exchange") are
+    payload columns of ``sig`` carried through BOTH sides into the
+    output as ``<c>_a`` / ``<c>_b`` — e.g. a multiplicity count, so a
+    consumer that previously re-joined the pair table back to ``sig``
+    per side (two extra joins + exchanges) reads them directly. They
+    are functions of the row id, so the candidate ``distinct`` keyed
+    on (id_a, id_b) is unchanged by carrying them."""
     if n_bits % n_bands:
         raise ValueError("n_bands must divide n_bits")
     if not 0 < n_bits <= 64:
@@ -49,16 +58,19 @@ def banded_hamming_pairs(
     width = n_bits // n_bands
     mask = (1 << width) - 1
     align = list(align_cols)
+    carry = list(carry_cols)
     # two selects: the band expressions reference `_hash`, which must
     # already exist (a same-select lateral alias reference trips
     # Catalyst's LCA check under explode)
     renamed = sig.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hash"), *align
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_hash"),
+        *align, *carry,
     )
     bands = renamed.select(
         "_id",
         "_hash",
         *align,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -72,24 +84,25 @@ def banded_hamming_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_hash", *align, "bb.band", "bb.bucket")
+    ).select("_id", "_hash", *align, *carry, "bb.band", "bb.bucket")
     a = bands.select(
         F.col("_id").alias("id_a"), F.col("_hash").alias("hash_a"),
-        *align, "band", "bucket",
+        *align, *[F.col(c).alias(f"{c}_a") for c in carry], "band", "bucket",
     )
     b = bands.select(
         F.col("_id").alias("id_b"), F.col("_hash").alias("hash_b"),
-        *align, "band", "bucket",
+        *align, *[F.col(c).alias(f"{c}_b") for c in carry], "band", "bucket",
     )
+    carried = [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry]
     cand = (
         a.join(b, [*align, "band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *align, "hash_a", "hash_b")
+        .select("id_a", "id_b", *align, *carried, "hash_a", "hash_b")
         .distinct()
     )
     ham = F.expr("bit_count(hash_a ^ hash_b)").cast("bigint")
     return (
         cand.withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", *align, "hamming")
+        .select("id_a", "id_b", *align, *carried, "hamming")
     )

@@ -89,6 +89,33 @@ def ahash_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, AHASH_SCHEMA)
 
 
+def synthetic_png_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FUSED synthetic-PNG encode→decode→aHash in ONE Python pass
+    (guide §4.1/§8): versus ``ahash_media(synthetic_png_media(df))``,
+    which ships every PNG blob Python→JVM→Python (two worker pools, an
+    Arrow transpose + transfer each way) purely to re-enter Python for
+    the decode. The real codec still runs end-to-end per image
+    (``encode_png`` bytes → ``decode_png`` with CRC verification →
+    :func:`ahash_bits`); output is bit-identical to the two-stage
+    chain (AHASH_SCHEMA) — pinned by the fusion-equivalence test."""
+    from lightsaber_spark.functions.multimodal import (
+        _spread_ids,
+        _synth_png_blob,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, px = decode_png(_synth_png_blob(mid))
+                ids.append(mid)
+                hashes.append(ahash_bits(px, w, h))
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, AHASH_SCHEMA)
+
+
 def ahash_near_dup(media: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate image pairs (id_a < id_b, hamming <= max_hamming)
     by banded aHash retrieval: 8 byte-bands; a pair within Hamming 7 or

@@ -300,27 +300,63 @@ def _plan_is_shuffle_free(df: DataFrame) -> bool:
     return True
 
 
+def _synth_png_blob(mid: int) -> bytes:
+    """The canonical synthetic PNG for id ``mid`` — a ``(id%61+4) ×
+    (id%37+3)`` 8-bit grayscale gradient with ``pixel(x, y) =
+    (id + x + y) % 251``, scanlines alternately Sub/Up-filtered.
+    Single-sourced so the streamed (``synthetic_png_media``) and fused
+    (``synthetic_png_decoded`` / ``image_dedup.synthetic_png_ahash``)
+    paths can never drift."""
+    w, h = mid % 61 + 4, mid % 37 + 3
+    px = bytes((mid + x + y) % 251 for y in range(h) for x in range(w))
+    return encode_png(px, w, h)
+
+
 def synthetic_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Encode one REAL PNG per input row (MEDIA_SCHEMA-shaped output):
-    a ``(id%61+4) × (id%37+3)`` 8-bit grayscale gradient image with
-    ``pixel(x, y) = (id + x + y) % 251``, scanlines alternately
-    Sub/Up-filtered. Deterministic, so a SQL oracle can predict the
-    decoded dimensions and exact pixel sum without parsing bytes."""
+    see :func:`_synth_png_blob` for the deterministic image, so a SQL
+    oracle can predict the decoded dimensions and exact pixel sum
+    without parsing bytes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, blobs = [], []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                w, h = mid % 61 + 4, mid % 37 + 3
-                px = bytes((mid + x + y) % 251 for y in range(h) for x in range(w))
-                ids.append(mid)
-                blobs.append(encode_png(px, w, h))
+            ids = [int(m) for m in pdf[id_col]]
             yield pd.DataFrame(
-                {"media_id": ids, "data": blobs, "mime": "image/png"}
+                {
+                    "media_id": ids,
+                    "data": [_synth_png_blob(m) for m in ids],
+                    "mime": "image/png",
+                }
             )
 
     return _spread_ids(df.select(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def synthetic_png_decoded(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FUSED encode→decode of the synthetic PNGs, one Python pass
+    (guide §4.1/§8): the blob is produced and consumed inside the same
+    ``mapInPandas`` task, so the heavy PNG bytes never cross the
+    JVM↔Python boundary at all — versus
+    ``decode_media(synthetic_png_media(df), real_codec=True)``, which
+    ships every blob Python→JVM→Python through two worker pools (an
+    Arrow transpose + transfer each way) purely to re-enter Python.
+    Same real codec end-to-end (``encode_png`` then ``decode_png``
+    with CRC verification), bit-identical output
+    (DECODED_REAL_SCHEMA); pinned by the fusion-equivalence test."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h, px = decode_png(_synth_png_blob(mid))
+                rows.append((mid, w, h, len(px), sum(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_pixels", "pixel_sum"],
+            )
+
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, DECODED_REAL_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType([
@@ -467,25 +503,60 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     return rate, len(samples), samples
 
 
+def _synth_wav_blob(mid: int) -> bytes:
+    """The canonical synthetic WAV for id ``mid``: ``id % 200 + 50``
+    samples of ``s_i = ((id+1)·(i+7)) % 4001 − 2000`` at
+    ``8000·(id%3+1)`` Hz. Single-sourced for the streamed and fused
+    paths (see :func:`_synth_png_blob`)."""
+    n = mid % 200 + 50
+    samples = [((mid + 1) * (i + 7)) % 4001 - 2000 for i in range(n)]
+    return encode_wav(samples, 8000 * (mid % 3 + 1))
+
+
 def synthetic_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Encode one REAL WAV per input row (MEDIA_SCHEMA-shaped):
-    ``id % 200 + 50`` samples of the deterministic integer waveform
-    ``s_i = ((id+1)·(i+7)) % 4001 − 2000`` at ``8000·(id%3+1)`` Hz —
-    closed-form, so a SQL oracle can predict the decoded stats without
-    parsing bytes."""
+    """Encode one REAL WAV per input row (MEDIA_SCHEMA-shaped): see
+    :func:`_synth_wav_blob` — closed-form, so a SQL oracle can predict
+    the decoded stats without parsing bytes."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, blobs = [], []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                n = mid % 200 + 50
-                samples = [((mid + 1) * (i + 7)) % 4001 - 2000 for i in range(n)]
-                ids.append(mid)
-                blobs.append(encode_wav(samples, 8000 * (mid % 3 + 1)))
-            yield pd.DataFrame({"media_id": ids, "data": blobs, "mime": "audio/wav"})
+            ids = [int(m) for m in pdf[id_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "data": [_synth_wav_blob(m) for m in ids],
+                    "mime": "audio/wav",
+                }
+            )
 
     return _spread_ids(df.select(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def synthetic_wav_decoded(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FUSED encode→decode of the synthetic WAVs, one Python pass —
+    the audio twin of :func:`synthetic_png_decoded` (guide §4.1/§8):
+    the RIFF blob is produced and verified-parsed inside one task, so
+    the bytes never cross the JVM↔Python boundary; bit-identical to
+    ``decode_audio(synthetic_wav_media(df))`` (AUDIO_SCHEMA), pinned
+    by the fusion-equivalence test."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rate, n, samples = decode_wav(_synth_wav_blob(mid))
+                rows.append((
+                    mid, rate, n,
+                    sum(abs(s) for s in samples),
+                    sum(s * s for s in samples),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "amp_sum", "energy"],
+            )
+
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, AUDIO_SCHEMA)
 
 
 AUDIO_SCHEMA = StructType([
@@ -561,31 +632,36 @@ def decode_video(data: bytes) -> list[bytes]:
     return frames
 
 
+def _synth_video_blob(mid: int) -> bytes:
+    """The canonical synthetic LSVC container for id ``mid``:
+    ``id%5+2`` grayscale PNG frames of ``(id%13+4) × (id%9+3)`` with
+    ``pixel(x, y, f) = (id + 3f + x + y) % 251``. Single-sourced for
+    the streamed and fused paths (see :func:`_synth_png_blob`)."""
+    w, h = mid % 13 + 4, mid % 9 + 3
+    frames = []
+    for f in range(mid % 5 + 2):
+        px = bytes(
+            (mid + 3 * f + x + y) % 251 for y in range(h) for x in range(w)
+        )
+        frames.append(encode_png(px, w, h))
+    return encode_video(frames)
+
+
 def synthetic_video_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One REAL multi-frame container per row: ``id%5+2`` grayscale PNG
-    frames of ``(id%13+4) × (id%9+3)`` with
-    ``pixel(x, y, f) = (id + 3f + x + y) % 251`` — closed-form, so the
-    oracle predicts every sampled frame's dimensions and pixel sum
-    without parsing a byte."""
+    """One REAL multi-frame container per row — see
+    :func:`_synth_video_blob`; closed-form, so the oracle predicts
+    every sampled frame's dimensions and pixel sum without parsing a
+    byte."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, blobs = [], []
-            for mid in pdf[id_col]:
-                mid = int(mid)
-                w, h = mid % 13 + 4, mid % 9 + 3
-                frames = []
-                for f in range(mid % 5 + 2):
-                    px = bytes(
-                        (mid + 3 * f + x + y) % 251
-                        for y in range(h)
-                        for x in range(w)
-                    )
-                    frames.append(encode_png(px, w, h))
-                ids.append(mid)
-                blobs.append(encode_video(frames))
+            ids = [int(m) for m in pdf[id_col]]
             yield pd.DataFrame(
-                {"media_id": ids, "data": blobs, "mime": "video/x-lsvc"}
+                {
+                    "media_id": ids,
+                    "data": [_synth_video_blob(m) for m in ids],
+                    "mime": "video/x-lsvc",
+                }
             )
 
     return _spread_ids(df.select(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
@@ -622,3 +698,33 @@ def sample_frames_real(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
+def synthetic_video_frames(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """FUSED synthetic-container mux→demux→frame-decode, one Python
+    pass (guide §4.1/§8) — the video twin of
+    :func:`synthetic_png_decoded`: the LSVC container never crosses
+    the JVM↔Python boundary; the real codec chain still runs
+    end-to-end per clip (``encode_video`` of real PNG frames →
+    verifying ``decode_video`` demux → ``decode_png`` of every
+    ``every_n``-th frame). Bit-identical to
+    ``sample_frames_real(synthetic_video_media(df), every_n)``
+    (VIDEO_FRAME_SCHEMA) — pinned by the fusion-equivalence test."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                frames = decode_video(_synth_video_blob(mid))
+                for i in range(0, len(frames), every_n):
+                    w, h, px = decode_png(frames[i])
+                    rows.append((mid, i, w, h, sum(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "pixel_sum"],
+            )
+
+    return _spread_ids(df.select(id_col)).mapInPandas(batches, VIDEO_FRAME_SCHEMA)

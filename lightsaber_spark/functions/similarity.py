@@ -592,6 +592,7 @@ def semantic_dedup(
     target_cell_size: int | None = None,
     corpus_size: int | None = None,
     target_block_bytes: int | None = None,
+    with_vectors: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
     by clustering embeddings and dropping near-identical members
@@ -747,6 +748,12 @@ def semantic_dedup(
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("keep"),
+        # r15 OPT: with_vectors exposes the already-scaled/assigned
+        # vector so a delta consumer can reuse this run's assignment
+        # instead of re-scanning + re-assigning the kept corpus (an
+        # extra full GEMM pass); the registered batch query keeps the
+        # default 4-column contract
+        *(["_sv"] if with_vectors else []),
     )
 
 
@@ -759,6 +766,7 @@ def semantic_dedup_delta(
     id_col: str = "vec_id",
     n_blocks: int = 4,
     target_block_bytes: int | None = None,
+    kept_pre_assigned: bool = False,
 ) -> DataFrame:
     """Incremental SemDeDup for ingest batches (the delta twin of
     :func:`semantic_dedup` — exact and MinHash dedup both have one,
@@ -830,21 +838,38 @@ def semantic_dedup_delta(
     ranked = register_cache(
         d.withColumn("rnk", F.row_number().over(w).cast("bigint"))
     )
-    # reuse the SAME assigner (and its single centroid broadcast) for
-    # the kept side — a second ivf_cell_udf would pin a duplicate k×dim
-    # broadcast per executor (~300 MB at paper scale; review finding).
-    # ivf_cell_ccos_udf's cid is documented bit-identical to
-    # ivf_cell_udf's; the winning cosine is simply unused here.
-    kept = corpus_kept.select(
-        F.col(id_col).cast("bigint").alias("vec_id"),
-        scaled_vec(F.col(vec_col)).alias("_sv"),
-        cc(F.col(vec_col)).alias("_a"),
-    ).select(
-        "vec_id",
-        "_sv",
-        F.col("_a.cid").alias("cell_id"),
-        F.lit(0).cast("bigint").alias("rnk"),  # all corpus ranks earlier
-    )
+    if kept_pre_assigned:
+        # r15 OPT (guide §1.2 "don't compute things you throw away"):
+        # the caller already carries (vec_id, _sv, cell_id) from the
+        # corpus run's OWN assignment (semantic_dedup with_vectors) —
+        # re-scanning the kept corpus and re-running the broadcast-
+        # centroid GEMM here would recompute identical values (same
+        # frozen centroids, same scaled vectors, assignment documented
+        # deterministic). One full corpus pass + one ArrowEvalPython
+        # node removed from the delta plan.
+        kept = corpus_kept.select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            "_sv",
+            "cell_id",
+            F.lit(0).cast("bigint").alias("rnk"),
+        )
+    else:
+        # reuse the SAME assigner (and its single centroid broadcast)
+        # for the kept side — a second ivf_cell_udf would pin a
+        # duplicate k×dim broadcast per executor (~300 MB at paper
+        # scale; review finding). ivf_cell_ccos_udf's cid is documented
+        # bit-identical to ivf_cell_udf's; the winning cosine is simply
+        # unused here.
+        kept = corpus_kept.select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            scaled_vec(F.col(vec_col)).alias("_sv"),
+            cc(F.col(vec_col)).alias("_a"),
+        ).select(
+            "vec_id",
+            "_sv",
+            F.col("_a.cid").alias("cell_id"),
+            F.lit(0).cast("bigint").alias("rnk"),  # all corpus ranks earlier
+        )
     allrows = ranked.select("vec_id", "_sv", "cell_id", "rnk").unionAll(kept)
     rep = (
         allrows.withColumn(
@@ -958,39 +983,53 @@ def kmeans_fit_scaled(
     Iteration count is fixed (no convergence test) so the computation
     is a static dataflow — at 100 TB each round is one shuffle of
     k·dim partial sums, the standard scalable k-means shape."""
+    from pyspark.storagelevel import StorageLevel
+
     sv = corpus.select(
         F.col(id_col).alias("_id"), scaled_vec(F.col(vec_col)).alias("_sv")
     )
-    init = sv.filter(F.col("_id") < k).collect()
-    if not init:
-        raise ValueError(
-            f"kmeans_fit_scaled: no seed vectors — the deterministic "
-            f"seed rule is ids < k (k={k}, the cross-engine-expressible "
-            f"form the SQL oracles mirror as 'vec_id < {k}'), and this "
-            f"corpus has no such ids. Densify ids from 0 (or remap) "
-            f"before fitting; a sparse id space would otherwise fit "
-            f"fewer than k cells silently."
-        )
-    cents = sorted((r["_id"], [int(x) for x in r["_sv"]]) for r in init)
-    for _ in range(iters):
-        cell = ivf_cell_udf(cents, centroids_scaled=True, vecs_scaled=True)
-        parts = (
-            sv.select(cell(F.col("_sv")).alias("_cid"),
-                      F.posexplode("_sv").alias("_pos", "_x"))
-            .groupBy("_cid", "_pos")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
-        )
-        acc: dict[int, dict[int, int]] = {}
-        for r in parts.collect():
-            acc.setdefault(r["_cid"], {})[r["_pos"]] = _half_up_div(r["_s"], r["_n"])
-        cents = sorted(
-            (cid, [dims[p] for p in range(len(dims))]) for cid, dims in acc.items()
-        )
-        # this round's assigner is superseded — reclaim its k·dim
-        # broadcast eagerly (at paper-scale k each round pins ~100s of
-        # MB on every executor until session GC otherwise)
-        if getattr(cell, "_ls_broadcast", None) is not None:
-            cell._ls_broadcast.destroy()
+    # The fit re-aggregates the SAME (id, scaled vector) relation once
+    # per round plus the seed collect — 1 + iters full passes over the
+    # corpus scan + per-element rounding without a cache (guide §5:
+    # reused AND expensive to recompute). Persist for the fit's
+    # lifetime only (narrow: id + int vector; spills rather than OOMs
+    # at corpus scale); callers' scoring/assignment plans are built on
+    # the UNcached corpus, exactly as before. Same r15 precedent as
+    # the classifier's persisted train frame (classifier.py).
+    sv = sv.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        init = sv.filter(F.col("_id") < k).collect()
+        if not init:
+            raise ValueError(
+                f"kmeans_fit_scaled: no seed vectors — the deterministic "
+                f"seed rule is ids < k (k={k}, the cross-engine-expressible "
+                f"form the SQL oracles mirror as 'vec_id < {k}'), and this "
+                f"corpus has no such ids. Densify ids from 0 (or remap) "
+                f"before fitting; a sparse id space would otherwise fit "
+                f"fewer than k cells silently."
+            )
+        cents = sorted((r["_id"], [int(x) for x in r["_sv"]]) for r in init)
+        for _ in range(iters):
+            cell = ivf_cell_udf(cents, centroids_scaled=True, vecs_scaled=True)
+            parts = (
+                sv.select(cell(F.col("_sv")).alias("_cid"),
+                          F.posexplode("_sv").alias("_pos", "_x"))
+                .groupBy("_cid", "_pos")
+                .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            )
+            acc: dict[int, dict[int, int]] = {}
+            for r in parts.collect():
+                acc.setdefault(r["_cid"], {})[r["_pos"]] = _half_up_div(r["_s"], r["_n"])
+            cents = sorted(
+                (cid, [dims[p] for p in range(len(dims))]) for cid, dims in acc.items()
+            )
+            # this round's assigner is superseded — reclaim its k·dim
+            # broadcast eagerly (at paper-scale k each round pins ~100s of
+            # MB on every executor until session GC otherwise)
+            if getattr(cell, "_ls_broadcast", None) is not None:
+                cell._ls_broadcast.destroy()
+    finally:
+        sv.unpersist()
     return cents
 
 

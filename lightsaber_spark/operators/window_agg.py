@@ -443,7 +443,33 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
 
     from pyspark.sql import Window
 
-    dense = spine.join(stage1, "_pane", "left")
+    # r15 OPT (guide §2.4): attach the pane partials to the dense spine
+    # by UNION + one merge aggregation instead of a left outer join.
+    # Both forms are row-identical: every stage1 pane is inside the
+    # spine range, panes are unique in stage1, and merging {value,
+    # NULL} with sum/min/max reproduces the join's value-or-NULL per
+    # pane. The join shape cost either a BroadcastExchange (a driver
+    # collect round-trip of a SPAN-BOUND relation — the wrong shape at
+    # 100 TB, where the spine is millions of rows) or a sort-merge
+    # join (two sorts + an extra shuffle); the union re-uses the
+    # groupBy machinery already present: one hash aggregation, no
+    # sorts, no driver collect. Plan diff: BroadcastHashJoin +
+    # BroadcastExchange → HashAggregate, one Exchange less.
+    null_partials = [
+        F.lit(None).cast(stage1.schema[n].dataType).alias(n)
+        for n in partials
+    ]
+    merge_aggs = []
+    for n in partials:
+        f = F.min if mm_partials.get(n) == "min" else (
+            F.max if n in mm_partials else F.sum
+        )
+        merge_aggs.append(f(n).alias(n))
+    dense = (
+        stage1.unionByName(spine.select(F.col("_pane"), *null_partials))
+        .groupBy("_pane")
+        .agg(*merge_aggs)
+    )
     # chunk-parallel scan: pane index → chunk; the last k panes of each
     # chunk are duplicated into the next chunk as carry (non-own) rows
     p_idx = (F.col("_pane") / F.lit(slide_sec)).cast("bigint")

@@ -1047,7 +1047,21 @@ def _semdedup_corpus_state(spark, sf_dir, corpus, materialize_dir=None):
 
     if not materialize_dir:
         cents = fit()
-        return cents, corpus.join(kept_ids(cents), "vec_id")
+        # r15 OPT: hand the delta stage the corpus run's OWN scaled
+        # vectors + cell assignments (with_vectors) instead of kept
+        # ids alone — the old id-join shape re-scanned the corpus and
+        # re-ran the centroid-GEMM assignment over every kept member
+        # (identical values by construction). Returns pre_assigned=
+        # True so the caller passes kept_pre_assigned to
+        # semantic_dedup_delta.
+        base = semantic_dedup(
+            corpus, threshold=_SEMDEDUP_TAU, centroids=cents,
+            with_vectors=True,
+        )
+        kept = base.filter(F.col("keep") == 1).select(
+            "vec_id", "_sv", "cell_id"
+        )
+        return cents, kept, True
 
     from lightsaber_spark.session import materialize_parquet_once
 
@@ -1077,7 +1091,11 @@ def _semdedup_corpus_state(spark, sf_dir, corpus, materialize_dir=None):
     kept_pq = materialize_parquet_once(
         spark, lambda: kept_ids(cents), f"{root}/semdedup_kept_{tag}"
     )
-    return cents, corpus.join(kept_pq, "vec_id")
+    # hatch path: the parquet store holds kept IDS only (one bigint per
+    # member, the minimal dedup store) — the delta stage re-assigns the
+    # kept rows against the frozen centroids as before (pre_assigned
+    # False)
+    return cents, corpus.join(kept_pq, "vec_id"), False
 
 
 @query(
@@ -1135,8 +1153,10 @@ def q_dedup_semantic_delta(spark, sf_dir):
     e = _embs(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") % 10 != 0)
     delta = e.filter(F.col("vec_id") % 10 == 0)
-    cents, kept = _semdedup_corpus_state(spark, sf_dir, corpus)
-    return semantic_dedup_delta(kept, delta, cents, threshold=_SEMDEDUP_TAU)
+    cents, kept, pre = _semdedup_corpus_state(spark, sf_dir, corpus)
+    return semantic_dedup_delta(
+        kept, delta, cents, threshold=_SEMDEDUP_TAU, kept_pre_assigned=pre
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1182,8 +1202,12 @@ def q_multimodal_decode_real(spark, sf_dir):
     exact pixel sum from the deterministic gradient — if any stage of
     the container parse or unfilter math were wrong, pixel_sum would
     diverge."""
-    media = synthetic_png_media(_docs(spark, sf_dir))
-    return decode_media(media, real_codec=True)
+    # r15 OPT (guide §4.1/§8): fused single-Python-pass encode→decode —
+    # the PNG blobs never round-trip Python→JVM→Python; same real
+    # codec, bit-identical output (fusion-equivalence pytest)
+    from lightsaber_spark.functions.multimodal import synthetic_png_decoded
+
+    return synthetic_png_decoded(_docs(spark, sf_dir))
 
 
 @query(
@@ -2895,23 +2919,34 @@ def q_quality_learned_classifier(spark, sf_dir):
         quality_feature_frame,
     )
 
+    from lightsaber_spark.functions.dedup import register_cache
+
     k = _QL_K
     fcols = [f"f{j}" for j in range(k + 3)]
     feats = quality_feature_frame(_docs(spark, sf_dir), k=k)
-    labeled = feats.withColumn(
-        "y",
-        F.when(
-            2 * F.col(f"f{k}") + F.col(f"f{k + 1}")
-            + 3 * (F.col(f"f{k + 2}") - 800)
-            >= 640,
-            1,
+    # r15 OPT (guide §5): persist the FULL featurized frame once and
+    # share it between the fit and corpus-wide scoring. Before, the
+    # fit persisted only the 3/4 train slice and the scoring plan
+    # re-ran the Arrow featurizer over all documents — 1.75 corpus
+    # featurization passes per run; now exactly one. The cached rows
+    # are d+2 integers each (narrow; spills rather than OOMs), the
+    # register_cache lifecycle unpersists per bench/parity pass.
+    labeled = register_cache(
+        feats.withColumn(
+            "y",
+            F.when(
+                2 * F.col(f"f{k}") + F.col(f"f{k + 1}")
+                + 3 * (F.col(f"f{k + 2}") - 800)
+                >= 640,
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint"),
         )
-        .otherwise(0)
-        .cast("bigint"),
     )
     train = labeled.filter(F.col("doc_id") % 4 < 3)
     w = centroid_perceptron_fit(
-        train, fcols, "y", rounds=_QL_ROUNDS, shift=_QL_SHIFT
+        train, fcols, "y", rounds=_QL_ROUNDS, shift=_QL_SHIFT, persist=False
     )
     m = margin_expr(w, fcols)
     return labeled.select(
@@ -3093,9 +3128,11 @@ def q_multimodal_audio_decode(spark, sf_dir):
     exact integer signal stats. The oracle predicts sample counts,
     Σ|s| and Σs² from the closed-form waveform — any container-parse
     or sign-extension error diverges."""
-    from lightsaber_spark.functions.multimodal import decode_audio, synthetic_wav_media
+    # r15 OPT (guide §4.1/§8): fused single-Python-pass encode→decode
+    # (see multimodal_decode_real); bit-identical
+    from lightsaber_spark.functions.multimodal import synthetic_wav_decoded
 
-    return decode_audio(synthetic_wav_media(_docs(spark, sf_dir)))
+    return synthetic_wav_decoded(_docs(spark, sf_dir))
 
 
 @query("bpe_tokenize_docs")  # no SQL oracle: iterative merge learning
@@ -4020,13 +4057,12 @@ def q_multimodal_video_frames(spark, sf_dir):
     width/height/pixel-sum per sampled frame from the closed-form
     pixel function — any demux offset error, CRC slip, or filter bug
     diverges. One-row→many-frames mapInPandas; no driver hop."""
-    from lightsaber_spark.functions.multimodal import (
-        sample_frames_real,
-        synthetic_video_media,
-    )
+    # r15 OPT (guide §4.1/§8): fused single-Python-pass mux→demux→
+    # decode (see multimodal_decode_real); bit-identical
+    from lightsaber_spark.functions.multimodal import synthetic_video_frames
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
-    return sample_frames_real(synthetic_video_media(docs), every_n=2)
+    return synthetic_video_frames(docs, every_n=2)
 
 
 # ---------------------------------------------------------------------------

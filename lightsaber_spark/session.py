@@ -47,6 +47,19 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r15 OPT (guide §3.1/§9): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions are met (drops two
+        # sorts per join), and let AQE rewrite SMJ→SHJ at runtime when
+        # every post-shuffle partition is under the threshold (runtime
+        # sizes, so the local-map build can't OOM-surprise). Broadcast
+        # remains the first choice; SMJ remains the fallback for
+        # fact×fact joins — this only moves the middle tier, on any
+        # cluster size (not a local[32]-only tweak).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
@@ -74,6 +87,13 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # r15 OPT (guide §3.1): same join-tier preference as get_spark for
+    # host-provided sessions (both confs are runtime-settable)
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        str(64 * 1024 * 1024),
+    )
     return spark
 
 

@@ -1055,22 +1055,23 @@ def _signature_pair_spectrum(
     from lightsaber_spark.functions.dedup import register_cache
     from lightsaber_spark.functions.hamming import banded_hamming_pairs
 
-    # distinct-signature groups feed the banded self-join (both sides),
-    # the two count joins, and the dup-row aggregate — persist once
+    # distinct-signature groups feed the banded self-join (both sides)
+    # and the dup-row aggregate — persist once. r15 OPT (guide §2.4):
+    # the multiplicities ride THROUGH the banded join (carry_cols)
+    # instead of being re-joined onto the pair table per side — two
+    # joins (and their exchanges) removed from the plan.
     hg = register_cache(
         sig.groupBy(sig_col).agg(F.count(F.lit(1)).alias("cnt"))
     )
     pairs = banded_hamming_pairs(
         hg, sig_col, sig_col, n_bits=n_bits, n_bands=16,
-        max_hamming=max_hamming,
+        max_hamming=max_hamming, carry_cols=("cnt",),
     )
-    ca = hg.select(F.col(sig_col).alias("id_a"), F.col("cnt").alias("ca"))
-    cb = hg.select(F.col(sig_col).alias("id_b"), F.col("cnt").alias("cb"))
     specn = (
-        pairs.join(ca, "id_a")
-        .join(cb, "id_b")
-        .groupBy("hamming")
-        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"))
+        pairs.groupBy("hamming")
+        .agg(
+            F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("n_pairs")
+        )
     )
     spec0 = (
         hg.agg(
@@ -1131,11 +1132,14 @@ def media_ahash_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes weighted by multiplicity. The DuckDB twin computes the same
     spectrum from the closed-form pixel arithmetic WITHOUT touching a
     byte of PNG — equality proves the codec+hash+retrieval stack."""
-    from lightsaber_spark.functions.image_dedup import ahash_media
-    from lightsaber_spark.functions.multimodal import synthetic_png_media
+    from lightsaber_spark.functions.image_dedup import synthetic_png_ahash
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sig = ahash_media(synthetic_png_media(docs))
+    # r15 OPT (guide §4.1/§8): fused single-Python-pass encode→decode→
+    # aHash — the PNG blobs no longer round-trip Python→JVM→Python
+    # between two mapInPandas pools; bit-identical signatures
+    # (fusion-equivalence pytest)
+    sig = synthetic_png_ahash(docs)
     return _signature_pair_spectrum(sig, "ahash", n_bits=64)
 
 
@@ -1195,11 +1199,12 @@ def audio_fingerprint_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     and count clip pairs at each Hamming distance <= 8 over distinct
     fingerprints with multiplicities — against a pure-arithmetic DuckDB
     twin (no codec). The audio analog of media_ahash_spectrum."""
-    from lightsaber_spark.functions.audio_dedup import fingerprint_media
-    from lightsaber_spark.functions.multimodal import synthetic_wav_media
+    from lightsaber_spark.functions.audio_dedup import synthetic_wav_fingerprint
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    sig = fingerprint_media(
-        synthetic_wav_media(docs), frame=_AFS_FRAME, n_bits=32
+    # r15 OPT (guide §4.1/§8): fused single-Python-pass encode→decode→
+    # fingerprint (see media_ahash_spectrum); bit-identical
+    sig = synthetic_wav_fingerprint(
+        docs, frame=_AFS_FRAME, n_bits=32
     ).select("media_id", "fingerprint")
     return _signature_pair_spectrum(sig, "fingerprint", n_bits=32)

@@ -33,11 +33,17 @@ def _plan(spark, name):
 _EXCHANGE_CEILINGS = {
     "cm1_sliding_sum_by_type": 2,      # pane agg + window merge
     # pane agg + 1-row bounds (tiny) + distributed-spine chunk fan-out
-    # (span/65k rows — tiny) + spine↔panes join; the two extra
-    # exchanges vs r2 move spine generation off a single task and only
-    # ever shuffle the time-bound spine, never the stream
-    "sg1_ref_window_3600_1": 4,
-    "sg1_ref_window_3600_1_minmax": 4,  # same spine scaffold, van Herk scan
+    # (span/65k rows — tiny) + spine∪panes merge agg + chunk-scan
+    # window. Raised 4→5 in r15 DELIBERATELY: the spine↔panes attach
+    # was a BroadcastHashJoin (excluded from this ceiling) whose build
+    # side is SPAN-BOUND — a year-at-1s spine is ~31M rows, far past
+    # sane broadcast size, i.e. a driver-collect time bomb at 100 TB.
+    # The union+merge-aggregation shape costs one explicit spine-bound
+    # shuffle instead (never the stream) and no driver collect; see
+    # operators/window_agg.py _sliding_prefix and
+    # plans/r15/sg1_ref_window_3600_1_{before,after}.txt.
+    "sg1_ref_window_3600_1": 5,
+    "sg1_ref_window_3600_1_minmax": 5,  # same spine scaffold, van Herk scan
     "dedup_ngram_jaccard": 7,          # df agg + prefix window + candidate join + 2 verify joins
     "ysb_static_join_tumbling": 2,     # window agg (join is broadcast)
     "nbq5_post_window_argmax": 3,      # count agg ×2 subplans (AQE reuses) + max join
