@@ -602,11 +602,42 @@ def gap_filled(
     aggs: Sequence[AggSpec],
     keys_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Left-join an aggregation result onto a window spine, emitting
-    empty windows (count→0, sum/avg/min/max→null). With ``keys_df``
-    (distinct key combinations — small) the fill is per key."""
+    """Attach an aggregation result to a window spine, emitting empty
+    windows (count→0, sum/avg/min/max→null). With ``keys_df``
+    (distinct key combinations — small) the fill is per key.
+
+    r15 OPT (guide §2.4, same argument as ``_sliding_prefix``): the
+    attach is a UNION + one merge aggregation, not a left outer join.
+    Both sides of the old join are SPAN-BOUND (the spine by
+    construction, the agg by emitting only windows with data), so the
+    join planned as a BroadcastHashJoin whose build side grows with
+    the time span — a driver-collect round trip that cannot survive a
+    100 TB-scale spine (a year at 1 s slide is ~31M rows). The union
+    form costs one spine-bound hash aggregation: no driver collect, no
+    sorts, no join node at all, same shape at every scale.
+
+    PRECONDITION (held by every in-repo caller, pinned by the
+    equivalence test): every ``agg_result`` row's (keys..., start) is
+    inside spine × keys — true whenever spine/keys derive from the
+    same data as the aggregation (``window_spine`` mirrors
+    ``_window_starts``' exact-floor first/last arithmetic). The old
+    left join would silently DROP an out-of-spine agg row; the union
+    keeps it — emitting, never losing, data on a violated
+    precondition."""
     base = spine if keys_df is None else spine.crossJoin(F.broadcast(keys_df))
-    out = base.join(agg_result, on=list(base.columns), how="left")
+    key_cols = list(base.columns)
+    val_cols = [c for c in agg_result.columns if c not in key_cols]
+    null_vals = [
+        F.lit(None).cast(agg_result.schema[c].dataType).alias(c)
+        for c in val_cols
+    ]
+    # (keys..., start) is unique in agg_result (grouped output), so
+    # max over {value, NULL} reproduces the join's value-or-NULL
+    out = (
+        agg_result.unionByName(base.select(*key_cols, *null_vals))
+        .groupBy(*key_cols)
+        .agg(*[F.max(c).alias(c) for c in val_cols])
+    )
     for func, _col, alias in aggs:
         if func == "count":
             out = out.withColumn(alias, F.coalesce(F.col(alias), F.lit(0)))
@@ -647,7 +678,25 @@ def interpolated_fill(
     from pyspark.sql.window import Window as W
 
     key_cols = list(keys)
-    g = spine.join(agg_result, on=[*key_cols, t_col], how="left")
+    # r15 OPT (guide §2.4): union + merge aggregation instead of a
+    # left join of two span-bound relations — same shape and
+    # precondition as :func:`gap_filled` (the grid's [lo, hi] per key
+    # comes from the agg itself, so containment is exact); the window
+    # scans below see row-identical input.
+    g = (
+        agg_result.select(*key_cols, t_col, value_col)
+        .unionByName(
+            spine.select(
+                *key_cols,
+                t_col,
+                F.lit(None)
+                .cast(agg_result.schema[value_col].dataType)
+                .alias(value_col),
+            )
+        )
+        .groupBy(*key_cols, t_col)
+        .agg(F.max(value_col).alias(value_col))
+    )
     part = W.partitionBy(*key_cols) if key_cols else W.partitionBy()
     w_prev = part.orderBy(t_col).rowsBetween(W.unboundedPreceding, 0)
     w_next = part.orderBy(t_col).rowsBetween(0, W.unboundedFollowing)

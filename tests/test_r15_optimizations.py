@@ -8,7 +8,10 @@ bit-equality test against the unoptimized composition it replaced:
   synthetic_wav_fingerprint / synthetic_video_frames) vs the original
   two-stage encode→transfer→decode chains;
 - ``banded_hamming_pairs(carry_cols=...)`` vs re-joining the carried
-  payload onto the pair table per side.
+  payload onto the pair table per side;
+- ``gap_filled`` / ``interpolated_fill`` union+merge spine attach vs
+  the left-join composition it replaced (plus the no-join-node plan
+  contract that IS the optimization).
 
 The k-means sv persist, the prefix-path union-dense rewrite, and the
 semantic-delta pre-assigned kept path are covered by the existing
@@ -116,3 +119,113 @@ def test_banded_hamming_carry_cols(spark):
     for r in carried_rows:
         assert r.cnt_a == by_cnt[r.id_a]
         assert r.cnt_b == by_cnt[r.id_b]
+
+
+@pytest.fixture(scope="module")
+def gap_events(spark):
+    # sparse event times (gaps of several windows), two keys, one
+    # all-NULL-value window per key would be overkill here — the NULL
+    # sum semantics are pinned by test_window_agg/test_streaming
+    rows = [
+        (100, "a", 5),
+        (130, "a", 7),
+        (400, "a", 11),
+        (100, "b", 1),
+        (700, "b", 3),
+    ]
+    return spark.createDataFrame(rows, "t BIGINT, k STRING, v BIGINT").select(
+        F.timestamp_seconds("t").alias("ts"), "k", "v"
+    )
+
+
+def test_gap_filled_union_matches_left_join(spark, gap_events):
+    """gap_filled's union+merge attach is row-identical to the left
+    join it replaced (guide §2.4: the join broadcast a span-bound side
+    — see operators/window_agg.py), keyed and un-keyed."""
+    from lightsaber_spark.operators import windowed_agg, window_spine
+    from lightsaber_spark.operators.window_agg import gap_filled
+
+    aggs = [("count", None, "n"), ("sum", "v", "s")]
+    # un-keyed
+    agg = windowed_agg(gap_events, "ts", 60, 60, aggs)
+    spine = window_spine(gap_events, "ts", 60, 60)
+    got = gap_filled(agg, spine, aggs)
+    ref = spine.join(agg, on=["window_start"], how="left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    assert _rows(got) == _rows(ref)
+    # keyed
+    kagg = windowed_agg(gap_events, "ts", 60, 60, aggs, ["k"])
+    keys = gap_events.select("k").distinct()
+    kgot = gap_filled(kagg, spine, aggs, keys_df=keys)
+    kref = (
+        spine.crossJoin(keys)
+        .join(kagg, on=["window_start", "k"], how="left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    assert _rows(kgot.select("window_start", "k", "n", "s")) == _rows(
+        kref.select("window_start", "k", "n", "s")
+    )
+
+
+def test_gap_filled_plan_has_no_join(spark, gap_events):
+    """The point of the union shape: NO join node anywhere in the
+    un-keyed gap-fill plan (the old shape broadcast a span-bound
+    relation — a driver collect that grows with the time span)."""
+    from lightsaber_spark.operators import windowed_agg, window_spine
+    from lightsaber_spark.operators.window_agg import gap_filled
+    from lightsaber_spark.plan_audit import formatted_plan
+
+    aggs = [("count", None, "n")]
+    agg = windowed_agg(gap_events, "ts", 60, 60, aggs)
+    spine = window_spine(gap_events, "ts", 60, 60)
+    plan = formatted_plan(gap_filled(agg, spine, aggs), adaptive=False)
+    assert "Join" not in plan, plan
+
+
+def test_interpolated_fill_union_matches_left_join(spark, gap_events):
+    """interpolated_fill's union+merge grid attach is value-identical
+    to the left-join composition (the downstream window scans see
+    row-identical input)."""
+    from lightsaber_spark.operators.window_agg import interpolated_fill
+
+    agg = (
+        gap_events.select(
+            "k",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % 60).alias("t"),
+            "v",
+        )
+        .groupBy("k", "t")
+        .agg(F.sum("v").alias("s"))
+    )
+    rng = agg.groupBy("k").agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    grid = rng.select(
+        "k", F.explode(F.expr("sequence(lo, hi, CAST(60 AS BIGINT))")).alias("t")
+    )
+    got = interpolated_fill(agg, grid, "s", keys=["k"], t_col="t")
+    # reference: the pre-r15 left-join composition, inlined
+    from pyspark.sql.window import Window as W
+
+    g = grid.join(agg, on=["k", "t"], how="left")
+    part = W.partitionBy("k")
+    w_prev = part.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    w_next = part.orderBy("t").rowsBetween(0, W.unboundedFollowing)
+    v, t = F.col("s"), F.col("t")
+    present_t = F.when(v.isNotNull(), t)
+    num = F.when(v.isNotNull(), v).otherwise(
+        F.last(v, ignorenulls=True).over(w_prev)
+        * (F.first(present_t, ignorenulls=True).over(w_next) - t)
+        + F.first(v, ignorenulls=True).over(w_next)
+        * (t - F.last(present_t, ignorenulls=True).over(w_prev))
+    )
+    den = F.when(v.isNotNull(), F.lit(1)).otherwise(
+        F.first(present_t, ignorenulls=True).over(w_next)
+        - F.last(present_t, ignorenulls=True).over(w_prev)
+    )
+    ref = (
+        g.withColumn("num", num.cast("bigint"))
+        .withColumn("den", den.cast("bigint"))
+        .filter(F.col("num").isNotNull())
+        .select("k", "t", "num", "den")
+    )
+    assert _rows(got) == _rows(ref)
