@@ -135,6 +135,7 @@ def windowed_agg(
     use_panes: bool | None = None,
     use_prefix: bool | None = None,
     prefix_panes_per_chunk: int | None = None,
+    prefix_spine_attach: str = "join",
     float32_output: bool = False,
 ) -> DataFrame:
     """Event-time (RANGE_BASED) windowed aggregation.
@@ -186,7 +187,9 @@ def windowed_agg(
         )
     if use_prefix:
         out = _sliding_prefix(
-            df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=prefix_panes_per_chunk
+            df, ts_col, size_sec, slide_sec, aggs,
+            panes_per_chunk=prefix_panes_per_chunk,
+            spine_attach=prefix_spine_attach,
         )
     elif use_panes if use_panes is not None else ratio >= pane_threshold:
         out = _sliding_panes(df, ts_col, size_sec, slide_sec, aggs, keys)
@@ -355,7 +358,8 @@ def _chunked_index_fanout(bounds, i_lo, i_hi, per_chunk: int, out_col: str,
     )
 
 
-def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None):
+def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None,
+                    spine_attach="join"):
     """Prefix-scan sliding aggregation for very high size/slide ratios
     (global, slide | size; invertible aggs plus MIN/MAX).
 
@@ -443,33 +447,48 @@ def _sliding_prefix(df, ts_col, size_sec, slide_sec, aggs, panes_per_chunk=None)
 
     from pyspark.sql import Window
 
-    # r15 OPT (guide §2.4): attach the pane partials to the dense spine
-    # by UNION + one merge aggregation instead of a left outer join.
-    # Both forms are row-identical: every stage1 pane is inside the
-    # spine range, panes are unique in stage1, and merging {value,
-    # NULL} with sum/min/max reproduces the join's value-or-NULL per
-    # pane. The join shape cost either a BroadcastExchange (a driver
-    # collect round-trip of a SPAN-BOUND relation — the wrong shape at
-    # 100 TB, where the spine is millions of rows) or a sort-merge
-    # join (two sorts + an extra shuffle); the union re-uses the
-    # groupBy machinery already present: one hash aggregation, no
-    # sorts, no driver collect. Plan diff: BroadcastHashJoin +
-    # BroadcastExchange → HashAggregate, one Exchange less.
-    null_partials = [
-        F.lit(None).cast(stage1.schema[n].dataType).alias(n)
-        for n in partials
-    ]
-    merge_aggs = []
-    for n in partials:
-        f = F.min if mm_partials.get(n) == "min" else (
-            F.max if n in mm_partials else F.sum
+    # Spine attach, TIERED (r16, guide §3.1 — reworking r15's
+    # unconditional union+merge):
+    #
+    # - ``spine_attach="join"`` (default): plain left join, strategy
+    #   left to the planner. This is already size-based at every scale:
+    #   the build side (stage1, the pane aggregation) is broadcast only
+    #   while its size estimate is under autoBroadcastJoinThreshold —
+    #   at 100 TB the estimate for an aggregate over the full stream is
+    #   input-bound (huge), so the static planner picks a shuffled
+    #   join and AQE re-tiers it from RUNTIME sizes (promote back to
+    #   broadcast / SHJ when the materialized pane relation is actually
+    #   small). Locally the spine attach stays one BroadcastHashJoin —
+    #   no extra shuffle, no extra AQE stage (the r15 union shape cost
+    #   the sg1_ref pair ~1.3–1.6× at the driver; VERDICT r15 #4).
+    # - ``spine_attach="union"``: the r15 shape — unionByName + one
+    #   merge HashAggregate. Row-identical (every stage1 pane is
+    #   inside the spine range, panes unique, merging {value, NULL}
+    #   with sum/min/max reproduces value-or-NULL per pane); costs one
+    #   explicit spine-bound shuffle but provably never sorts and
+    #   never broadcasts a span-bound side regardless of estimates —
+    #   the guaranteed shape for known-huge spans (a year at 1 s slide
+    #   is ~31M panes). Pinned by the parameterized plan-contract test.
+    if spine_attach == "join":
+        dense = spine.join(stage1, "_pane", "left")
+    elif spine_attach == "union":
+        null_partials = [
+            F.lit(None).cast(stage1.schema[n].dataType).alias(n)
+            for n in partials
+        ]
+        merge_aggs = []
+        for n in partials:
+            f = F.min if mm_partials.get(n) == "min" else (
+                F.max if n in mm_partials else F.sum
+            )
+            merge_aggs.append(f(n).alias(n))
+        dense = (
+            stage1.unionByName(spine.select(F.col("_pane"), *null_partials))
+            .groupBy("_pane")
+            .agg(*merge_aggs)
         )
-        merge_aggs.append(f(n).alias(n))
-    dense = (
-        stage1.unionByName(spine.select(F.col("_pane"), *null_partials))
-        .groupBy("_pane")
-        .agg(*merge_aggs)
-    )
+    else:
+        raise ValueError(f"spine_attach must be 'join' or 'union', got {spine_attach!r}")
     # chunk-parallel scan: pane index → chunk; the last k panes of each
     # chunk are duplicated into the next chunk as carry (non-own) rows
     p_idx = (F.col("_pane") / F.lit(slide_sec)).cast("bigint")

@@ -47,15 +47,18 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # r15 OPT (guide §3.1/§9): let the planner pick shuffled-hash
-        # over sort-merge when its size conditions are met (drops two
-        # sorts per join), and let AQE rewrite SMJ→SHJ at runtime when
-        # every post-shuffle partition is under the threshold (runtime
-        # sizes, so the local-map build can't OOM-surprise). Broadcast
-        # remains the first choice; SMJ remains the fallback for
-        # fact×fact joins — this only moves the middle tier, on any
-        # cluster size (not a local[32]-only tweak).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r16 (VERDICT r15 #5 + ADVICE): the r15 static
+        # ``preferSortMergeJoin=false`` is REVERTED to the default.
+        # Measured: with the 64 MB broadcast threshold it changed the
+        # join-node composition of ZERO of the 175 catalog plans at
+        # sf0.1 (scan committed in OPTIMIZATION_r16.md), so it bought
+        # nothing locally — while enabling ESTIMATE-based shuffled-hash
+        # selection whose non-spillable per-partition build map is an
+        # OOM risk at 100 TB when estimates are wrong or keys skewed.
+        # The AQE threshold below is kept: it converts SMJ→SHJ only
+        # from RUNTIME partition sizes (every post-shuffle partition
+        # provably under 64 MB), which is the safe middle tier on any
+        # cluster size.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),
@@ -87,9 +90,9 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    # r15 OPT (guide §3.1): same join-tier preference as get_spark for
-    # host-provided sessions (both confs are runtime-settable)
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    # r16: AQE runtime SMJ→SHJ tier only (see get_spark — the static
+    # preferSortMergeJoin=false was reverted as a measured no-op with
+    # at-scale OOM risk); runtime-settable for host-provided sessions
     spark.conf.set(
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         str(64 * 1024 * 1024),

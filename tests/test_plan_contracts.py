@@ -33,17 +33,19 @@ def _plan(spark, name):
 _EXCHANGE_CEILINGS = {
     "cm1_sliding_sum_by_type": 2,      # pane agg + window merge
     # pane agg + 1-row bounds (tiny) + distributed-spine chunk fan-out
-    # (span/65k rows — tiny) + spine∪panes merge agg + chunk-scan
-    # window. Raised 4→5 in r15 DELIBERATELY: the spine↔panes attach
-    # was a BroadcastHashJoin (excluded from this ceiling) whose build
-    # side is SPAN-BOUND — a year-at-1s spine is ~31M rows, far past
-    # sane broadcast size, i.e. a driver-collect time bomb at 100 TB.
-    # The union+merge-aggregation shape costs one explicit spine-bound
-    # shuffle instead (never the stream) and no driver collect; see
-    # operators/window_agg.py _sliding_prefix and
-    # plans/r15/sg1_ref_window_3600_1_{before,after}.txt.
-    "sg1_ref_window_3600_1": 5,
-    "sg1_ref_window_3600_1_minmax": 5,  # same spine scaffold, van Herk scan
+    # (span/65k rows — tiny) + chunk-scan window. Back to 4 in r16:
+    # the spine↔panes attach is a plain left join again (default
+    # ``spine_attach="join"``) — the planner tiers it by size
+    # (broadcast only under the threshold; at 100 TB the span-bound
+    # pane agg estimates input-bound-huge, so it degrades to a
+    # shuffled join, re-tiered by AQE from runtime sizes). The r15
+    # union+merge shape cost the sg1_ref pair ~1.3–2.4× locally
+    # (VERDICT r15 #2/#4); it remains available and contract-pinned
+    # via ``spine_attach="union"`` (test_prefix_spine_attach_shapes)
+    # for callers with known-huge spans. See
+    # plans/r16/sg1_ref_window_3600_1_{before,after}.txt.
+    "sg1_ref_window_3600_1": 4,
+    "sg1_ref_window_3600_1_minmax": 4,  # same spine scaffold, van Herk scan
     "dedup_ngram_jaccard": 7,          # df agg + prefix window + candidate join + 2 verify joins
     "ysb_static_join_tumbling": 2,     # window agg (join is broadcast)
     "nbq5_post_window_argmax": 3,      # count agg ×2 subplans (AQE reuses) + max join
@@ -71,6 +73,33 @@ def test_exchange_ceiling(spark, name):
         f"{name}: {n} exchanges > ceiling {_EXCHANGE_CEILINGS[name]} — a new "
         "shuffle appeared; re-justify in PLANS.md and raise deliberately"
     )
+
+
+def test_prefix_spine_attach_shapes(spark, tables):
+    """r16 tiered spine attach (VERDICT r15 #4): the prefix path's
+    default is a plain left join (planner-tiered by size — broadcast
+    locally, shuffled+AQE-retiered when the pane agg estimates big);
+    ``spine_attach='union'`` keeps the r15 guaranteed-no-broadcast
+    shape for known-huge spans. Pins: (a) the union shape has ZERO
+    join nodes anywhere in the plan, (b) the default shape stays at
+    the 4-exchange ceiling, (c) both shapes are row-identical."""
+    from lightsaber_spark.operators import windowed_agg
+
+    ev = tables["events"]
+    aggs = [("sum", "value", "s"), ("min", "value", "mn")]
+    join_df = windowed_agg(ev, "ts", 3600, 1, aggs)
+    union_df = windowed_agg(ev, "ts", 3600, 1, aggs, prefix_spine_attach="union")
+
+    p_union = _formatted(spark, union_df)
+    assert "Join" not in p_union, p_union[:800]
+
+    p_join = _formatted(spark, join_df)
+    n = len(re.findall(r"\(\d+\) Exchange\b", p_join))
+    assert n <= 4, p_join[:800]
+
+    a = sorted(tuple(r) for r in join_df.collect())
+    b = sorted(tuple(r) for r in union_df.collect())
+    assert a == b
 
 
 # Queries that attach a 1-row global aggregate through a CONSTANT join
