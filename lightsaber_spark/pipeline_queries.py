@@ -4436,3 +4436,85 @@ if _clashes:
     raise RuntimeError(f"staged query names collide with registry: {_clashes}")
 _SPARK_QUERIES.update(STAGED_SPARK_QUERIES)
 _ORACLE_SQL.update(STAGED_ORACLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Sweep-rotation priority (r16, VERDICT r15 next-round #1).
+#
+# The driver's correctness sweep checks the FIRST ~50 entries of the
+# registration dict per round (canonical 13 first, then staleness
+# tiers, registration order as the tie-break — __spark_entry__).
+# Adding the 4 r15 queries rotated 4 previously-green queries out of
+# the r15 sweep window (html_text_extraction, tpch_q8/q13/q15), which
+# the r15 verdict gates on re-vouching. Registration order is the
+# sanctioned lever ("Registration ORDER is part of the contract"), so
+# the list below is promoted to the front of the dicts: the 4
+# rotated-out queries first (the re-vouch targets), then the r15
+# sweep's members so consecutive sweeps overlap maximally. Exactly 37
+# names = the 50-slot window minus the canonical 13. The 4 r15-sweep
+# members NOT re-listed (theta_join_band_count,
+# json_props_stats_by_type, kmv_distinct_users_by_type,
+# window_top3_users) are the most-re-verified, longest-stable entries
+# in that window (7/7/6/6 green driver rows, implementations untouched
+# for many rounds) — the minimum-information sacrifice the 50-cap
+# forces when 4 queries must re-enter; the normal rotation re-covers
+# them in later rounds.
+#
+# This reorders ONLY the dict iteration order; no query is added,
+# removed, renamed or changed, and impl hashes (staleness) are
+# order-independent.
+# ---------------------------------------------------------------------------
+_SWEEP_PRIORITY = [
+    "tpch_q8_market_share",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "html_text_extraction",
+    "html_link_extraction",
+    "crawl_graph_domains",
+    "bpe_encode_frozen",
+    "quality_learned_classifier",
+    "sg1_ref_window_3600_1_minmax",
+    "gapfill_tumbling_count",
+    "range_join_ship_within_60d",
+    "salted_skew_join_counts",
+    "window_approx_distinct_users",
+    "window_kmv_distinct_users",
+    "cm_sketch_user_counts",
+    "noop_scan",
+    "window_value_profile",
+    "wavg_sliding_by_type",
+    "gapfill_sliding_count",
+    "tpch_q1_pricing_summary",
+    "rollup_revenue_flag_status",
+    "setop_engaged_non_buyers",
+    "window_distinct_users",
+    "tpch_q3_top_revenue",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive_revenue",
+    "cube_order_counts",
+    "lag_value_delta_per_user",
+    "tpch_q4_order_priority",
+    "anti_join_churned_customers",
+    "pivot_event_counts_by_day",
+    "ysb_longlong_keys",
+    "tpch_q5_revenue_by_nation",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q6_banded_revenue",
+    "tpch_q7_volume_shipping",
+]
+
+
+def _promote_sweep_priority() -> None:
+    missing = [n for n in _SWEEP_PRIORITY if n not in _SPARK_QUERIES]
+    if missing:
+        raise RuntimeError(f"_SWEEP_PRIORITY names unknown queries: {missing}")
+    for d in (_SPARK_QUERIES, _ORACLE_SQL):
+        front = {n: d[n] for n in _SWEEP_PRIORITY if n in d}
+        rest = {n: v for n, v in d.items() if n not in front}
+        d.clear()
+        d.update(front)
+        d.update(rest)
+
+
+_promote_sweep_priority()
