@@ -71,17 +71,46 @@ def main() -> None:
     # unchanged-code regen) — the min of two back-to-back warm passes
     # is what reproduces across runs on a contended host. Caches are
     # released between passes so both passes execute the same plan.
+    #
+    # r16 (VERDICT r15 #3 — self-diagnosing bench): each pass also
+    # records its python plan-BUILD time, noop-EXEC time, Spark job
+    # count and wall-clock start offset into BENCH.json's
+    # "query_detail". The r15 adjudication problem was that a
+    # host-phase pathology (slow fork/defineClass) is indistinguishable
+    # from a code regression in a bare per-query total; the split
+    # localizes it — a bad phase shows multi-second pure-python BUILD
+    # times and uniform inflation across a CONTIGUOUS t_off block,
+    # while a code regression moves EXEC for that query in every
+    # phase. Methodology (timed action, noop sink, best-of-2, query
+    # set) is unchanged; detail fields are additions only.
+    st = spark.sparkContext.statusTracker()
     t_all = time.time()
     pass_totals = [0.0, 0.0]  # per-pass sums: pass 0 = first (cold-ish)
+    detail: dict[str, list] = {}
     for name, fn in queries.items():
         best = None
         try:
             for i in range(2):
+                group = f"bench-{name}-{i}"
+                spark.sparkContext.setJobGroup(group, name)
                 t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
+                df = fn(spark, sf_dir)
+                t1 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.time()
+                nj = len(st.getJobIdsForGroup(group) or [])
+                spark.sparkContext.setJobGroup(None, None)
+                dt = t2 - t0
                 pass_totals[i] += dt
                 best = dt if best is None else min(best, dt)
+                detail.setdefault(name, []).append(
+                    {
+                        "build": round(t1 - t0, 3),
+                        "exec": round(t2 - t1, 3),
+                        "jobs": nj,
+                        "t_off": round(t0 - t_all, 1),
+                    }
+                )
                 release_shingle_caches()
             timings[name] = round(best, 3)
         except Exception as ex:  # noqa: BLE001
@@ -118,11 +147,33 @@ def main() -> None:
         "pass_totals_sec": [round(t, 3) for t in pass_totals],
         "wall_sec": wall,
         "sf": sf,
+        # r16: per-pass build/exec/jobs/t_off split per query (see the
+        # loop comment) — the self-diagnosis detail the r15 verdict
+        # asked for (#3)
+        "query_detail": detail,
     }
     with open(os.path.join(_REPO, "BENCH.json"), "w") as f:
         f.write(json.dumps(full) + "\n")
 
-    headline = {n: timings[n] for n in entrymod._CANONICAL if n in timings}
+    # r16 (VERDICT r15 #9): the stdout headline now ALSO carries the
+    # r15/r16 optimization-target queries so the driver's PERF
+    # comparison captures their round-over-round movement directly
+    # (additions only — the 13 canonical entries are unchanged).
+    _WATCHLIST = [
+        "sg1_ref_window_3600_1_minmax",
+        "multimodal_decode_real",
+        "multimodal_audio_decode_real",
+        "multimodal_video_frames_real",
+        "media_ahash_spectrum",
+        "audio_fingerprint_spectrum",
+        "quality_learned_classifier",
+        "dedup_semantic_delta",
+    ]
+    headline = {
+        n: timings[n]
+        for n in list(entrymod._CANONICAL) + _WATCHLIST
+        if n in timings
+    }
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
