@@ -233,10 +233,20 @@ def text_stats(df: DataFrame, text_col: str = "text", arrow: bool = False) -> Da
         # NULL text = empty doc, matching the arrow form's ""
         # substitution (r13 review: size(NULL) = -1 made the two
         # forms disagree on null text, breaking the bit-identical
-        # claim) and the DuckDB COALESCE
+        # claim) and the DuckDB COALESCE.
+        #
+        # r16: the token array is STAGED as a projected column — the
+        # old inline form re-ran tokens(t) (a full-text
+        # regexp_extract_all) in n_tokens, n_stop AND n_token_chars,
+        # and the final select's when() guards referenced n_tokens
+        # twice more: up to 7 tokenizations per row, none deduped
+        # because the HOF references are CodegenFallback (the r13
+        # collocations class). CollapseProject keeps the non-cheap
+        # multiply-referenced alias, so the staged form tokenizes
+        # exactly once per row. Same expressions → identical values.
         t = F.coalesce(F.col(text_col), F.lit(""))
-        toks = tokens(t)
-        with_s = df
+        with_s = df.select("*", tokens(t).alias("_toks"))
+        toks = F.col("_toks")
         n_chars = F.length(t).cast("bigint")
         n_tokens = F.size(toks).cast("bigint")
         n_punct = F.size(
@@ -246,17 +256,28 @@ def text_stats(df: DataFrame, text_col: str = "text", arrow: bool = False) -> Da
         n_token_chars = F.aggregate(
             toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         )
-    out = with_s.select(
+    # second staging level: each count computed ONCE, the ratio select
+    # references only the cheap integer columns
+    staged = with_s.select(
         "*",
-        n_chars.alias("n_chars_computed"),
-        n_tokens.alias("n_tokens"),
+        n_chars.alias("_nc"),
+        n_tokens.alias("_nt"),
+        n_punct.alias("_np"),
+        n_stop.alias("_ns"),
+        n_token_chars.alias("_ntc"),
+    )
+    _nc, _nt = F.col("_nc"), F.col("_nt")
+    out = staged.select(
+        *[F.col(c) for c in df.columns],
+        _nc.alias("n_chars_computed"),
+        _nt.alias("n_tokens"),
         # guarded like its siblings: 0/0 on an empty text would give
         # NULL here vs IEEE division in DuckDB (review finding)
-        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)).alias("punct_ratio"),
-        F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)).alias("stopword_ratio"),
-        F.when(n_tokens > 0, n_token_chars / n_tokens).otherwise(F.lit(0.0)).alias("mean_token_len"),
+        F.when(_nc > 0, F.col("_np") / _nc).otherwise(F.lit(0.0)).alias("punct_ratio"),
+        F.when(_nt > 0, F.col("_ns") / _nt).otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        F.when(_nt > 0, F.col("_ntc") / _nt).otherwise(F.lit(0.0)).alias("mean_token_len"),
     )
-    return out.drop("_ts") if arrow else out
+    return out
 
 
 def quality_filter(
@@ -418,9 +439,19 @@ def term_tf_table(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
     while DuckDB's len(NULL) is NULL — a latent cross-engine
     divergence masked by the catalog's non-null corpus (r13 review;
     same class as the chunk_documents guard). :func:`tokens` carries
-    the empty-array coalesce internally, so no extra wrap here."""
-    toks = tokens(F.col(text_col))
-    cols = [F.col("doc_id"), F.size(toks).cast("bigint").alias("dl")]
+    the empty-array coalesce internally, so no extra wrap here.
+
+    r16: the token array is STAGED as its own projected column first.
+    Inlining ``tokens(text)`` into dl + every per-term filter re-ran
+    the regexp_extract_all 1+len(terms)× per row — higher-order
+    functions are interpreted (CodegenFallback), so codegen
+    subexpression elimination never dedupes them (the collocations_pmi
+    r13 class). CollapseProject keeps the non-cheap multiply-referenced
+    alias, so the staged form tokenizes exactly once per row."""
+    base = df.select(
+        F.col("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    cols = [F.col("doc_id"), F.size("_toks").cast("bigint").alias("dl")]
 
     # one-arg lambda via factory: a two-parameter lambda would be
     # interpreted by F.filter as (element, index)
@@ -429,9 +460,11 @@ def term_tf_table(df: DataFrame, terms, text_col: str = "text") -> DataFrame:
 
     for i, t in enumerate(terms):
         cols.append(
-            F.size(F.filter(toks, _eq(t))).cast("bigint").alias(f"tf{i}")
+            F.size(F.filter(F.col("_toks"), _eq(t)))
+            .cast("bigint")
+            .alias(f"tf{i}")
         )
-    return df.select(*cols)
+    return base.select(*cols)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",

@@ -3319,9 +3319,15 @@ def q_quality_linear_score(spark, sf_dir):
     """score = 5·tokens + chars − 3·stopwords − 2·punct (integer
     weights × integer features → exact; ties broken by doc_id so the
     k-boundary is deterministic). Plan: one narrow projection pass +
-    TakeOrderedAndProject — no shuffle beyond the top-k merge."""
+    TakeOrderedAndProject — no shuffle beyond the top-k merge.
+
+    r16: the token array is STAGED as its own projected column — the
+    inline form tokenized twice per row (size + stopword filter;
+    HOF references are CodegenFallback, so nothing dedupes them —
+    the r13 collocations class; CollapseProject keeps the non-cheap
+    multiply-referenced alias)."""
     t = F.col("text")
-    toks = tokens(t)
+    toks = F.col("_toks")
     score = (
         F.lit(5) * F.size(toks).cast("bigint")
         + F.length(t).cast("bigint")
@@ -3334,6 +3340,7 @@ def q_quality_linear_score(spark, sf_dir):
     )
     return (
         _docs(spark, sf_dir)
+        .select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
         .select("doc_id", score.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(100)
