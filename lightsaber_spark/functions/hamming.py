@@ -40,9 +40,17 @@ def banded_hamming_pairs(
     payload columns of ``sig`` carried through BOTH sides into the
     output as ``<c>_a`` / ``<c>_b`` — e.g. a multiplicity count, so a
     consumer that previously re-joined the pair table back to ``sig``
-    per side (two extra joins + exchanges) reads them directly. They
-    are functions of the row id, so the candidate ``distinct`` keyed
-    on (id_a, id_b) is unchanged by carrying them."""
+    per side (two extra joins + exchanges) reads them directly.
+
+    CONTRACT (hardened r16, per the r15 ADVICE): every carry column
+    must be FUNCTIONALLY DEPENDENT on ``id_col`` within ``sig``. The
+    candidate dedup is keyed on the pair identity (ids, align, hashes)
+    ONLY, with carries attached via ``max`` — identical to the r15
+    widened-distinct output when the dependence holds (max of one
+    value is the value), and no longer able to silently DUPLICATE
+    (id_a, id_b) rows and inflate downstream multiplicity sums when a
+    caller violates it (the output stays one row per pair either
+    way)."""
     if n_bits % n_bands:
         raise ValueError("n_bands must divide n_bits")
     if not 0 < n_bits <= 64:
@@ -94,12 +102,21 @@ def banded_hamming_pairs(
         *align, *[F.col(c).alias(f"{c}_b") for c in carry], "band", "bucket",
     )
     carried = [f"{c}_a" for c in carry] + [f"{c}_b" for c in carry]
-    cand = (
+    joined = (
         a.join(b, [*align, "band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", *align, *carried, "hash_a", "hash_b")
-        .distinct()
     )
+    pair_keys = ["id_a", "id_b", *align, "hash_a", "hash_b"]
+    if carried:
+        # dedup keyed on the PAIR identity only; carries attached by
+        # max (== the carried value under the functional-dependence
+        # contract above) — never widens the distinct key
+        cand = joined.groupBy(*pair_keys).agg(
+            *[F.max(c).alias(c) for c in carried]
+        )
+    else:
+        cand = joined.distinct()
     ham = F.expr("bit_count(hash_a ^ hash_b)").cast("bigint")
     return (
         cand.withColumn("hamming", ham)

@@ -642,7 +642,17 @@ def gap_filled(
     ``_window_starts``' exact-floor first/last arithmetic). The old
     left join would silently DROP an out-of-spine agg row; the union
     keeps it — emitting, never losing, data on a violated
-    precondition."""
+    precondition.
+
+    ORACLE NOTE (r15 ADVICE): the DuckDB oracle twins still SPELL left
+    join semantics. A NEW caller whose spine/keys do NOT derive from
+    the aggregation's own data (an externally supplied grid, a key
+    list with absent keys) would keep rows its LEFT-JOIN oracle drops
+    — a silent divergence, not a failure. When adding such a query,
+    re-verify containment first (an anti-join count test of
+    agg_result against spine × keys, as
+    ``test_gap_filled_union_matches_left_join`` does for the in-repo
+    callers) or spell the oracle as the union+merge."""
     base = spine if keys_df is None else spine.crossJoin(F.broadcast(keys_df))
     key_cols = list(base.columns)
     val_cols = [c for c in agg_result.columns if c not in key_cols]
