@@ -87,8 +87,11 @@ def test_prefix_spine_attach_shapes(spark, tables):
 
     ev = tables["events"]
     aggs = [("sum", "value", "s"), ("min", "value", "mn")]
-    join_df = windowed_agg(ev, "ts", 3600, 1, aggs)
-    union_df = windowed_agg(ev, "ts", 3600, 1, aggs, prefix_spine_attach="union")
+    # 600/1 keeps the prefix path (ratio >= prefix_threshold) with a
+    # 6x smaller spine than the sg1_ref 3600/1 — same plan shapes,
+    # cheaper collect for the row-equality leg
+    join_df = windowed_agg(ev, "ts", 600, 1, aggs)
+    union_df = windowed_agg(ev, "ts", 600, 1, aggs, prefix_spine_attach="union")
 
     p_union = _formatted(spark, union_df)
     assert "Join" not in p_union, p_union[:800]

@@ -231,43 +231,56 @@ def _domain_model(host):
     return last2
 
 
-@settings(max_examples=14, deadline=None)
-@given(
-    scheme=st.sampled_from(["http", "HTTPS"]),
-    www=st.booleans(),
-    host=st.sampled_from(
-        ["example.com", "News.Example.com", "foo.co.uk", "Sub.Foo.CO.UK",
-         "co.uk", "shop.example.com.au", "x.gov.au", "example.de",
-         "a.b.example.org", "1.2.3.4", "10.0.0.1:8080", "192.168.0.1:443",
-         "[2001:db8::1]",
-         # PSL wildcard (*.ck): 2-label = bare suffix, 3+ labels = last3
-         "foo.ck", "shop.Foo.CK", "a.b.foo.ck", "things.np",
-         # PSL exception (!www.ck): itself and anything beneath it
-         "www.ck", "pages.www.ck", "a.pages.www.ck",
-         # three-label US locality suffixes: last FOUR labels
-         "k12.ca.us", "District.K12.CA.US", "hs.district.k12.ca.us",
-         "lib.ny.us", "branch.lib.ny.us",
-         # bare/single-label hosts fall back to themselves; with the
-         # www prefix they are registrable sites and must KEEP it
-         "ck", "localhost", "co.uk", "things.np"]
-    ),
-    path=st.sampled_from(["", "/a", "/a/b"]),
-)
-def test_registrable_domain_public_suffix_property(
-    spark_holder, scheme, www, host, path
-):
+_PSL_PROPERTY_HOSTS = [
+    "example.com", "News.Example.com", "foo.co.uk", "Sub.Foo.CO.UK",
+    "co.uk", "shop.example.com.au", "x.gov.au", "example.de",
+    "a.b.example.org", "1.2.3.4", "10.0.0.1:8080", "192.168.0.1:443",
+    "[2001:db8::1]",
+    # PSL wildcard (*.ck): 2-label = bare suffix, 3+ labels = last3
+    "foo.ck", "shop.Foo.CK", "a.b.foo.ck", "things.np",
+    # PSL exception (!www.ck): itself and anything beneath it
+    "www.ck", "pages.www.ck", "a.pages.www.ck",
+    # three-label US locality suffixes: last FOUR labels
+    "k12.ca.us", "District.K12.CA.US", "hs.district.k12.ca.us",
+    "lib.ny.us", "branch.lib.ny.us",
+    # bare/single-label hosts fall back to themselves; with the
+    # www prefix they are registrable sites and must KEEP it
+    "ck", "localhost", "co.uk", "things.np",
+]
+
+
+def test_registrable_domain_public_suffix_property(spark):
     """Hosts under every PSL rule class (two-label suffix, three-label
     suffix, wildcard, exception, IP literal) must match the pure-Python
-    PSL-ladder model; bare suffix hosts fall back to themselves."""
-    spark = spark_holder
-    raw = scheme + "://" + ("www." if www else "") + host + path
-    got = (
-        spark.createDataFrame([(raw,)], "url string")
-        .select(registrable_domain(F.col("url")).alias("d"))
-        .collect()[0]
-        .d
-    )
-    assert got == _domain_model(("www." if www else "") + host), raw
+    PSL-ladder model; bare suffix hosts fall back to themselves.
+
+    r16: the FULL cartesian product (scheme × www × host × path, ~320
+    cases) runs as ONE batched select — the old hypothesis form
+    collected one row per sampled example, paying the PSL ladder's
+    big-literal ColumnNode→JVM conversion (~10 s, CLAUDE.md) per
+    example: 14 samples cost 197 s where the exhaustive batch costs
+    one conversion and covers every combination deterministically."""
+    cases = [
+        (scheme, www, host, path)
+        for scheme in ("http", "HTTPS")
+        for www in (False, True)
+        for host in _PSL_PROPERTY_HOSTS
+        for path in ("", "/a", "/a/b")
+    ]
+    rows = [
+        (i, s + "://" + ("www." if w else "") + h + p)
+        for i, (s, w, h, p) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", registrable_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    for i, (s, w, h, p) in enumerate(cases):
+        want = _domain_model(("www." if w else "") + h)
+        assert got[i] == want, (s, w, h, p, got[i], want)
 
 
 @settings(max_examples=60, deadline=None)
